@@ -1,0 +1,74 @@
+"""Deterministic money arithmetic (SURVEY.md §7.4 'Float money').
+
+Doubles summed in partition-order are nondeterministic in the last ulp;
+ROUND(sum, 2) then flips on half-cent boundaries between Spark and any
+single-threaded oracle. The fix: cast each per-row money expression
+(itself deterministic IEEE double math) to DECIMAL(38,12), aggregate
+exactly — decimal addition is associative, so partition order is
+irrelevant — round on the exact decimal, and only then cast back to
+double. The reference rounds every money output to 2dp
+(src/gold_aggregator.py:40-43,62-63,88-89,114); these helpers keep that
+contract while making it reproducible at any parallelism.
+
+Oracle-side twins (DuckDB):
+    money_sum(x)  ->  ROUND(SUM(CAST(x AS DECIMAL(38,12))), 2)::DOUBLE
+    money_avg(x)  ->  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                            / COUNT(*), 2)
+
+At 100 TB the same pattern holds: DECIMAL(38,12) leaves 26 integer
+digits of headroom, and Tungsten aggregates decimals off-heap without a
+Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,12)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent SUM: exact decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC))
+
+
+def money_sum(col: Column | str) -> Column:
+    """SUM rounded to 2dp, returned as double (reference F7 contract)."""
+    return F.round(exact_sum(col), 2).cast("double")
+
+
+def money_net(pos: Column | str, neg: Column | str) -> Column:
+    """ROUND(SUM(pos) - SUM(neg), 2) on exact decimals (reference A4)."""
+    return F.round(exact_sum(pos) - exact_sum(neg), 2).cast("double")
+
+
+def round2_det(col: Column) -> Column:
+    """Engine-independent 2dp rounding of a double: FLOOR(x*100 + 0.5)/100.
+
+    ROUND(double, 2) differs between engines on half-cent boundaries
+    (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
+    binary value) — this variant is pure IEEE arithmetic, so identical
+    input doubles always produce identical output. Use it whenever the
+    value being rounded came from double division; exact decimals keep
+    plain ROUND. SQL twin: FLOOR(x * 100 + 0.5) / 100."""
+    return (F.floor(col * 100 + F.lit(0.5)) / 100).cast("double")
+
+
+def money_avg(col: Column | str) -> Column:
+    """AVG rounded to 2dp: exact decimal sum -> double division by count
+    (IEEE division of identical inputs is engine-independent), then
+    deterministic rounding."""
+    return round2_det(exact_sum(col).cast("double") / F.count(F.lit(1)))
+
+
+def exact_std(col: Column | str) -> Column:
+    """Sample stddev from exact decimal moments: engines disagree on
+    incremental (Welford) accumulation order, so compute
+    sqrt((Σx² − (Σx)²/n) / (n−1)) from order-independent sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(c.cast(DEC)).cast("double")
+    sxx = F.sum((c * c).cast(DEC)).cast("double")
+    return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))

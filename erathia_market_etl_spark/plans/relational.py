@@ -1,0 +1,660 @@
+"""Core relational operator surface (SURVEY.md §2.1-§2.8).
+
+Each query re-expresses a reference operator over the driver's TPC-H-ish
+fixtures (FIXTURES.md §B maps erathia star roles onto them:
+fact_sales→lineitem(+orders), dim_customer→customer,
+dim_faction→nation(+region), dim_product→part, dim_date→o_orderdate).
+
+The four ``q1..q4`` marts mirror the reference's gold data marts
+(src/gold_aggregator.py:27-48,56-75,83-101,106-125) shape-for-shape:
+snowflake joins → conditional aggregates → rounded money → sorted/top-k
+output. All joins on dims carry an explicit ``broadcast`` hint — at
+100 TB the fact side never shuffles for these stars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import exact_std, money_avg, money_net, money_sum, round2_det
+from ..sources.parquet_io import load_table
+from .registry import query
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Gold data-mart analogs (ref: src/gold_aggregator.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_net_revenue_by_nation",
+    oracle="""
+    WITH nation_sales AS (
+        SELECT n.n_name,
+               l.l_returnflag,
+               l.l_extendedprice * (1 - l.l_discount) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name AS nation_name,
+           ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN revenue ELSE 0 END AS DECIMAL(38,12))), 2)::DOUBLE AS total_returned,
+           ROUND(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN revenue ELSE 0 END AS DECIMAL(38,12))), 2)::DOUBLE AS total_kept,
+           ROUND(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN revenue ELSE 0 END AS DECIMAL(38,12)))
+               - SUM(CAST(CASE WHEN l_returnflag = 'R' THEN revenue ELSE 0 END AS DECIMAL(38,12))), 2)::DOUBLE AS net_revenue,
+           COUNT(*) AS transactions
+    FROM nation_sales
+    GROUP BY n_name
+    ORDER BY net_revenue DESC, nation_name
+    """,
+)
+def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's Q1 'faction net profit' shape
+    (gold_aggregator.py:27-48) — star join, spend-vs-earn conditional
+    SUMs in one pass, derived net metric, DESC sort.
+
+    Plan at scale: lineitem scans with pruned columns; orders/customer/
+    nation all broadcast (dims); single shuffle for the groupBy."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    returned = F.when(F.col("l_returnflag") == "R", revenue).otherwise(F.lit(0.0))
+    kept = F.when(F.col("l_returnflag") != "R", revenue).otherwise(F.lit(0.0))
+
+    sales = (
+        lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        sales.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            money_sum(returned).alias("total_returned"),
+            money_sum(kept).alias("total_kept"),
+            money_net(kept, returned).alias("net_revenue"),
+            F.count(F.lit(1)).alias("transactions"),
+        )
+        .orderBy(F.desc("net_revenue"), F.asc("nation_name"))
+    )
+
+
+@query(
+    "q2_monthly_price_history",
+    oracle="""
+    SELECT EXTRACT(year FROM o.o_orderdate)::INT AS order_year,
+           EXTRACT(month FROM o.o_orderdate)::INT AS order_month,
+           p.p_name AS part_name,
+           FLOOR(CAST(SUM(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) * 100 + 0.5) / 100 AS avg_unit_price,
+           ROUND(SUM(CAST(l.l_quantity AS DECIMAL(38,12))), 2)::DOUBLE AS total_quantity
+    FROM lineitem l
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'STANDARD' AND l.l_returnflag <> 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY order_year, order_month, part_name
+    """,
+)
+def q2_monthly_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q2 'resource price history' shape
+    (gold_aggregator.py:56-75): 5-table snowflake, category+type filters,
+    month rollup, AVG price + SUM quantity. The date dim is derived from
+    o_orderdate (FIXTURES.md §B mapping)."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    orders = T(spark, sf_dir, "orders")
+
+    joined = (
+        lineitem.filter(F.col("l_returnflag") != "R")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")
+                          .select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.col("p_name").alias("part_name"),
+        )
+        .agg(
+            money_avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("avg_unit_price"),
+            money_sum("l_quantity").alias("total_quantity"),
+        )
+        .orderBy("order_year", "order_month", "part_name")
+    )
+
+
+@query(
+    "q3_top_customers",
+    oracle="""
+    SELECT c.c_name AS customer_name,
+           n.n_name AS nation_name,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,12))), 2)::DOUBLE AS total_spent,
+           COUNT(l.l_orderkey) AS transactions
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_name, n.n_name
+    ORDER BY total_spent DESC, customer_name
+    LIMIT 100
+    """,
+)
+def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q3 'top 100 VIP spenders' (gold_aggregator.py:83-101):
+    segment filter, two-hop snowflake, top-k. Deterministic tiebreak on
+    customer_name (SURVEY.md §7.4 'Top-k ties'). Spark plans this as
+    TakeOrderedAndProject — no global sort."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+
+    joined = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")
+                          .select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.col("c_name").alias("customer_name"),
+                       F.col("n_name").alias("nation_name"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_spent"),
+            F.count("l_orderkey").alias("transactions"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("customer_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q4_part_popularity",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           p.p_type AS part_type,
+           COUNT(l.l_orderkey) AS total_sold,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,12))), 2)::DOUBLE AS total_gold_value
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type IN ('PROMO', 'LARGE') AND l.l_returnflag <> 'R'
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY total_sold ASC, total_gold_value DESC, brand
+    """,
+)
+def q4_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q4 'artifact popularity' (gold_aggregator.py:106-125):
+    category filter + COUNT/SUM + mixed-direction sort (ASC, DESC) with a
+    deterministic final tiebreak."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    joined = (
+        lineitem.filter(F.col("l_returnflag") != "R")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .join(F.broadcast(part.filter(F.col("p_type").isin("PROMO", "LARGE"))
+                          .select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"),
+                       F.col("p_type").alias("part_type"))
+        .agg(
+            F.count("l_orderkey").alias("total_sold"),
+            money_sum("l_extendedprice").alias("total_gold_value"),
+        )
+        .orderBy(F.asc("total_sold"), F.desc("total_gold_value"), F.asc("brand"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silver cleaning operators (ref: src/silver_processor.py:38-64; P1-P4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "silver_clean_fact",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           ROUND(l_quantity, 2) AS l_quantity,
+           ROUND(l_extendedprice, 2) AS l_extendedprice,
+           l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_suppkey IS NOT NULL AND l_quantity <> 0
+    """,
+)
+def silver_clean_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 null-drop on key subset + P2 inequality filter
+    (silver_processor.py:40-42). Both predicates push down to the
+    parquet scan (PushedFilters in .explain)."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    return (
+        lineitem.na.drop(subset=["l_orderkey", "l_partkey", "l_suppkey"])
+        .filter(F.col("l_quantity") != 0)
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            "l_returnflag", "l_linestatus",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+@query(
+    "silver_derive_flag",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN TRUE ELSE FALSE END AS is_automobile,
+           CASE WHEN c_acctbal > 5000 THEN TRUE ELSE FALSE END AS is_big_spender
+    FROM customer
+    """,
+)
+def silver_derive_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 derived boolean column — the reference's is_hero
+    (silver_processor.py:47-50) re-expressed on customer."""
+    customer = T(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", True).otherwise(False).alias("is_automobile"),
+        F.when(F.col("c_acctbal") > 5000, True).otherwise(False).alias("is_big_spender"),
+    )
+
+
+@query(
+    "silver_dedup_by_key",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+)
+def silver_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 keyed dedup (silver_processor.py:47,53-64). dropDuplicates
+    keeps an arbitrary row per key; well-defined here because fixture
+    keys are unique — exactly the reference's implicit assumption
+    (SURVEY.md §7.5 trap 4)."""
+    customer = T(spark, sf_dir, "customer")
+    return customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment") \
+        .dropDuplicates(["c_custkey"])
+
+
+@query(
+    "dedup_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def dedup_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row dedup over genuinely duplicated data — hash-aggregate
+    semantics, deterministic regardless of which physical row survives."""
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P5-P8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_projection_sorted",
+    oracle="SELECT DISTINCT p_type AS part_type FROM part ORDER BY part_type",
+)
+def distinct_projection_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 + O5: the drill-down menu query (main.py:304) — positional
+    ORDER BY 1 becomes a named column."""
+    return (
+        T(spark, sf_dir, "part")
+        .select(F.col("p_type").alias("part_type"))
+        .distinct()
+        .orderBy("part_type")
+    )
+
+
+@query(
+    "filter_conjunctive",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000
+    """,
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 conjunctive equality/range predicates
+    (gold_aggregator.py:68-70) — both push to the scan."""
+    return (
+        T(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 1000))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+@query(
+    "filter_parameterized",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part WHERE p_brand = 'Brand#1'
+    ORDER BY p_partkey
+    """,
+)
+def filter_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 parameterized predicate (main.py:326-327) — bound value as a
+    literal column."""
+    param = "Brand#1"
+    return (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == F.lit(param))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "count_probe",
+    oracle="SELECT COUNT(*) AS row_count, COUNT(DISTINCT l_orderkey) AS order_count FROM lineitem",
+)
+def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 row-count verification probe (silver_processor.py:88-93),
+    plus a distinct count the reference lacks (SURVEY §2.4 gap)."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("l_orderkey").alias("order_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family beyond the reference's inner equi-joins (engine surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS order_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(col) null-skipping semantics — customers
+    with zero orders stay, counted as 0."""
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CASE WHEN EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+                THEN 'active' ELSE 'inactive' END AS status
+    FROM supplier s
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: suppliers partitioned into active (semi)
+    and inactive (anti) vs lineitem, reunioned with a status tag."""
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey")
+    active = supplier.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi") \
+        .withColumn("status", F.lit("active"))
+    inactive = supplier.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti") \
+        .withColumn("status", F.lit("inactive"))
+    return active.unionByName(inactive).orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions (SURVEY §2.4 explicit gaps: rollup/cube/stats)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12))), 2)::DOUBLE AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface via rollup — subtotals + grand total."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             money_sum("l_extendedprice").alias("sum_price"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,12))), 2)::DOUBLE AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two keys."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum("o_totalprice").alias("sum_total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_stats_profile",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100 AS avg_qty,
+           FLOOR(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+                      / (COUNT(*) - 1)) * 100 + 0.5) / 100 AS std_qty,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family incl. DISTINCT aggregate (reference
+    gap per SURVEY §2.4)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            money_avg("l_quantity").alias("avg_qty"),
+            round2_det(exact_std("l_quantity")).alias("std_qty"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_parts_by_revenue",
+    oracle="""
+    SELECT l_partkey,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))), 2)::DOUBLE AS revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no
+    global sort — per-partition heaps, then a driver merge of k rows)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference, engine surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == EXCEPT DISTINCT (set difference); exceptAll would be the
+    # bag-difference variant, which SQL EXCEPT is not.
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F1-F9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_date_smart_key",
+    oracle="""
+    SELECT o_orderkey,
+           (EXTRACT(year FROM o_orderdate) * 10000
+            + EXTRACT(month FROM o_orderdate) * 100
+            + EXTRACT(day FROM o_orderdate))::INT AS date_key,
+           (EXTRACT(isodow FROM o_orderdate) - 1)::INT AS day_of_week,
+           CASE WHEN EXTRACT(isodow FROM o_orderdate) - 1 IN (5, 6) THEN TRUE ELSE FALSE END AS is_weekend,
+           (EXTRACT(year FROM o_orderdate) + (1168 - 2000))::INT AS lore_year,
+           CONCAT(EXTRACT(year FROM o_orderdate)::INT, '-',
+                  LPAD(EXTRACT(month FROM o_orderdate)::VARCHAR, 2, '0'), '-',
+                  LPAD(EXTRACT(day FROM o_orderdate)::VARCHAR, 2, '0')) AS date_str
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_smart_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: the reference's calendar-dimension scalar kit
+    (bronze_generator.py:38-61): smart date_key arithmetic, the
+    pandas-convention weekday (Mon=0 — F.weekday, NOT F.dayofweek which
+    is Sun=1; SURVEY §7.5 trap 1), weekend membership, lore-year offset,
+    zero-padded date string."""
+    orders = T(spark, sf_dir, "orders")
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    dow = F.weekday("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        (y * 10000 + m * 100 + d).cast("int").alias("date_key"),
+        dow.cast("int").alias("day_of_week"),
+        dow.isin(5, 6).alias("is_weekend"),
+        (y + (1168 - 2000)).cast("int").alias("lore_year"),
+        F.concat_ws("-", y.cast("string"),
+                    F.lpad(m.cast("string"), 2, "0"),
+                    F.lpad(d.cast("string"), 2, "0")).alias("date_str"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_string_kit",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_mktsegment, ' ', c_name) AS segment_name,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'vip' END AS balance_band
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-F9: string concat, casing, substring, length, multi-branch
+    CASE WHEN banding."""
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(" ", "c_mktsegment", "c_name").alias("segment_name"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("vip").alias("balance_band"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Parity with the reference's ``init_spark`` (main.py:26-36: app name,
+driver memory, AQE on, local[*]) plus the scale-grade defaults a real
+cluster run needs. Everything is overridable; ``get_spark`` never
+clobbers an existing session's master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT, EngineConfig
+
+
+def get_spark(cfg: EngineConfig | None = None, **extra_conf: str) -> SparkSession:
+    cfg = cfg or DEFAULT
+    master = cfg.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    builder = (
+        SparkSession.builder.appName(cfg.app_name)
+        .master(master)
+        .config("spark.driver.memory", cfg.driver_memory)
+        .config("spark.sql.adaptive.enabled", str(cfg.adaptive_enabled).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", cfg.auto_broadcast_join_threshold)
+        .config("spark.sql.session.timeZone", cfg.session_timezone)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet written by pandas/pyarrow is tz-naive; read it as NTZ so
+        # results are independent of the session timezone.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Apply deterministic, runtime-settable confs to a session we did
+    not create (the driver hands us its own). Only touches confs that are
+    safe to set post-start and that correctness depends on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

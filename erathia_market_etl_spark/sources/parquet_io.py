@@ -1,0 +1,80 @@
+"""Parquet sources and sinks (SURVEY.md §2.1 S4-S8).
+
+The reference reads parquet with inferred schemas (silver_processor.py:34)
+and writes via pyarrow (bronze_generator.py:420-429,456-484) or Spark
+(silver_processor.py:66-73). Here every read can enforce an explicit
+schema, every fact-sized write is hive-partitioned, and dim-sized writes
+compact to a single file.
+
+Scale notes (100 TB): partitioned writes shuffle on the partition columns
+only when asked (repartition before write to bound file counts); reads
+rely on Catalyst partition pruning + parquet row-group stats — never
+pre-filter driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read one fixture/bronze table. ``schema`` enforces a contract on
+    read (the reference declared FACT_SALES_SCHEMA but never applied it —
+    schemas.py:6-19; here enforcement is opt-in and real)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        # hive-partitioned tables are directories (fact_sales/year=.../)
+        path = os.path.join(sf_dir, name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:
+    """Expose the tables to spark.sql — the rebuild's analog of the
+    reference's DuckDB catalog ingest (silver_processor.py:77-86)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month"),
+    mode: str = "overwrite",
+) -> None:
+    """Fact-table sink: hive layout -> native partition pruning on read
+    (ref: bronze_generator.py:474-479, silver_processor.py:71)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_single_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Dim-table sink: compact to one file (ref: silver_processor.py:73).
+    Only for KB..MB dims — never coalesce(1) a fact table."""
+    df.coalesce(1).write.mode(mode).parquet(path)

@@ -1,0 +1,39 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.001 —
+the same comparison the driver runs at sf0.01 (BASELINE.md t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from erathia_market_etl_spark.plans import all_oracles, all_queries
+from erathia_market_etl_spark.testing import compare_query
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    result = compare_query(name, QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+    assert result.ok, (
+        f"{name}: spark_rows={result.spark_rows} oracle_rows={result.oracle_rows} "
+        f"cols_match={result.columns_match} hash={result.hash_match}\n"
+        f"spark cols: {result.spark_cols}\noracle cols: {result.oracle_cols}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_without_oracle_runs(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "nation_name" in df.columns
