@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function and time-window operators over the events table.
+
+The reference has NO window functions and NO streaming (SURVEY.md §2.5,
+§2.9) — this module supplies the batch surface the target engine must
+expose: ranking/lag/frames (``Window.partitionBy``), plus tumbling /
+sliding / session time windows (``F.window`` / ``F.session_window``),
+which are also the exact shapes Structured Streaming executes with a
+watermark (see ``streaming/``).
+
+Determinism notes:
+  * every ORDER BY inside a window carries an ``event_id`` tiebreak;
+  * windowed SUM/AVG over doubles uses the DECIMAL(38,12) pattern —
+    DuckDB evaluates running frames with segment trees, Spark
+    sequentially, so double accumulation order differs (money.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import DEC, money_sum
+from ..sources.events import load_events
+from .registry import query
+
+
+@query(
+    "window_rank_user_events",
+    oracle="""
+    SELECT user_id, event_id,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+)
+def window_rank_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: row_number / rank / dense_rank."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("event_type")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(wt).alias("type_rank"),
+    ).orderBy("user_id", "rn")
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - COALESCE(LAG(value) OVER w, 0) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + per-row derived delta (identical IEEE subtraction on
+    both engines — no rounding needed)."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagv = F.lag("value").over(w)
+    return events.select(
+        "user_id", "event_id", "value",
+        lagv.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(lagv, F.lit(0.0))).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+               AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (UNBOUNDED PRECEDING..CURRENT ROW). Exact decimal
+    accumulation — Spark evaluates running sums sequentially, DuckDB with
+    a segment tree, so double order differs."""
+    events = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_moving_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS frame_sum,
+           MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_min,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_max
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (3 PRECEDING..CURRENT ROW): moving sum/min/max."""
+    events = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("frame_sum"),
+        F.min("value").over(w).alias("frame_min"),
+        F.max("value").over(w).alias("frame_max"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "tumbling_hourly_stats",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (F.window, 1h) — the batch form of the
+    Structured Streaming hourly aggregation (streaming/event_stream.py
+    runs the identical groupBy under a watermark)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS window_start, value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide): every event lands in two
+    overlapping windows. Spark expands via F.window; the oracle expands
+    explicitly with a 2-way UNION ALL."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30min inactivity gap) via F.session_window — the
+    merge-on-gap semantics Structured Streaming uses for stateful session
+    aggregation. Oracle reconstructs sessions with lag + running sum.
+    Spark's session end = last event + gap; the oracle mirrors that."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

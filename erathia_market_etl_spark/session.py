@@ -29,9 +29,9 @@ def get_spark(cfg: EngineConfig | None = None, **extra_conf: str) -> SparkSessio
         .config("spark.sql.autoBroadcastJoinThreshold", cfg.auto_broadcast_join_threshold)
         .config("spark.sql.session.timeZone", cfg.session_timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # parquet written by pandas/pyarrow is tz-naive; read it as NTZ so
-        # results are independent of the session timezone.
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot read
+        # natively; read as long nanos and convert (see sources.events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
@@ -44,4 +44,8 @@ def harden_session(spark: SparkSession) -> SparkSession:
     safe to set post-start and that correctness depends on."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # TIMESTAMP(NANOS) parquet (events.ts) is otherwise unreadable in
+    # Spark 4 ([PARQUET_TYPE_ILLEGAL]); long-nanos + explicit conversion
+    # keeps exact integer math (sources.events.load_events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -1,0 +1,26 @@
+"""Events-table source: nanosecond-timestamp handling.
+
+The driver fixture ``events.parquet`` stores ``ts`` as parquet
+TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark 4 refuses to read
+natively ([PARQUET_TYPE_ILLEGAL]). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as long
+nanoseconds; ``ts div 1000`` -> ``timestamp_micros`` converts with exact
+integer math, matching DuckDB's native nanos->micros truncation of the
+same file. Set session timezone to UTC before extracting date parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parquet_io import load_table
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        # floor-divide: identical to DuckDB's truncation for positive epochs
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
