@@ -1,1 +1,169 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (extension surface).
+
+Each query is pure built-in expressions (operators/text.py) with an
+exact DuckDB twin — the text pipeline a 100 TB pre-training corpus run
+needs: token statistics, language-ID, quality scoring, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..operators.similarity import round6
+from ..sources.parquet_io import load_table
+from .registry import query
+
+_MARKER_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in TX.LANG_MARKERS.items()
+}
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> CAST(LENGTH(w) AS BIGINT))) AS BIGINT)
+               AS sum_token_chars,
+           FLOOR(CAST(list_sum(list_transform(string_split(text, ' '),
+                                              w -> CAST(LENGTH(w) AS BIGINT))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+           len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens, all
+    JVM-side (aggregate/transform HOFs, regexp_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        TX.sum_token_chars(t).alias("sum_token_chars"),
+        round6(TX.sum_token_chars(t).cast("double") / TX.token_count(t)).alias("avg_token_len"),
+        TX.bpe_ish_token_count(t).cast("int").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKER_SQL['en']})) AS score_en,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKER_SQL['de']})) AS score_de,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKER_SQL['es']})) AS score_es,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKER_SQL['fr']})) AS score_fr,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKER_SQL['zh']})) AS score_zh
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >= score_en AND score_de >= score_es
+                  AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_es >= score_en AND score_es >= score_de
+                  AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_en AND score_fr >= score_de
+                  AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-token hit counts with a
+    fixed-precedence argmax (deterministic ties on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = TX.language_scores(t)
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in TX.LANG_ORDER]
+    df = docs.select(*cols)
+    score_cols = {lang: F.col(f"score_{lang}") for lang in TX.LANG_ORDER}
+    return df.withColumn("predicted_lang", TX.predicted_language(score_cols)).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               LENGTH(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1000000 + 0.5)
+               / 1000000 AS unique_ratio,
+           FLOOR((
+               0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100)
+             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           ) * 1000000 + 0.5) / 1000000 AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + lexical diversity composite
+    (the shape of a pre-training quality filter; weights are config)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n
+    length_sat = F.least(F.lit(1.0), n / 100)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        round6(uniq).alias("unique_ratio"),
+        round6(0.5 * length_sat + 0.5 * uniq).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+    sh AS (
+        SELECT doc_id, text,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END AS shingles
+        FROM t
+    )
+    SELECT doc_id,
+           md5(TRIM(LOWER(text))) AS content_fingerprint,
+           COALESCE(list_min(list_transform(shingles, s -> md5('fp|' || s))), '')
+               AS shingle_fingerprint
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 plus a min-shingle-hash
+    fingerprint (the winnowing idea: min of uniform hashes over rolling
+    3-gram shingles)."""
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("content_fingerprint"),
+        F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("fp|"), s)))),
+            F.lit(""),
+        ).alias("shingle_fingerprint"),
+    ).orderBy("doc_id")
