@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes fully via the noop sink (no collect — measures the
+engine, not driver-side materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from erathia_market_etl_spark.config import EngineConfig
+from erathia_market_etl_spark.plans import all_queries
+from erathia_market_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_net_revenue_by_nation",
+    "q2_monthly_price_history",
+    "q3_top_customers",
+    "q4_part_popularity",
+    "silver_clean_fact",
+    "agg_rollup",
+    "window_running_total",
+    "tumbling_hourly_stats",
+    "session_window_stats",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucket",
+    "text_token_stats",
+    "text_language_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(EngineConfig(app_name="erathia-bench"))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

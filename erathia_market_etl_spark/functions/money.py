@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,12)"
 
 
+def dec2(col: Column | str) -> Column:
+    """Cast a 2dp-valued double column to DECIMAL(18,2) — the required
+    first step before *multiplying* money columns.
+
+    Why: Spark casts double→decimal via the shortest decimal repr
+    (BigDecimal.valueOf), DuckDB via the exact binary value — the two
+    differ in the ~13th significant digit. A sum of raw-double products
+    can therefore land on opposite sides of a half-cent boundary in the
+    two engines (observed: q1 NATION_7, Spark …535000000018 vs DuckDB
+    …534999999996, true sum exactly x.535). Casting the 2dp inputs to
+    decimal first makes products (scale 4) and sums exact and
+    bit-identical in both engines. SQL twin:
+        CAST(col AS DECIMAL(18,2))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
 def exact_sum(col: Column | str) -> Column:
     """Order-independent SUM: exact decimal accumulation."""
     c = F.col(col) if isinstance(col, str) else col

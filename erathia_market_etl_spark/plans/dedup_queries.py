@@ -36,8 +36,14 @@ _SHINGLES_CTE = """
     )
 """
 
+def _rot_hash(j: int) -> str:
+    if j == 0:
+        return "md5('mh|' || x)"
+    return f"substr(md5('mh|' || x), {4*j+1}) || substr(md5('mh|' || x), 1, {4*j})"
+
+
 _SIG_SQL = ", ".join(
-    f"list_min(list_transform(s, x -> md5('{j}|' || x))) AS h{j}" for j in range(N_MINHASH)
+    f"list_min(list_transform(s, x -> {_rot_hash(j)})) AS h{j}" for j in range(N_MINHASH)
 )
 _BANDS_SQL = ", ".join(f"md5('{b}|' || h{2*b} || h{2*b+1}) AS band{b}" for b in range(4))
 _BAND_UNION = "\n        UNION ALL\n".join(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import exact_std, money_avg, money_net, money_sum, round2_det
+from ..functions.money import dec2, exact_std, money_avg, money_net, money_sum, round2_det
 from ..sources.parquet_io import load_table
 from .registry import query
 
@@ -36,7 +36,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     WITH nation_sales AS (
         SELECT n.n_name,
                l.l_returnflag,
-               l.l_extendedprice * (1 - l.l_discount) AS revenue
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -65,9 +66,10 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = T(spark, sf_dir, "customer")
     nation = T(spark, sf_dir, "nation")
 
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    returned = F.when(F.col("l_returnflag") == "R", revenue).otherwise(F.lit(0.0))
-    kept = F.when(F.col("l_returnflag") != "R", revenue).otherwise(F.lit(0.0))
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(38,4)")
+    returned = F.when(F.col("l_returnflag") == "R", revenue).otherwise(zero)
+    kept = F.when(F.col("l_returnflag") != "R", revenue).otherwise(zero)
 
     sales = (
         lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
@@ -144,7 +146,8 @@ def q2_monthly_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_name AS customer_name,
            n.n_name AS nation_name,
-           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,12))), 2)::DOUBLE AS total_spent,
+           ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))), 2)::DOUBLE AS total_spent,
            COUNT(l.l_orderkey) AS transactions
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -180,7 +183,7 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("c_name").alias("customer_name"),
                        F.col("n_name").alias("nation_name"))
         .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_spent"),
+            money_sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_spent"),
             F.count("l_orderkey").alias("transactions"),
         )
         .orderBy(F.desc("total_spent"), F.asc("customer_name"))
@@ -518,7 +521,8 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_parts_by_revenue",
     oracle="""
     SELECT l_partkey,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))), 2)::DOUBLE AS revenue
+           ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))), 2)::DOUBLE AS revenue
     FROM lineitem
     GROUP BY l_partkey
     ORDER BY revenue DESC, l_partkey
@@ -531,7 +535,7 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(money_sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_partkey"))
         .limit(10)
     )

@@ -63,6 +63,19 @@ def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> No
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan produced fewer
+    splits than the cluster has cores — the canonical fix for a
+    compute-bound stage (hashing, vector math) reading a small/unsplit
+    file. At real scale inputs arrive in many splits and this is a no-op;
+    locally a single small parquet otherwise pins 31 of 32 cores idle."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
