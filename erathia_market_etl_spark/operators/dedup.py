@@ -40,41 +40,42 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col: Column, k: int = N_MINHASH) -> Column:
-    """k-element MinHash signature via the rotate-one-hash scheme: one
-    md5 per shingle, then hash function j reads the hex string rotated
-    by 4·j chars. Rotations of a uniform 128-bit hash give k
-    effectively-independent orderings at 1/k the hashing cost (md5
-    dominates the CPU profile of this operator — measured 8x on bench).
-    Lexicographic min over uniform hex strings is a valid MinHash, and
-    md5 is bit-identical across engines so the DuckDB oracle mirrors it.
+def rotated(h: Column, j: int) -> Column:
+    """Hash function j of the rotate-one-hash MinHash scheme: the md5
+    hex string rotated left by 4·j chars. Rotations of a uniform 128-bit
+    hash give k effectively-independent orderings at 1/k the hashing
+    cost, and lexicographic min over uniform hex strings is a valid
+    MinHash. DuckDB twin: substr(h, 4j+1) || substr(h, 1, 4j)."""
+    if j == 0:
+        return h
+    return F.concat(F.substring(h, 4 * j + 1, 32), F.substring(h, 1, 4 * j))
+
+
+def minhash_signature_cols(k: int = N_MINHASH) -> list[Column]:
+    """Aggregate expressions computing the k-element signature from a
+    per-shingle md5 column ``h``: MIN(rotate_j(h)) as h{j}.
+
+    Expressed as plain MIN aggregates over an exploded (doc, shingle-md5)
+    table rather than array higher-order functions on purpose: HOF
+    lambdas (transform/array_min) are excluded from whole-stage codegen,
+    so the array formulation runs interpreted — measured 8-15x slower on
+    bench. MIN over codegen'd string rotations gets map-side partial
+    aggregation, so the shuffle carries one row per (doc, partition).
     DuckDB twin per element:
-        list_min(list_transform(sh,
-            s -> substr(md5('mh|' || s), {4j+1}) || substr(md5('mh|' || s), 1, {4j})))
-    """
-
-    def rotated_hash(j: int):
-        def fn(s: Column) -> Column:
-            h = F.md5(F.concat(F.lit("mh|"), s))
-            if j == 0:
-                return h
-            return F.concat(F.substring(h, 4 * j + 1, 32), F.substring(h, 1, 4 * j))
-
-        return fn
-
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, rotated_hash(j))) for j in range(k)]
-    )
+        min(substr(md5('mh|'||s), {4j+1}) || substr(md5('mh|'||s), 1, {4j}))."""
+    return [F.min(rotated(F.col("h"), j)).alias(f"h{j}") for j in range(k)]
 
 
-def band_keys(sig: Column, n_bands: int = N_BANDS) -> Column:
-    """LSH banding: hash consecutive signature pairs into band keys.
-    Equal band key => candidate pair. DuckDB twin: md5('b|' || sig[i] || sig[i+1])."""
+def band_key_array(n_bands: int = N_BANDS) -> Column:
+    """LSH banding over signature columns h0..h7: hash consecutive
+    signature pairs into band keys. Each h{j} is referenced exactly once,
+    so Catalyst may collapse projections without duplicating work.
+    Equal band key => candidate pair. DuckDB twin: md5('b|' || h_{2b} || h_{2b+1})."""
     rows_per_band = N_MINHASH // n_bands
     keys = []
     for b in range(n_bands):
         parts = [F.lit(f"{b}|")] + [
-            F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
         ]
         keys.append(F.md5(F.concat(*parts)))
     return F.array(*keys)
@@ -114,30 +115,32 @@ def pair_array(docs: Column) -> Column:
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             n: int = 3) -> DataFrame:
-    """doc pairs sharing ≥1 LSH band: shingle -> minhash -> band key ->
+    """doc pairs sharing ≥1 LSH band: explode shingles -> one md5 per
+    shingle -> groupBy(doc) MIN-rotations signature -> band keys ->
     groupBy bucket -> in-bucket pair expansion.
 
     Plan shape matters here:
-      * ``sig`` and ``bands`` live in separate projections — Catalyst's
-        CollapseProject would otherwise inline the 8-rotation minhash
-        expression once per band reference (8x the md5 work; measured
-        ~8x wall on bench);
+      * the signature is 8 MIN aggregates over exploded per-shingle
+        hashes, NOT array_min(transform(...)) — HOF lambdas are excluded
+        from whole-stage codegen and ran interpreted (measured 33s vs 4s
+        at sf0.1); MIN gets map-side partial agg, so each doc contributes
+        one row per partition to the shuffle;
       * pairs come from collect_list per bucket, NOT a band self-join —
         one shuffle on the band key, no recomputation of the signature
         pipeline for a second join side, and LSH buckets are small by
         construction so the in-bucket expansion is O(bucket²) on tiny
         buckets. At 100 TB this is the standard formulation: the only
-        large shuffle is bands, hash-partitioned by key."""
+        large shuffles are (doc, shingle-hash) pre-agg and the band
+        table, both hash-partitioned by key."""
     from ..sources.parquet_io import fan_out
 
-    bands = (
+    hashed = (
         fan_out(df)
-        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc", minhash_signature(F.col("sh")).alias("sig"))
-        .select("doc", band_keys(F.col("sig")).alias("bands"))
-        .select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
+        .select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .select("doc", F.md5(F.concat(F.lit("mh|"), F.col("s"))).alias("h"))
     )
+    sig = hashed.groupBy("doc").agg(*minhash_signature_cols())
+    bands = sig.select("doc", F.posexplode(band_key_array()).alias("band_idx", "band_key"))
     return (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
