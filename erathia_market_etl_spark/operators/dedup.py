@@ -81,6 +81,65 @@ def band_key_array(n_bands: int = N_BANDS) -> Column:
     return F.array(*keys)
 
 
+N_SIMHASH_BITS = 48   # bits of the fingerprint (md5-prefix derived)
+N_SIMHASH_BLOCKS = 4  # pigeonhole blocks -> catches hamming <= 3 exactly
+SIMHASH_HAMMING_MAX = 3
+
+
+def token_hash48(tok: Column) -> Column:
+    """48-bit integer hash of a token: first 12 hex chars of md5.
+    Engine-portable hex->int: Spark conv(h,16,10), DuckDB '0x'||h cast.
+    DuckDB twin: CAST('0x' || substr(md5('sh|'||t), 1, 12) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("sh|"), tok)), 1, N_SIMHASH_BITS // 4), 16, 10
+    ).cast("bigint")
+
+
+def simhash_bit_sums(h: Column, nbits: int = N_SIMHASH_BITS) -> list[Column]:
+    """The SimHash accumulator: per bit position j, SUM(±1) over all
+    token instances (summing instances, not distinct tokens, gives the
+    classic term-frequency weighting). All plain conditional sums ->
+    codegen'd hash aggregate with map-side partials.
+    DuckDB twin per bit: SUM(2 * ((h >> j) & 1) - 1)."""
+    return [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(nbits)
+    ]
+
+
+def simhash_fingerprint(nbits: int = N_SIMHASH_BITS) -> Column:
+    """Collapse the per-bit sums b0..b{n-1} into the fingerprint:
+    bit j set iff the weighted sum is positive (ties -> 0, both engines).
+    DuckDB twin: SUM-of-CASE over the same columns."""
+    terms = [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for j in range(nbits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_blocks(fp: Column, nbits: int = N_SIMHASH_BITS,
+                   nblocks: int = N_SIMHASH_BLOCKS) -> Column:
+    """Split the fingerprint into nblocks bit-ranges for pigeonhole LSH:
+    two fingerprints within hamming distance nblocks-1 share at least one
+    exact block. DuckDB twin: (fp >> lo) & mask per block."""
+    width = nbits // nblocks
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.shiftright(fp, b * width).bitwiseAND(F.lit(mask)) for b in range(nblocks)
+    ])
+
+
+def hamming48(a: Column, b: Column) -> Column:
+    """Hamming distance between fingerprints. Spark xor is ``^`` (via
+    bitwiseXOR); DuckDB's ``^`` is exponentiation — its twin is
+    bit_count(xor(a, b))."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Distinct-set Jaccard over shingle arrays.
     DuckDB twin: len(list_intersect(a, b)) / len(list_distinct(a || b))
@@ -111,6 +170,53 @@ def pair_array(docs: Column) -> Column:
             ),
         )
     )
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """doc_id -> 48-bit SimHash fingerprint. One explode (doc, token),
+    one codegen'd hash aggregate of 48 conditional sums, one projection.
+    The shuffle carries one partial-agg row per (doc, partition); at
+    100 TB this is a single map-heavy stage with a tiny exchange."""
+    from ..sources.parquet_io import fan_out
+
+    toks = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .select("doc", token_hash48(F.col("t")).alias("h"))
+    )
+    return (
+        toks.groupBy("doc")
+        .agg(*simhash_bit_sums(F.col("h")))
+        .select("doc", simhash_fingerprint().alias("fingerprint"))
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming via
+    pigeonhole LSH: 4 blocks of 12 bits — any pair within hamming 3
+    shares >= 1 exact block, so candidates come from block-bucket
+    grouping (same shape as MinHash banding: one shuffle, in-bucket
+    expansion, no self-join recompute) and are then verified exactly."""
+    fp = simhash_table(df, text_col, id_col)
+    blocks = fp.select(
+        "doc", "fingerprint",
+        F.posexplode(simhash_blocks(F.col("fingerprint"))).alias("block_idx", "block_key"),
+    )
+    pairs = (
+        blocks.groupBy("block_idx", "block_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "fingerprint"))).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
+        .select(
+            F.col("p.doc_a.doc").alias("doc_a"),
+            F.col("p.doc_b.doc").alias("doc_b"),
+            hamming48(F.col("p.doc_a.fingerprint"), F.col("p.doc_b.fingerprint")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,

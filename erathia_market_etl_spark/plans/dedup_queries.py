@@ -13,10 +13,15 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     N_MINHASH,
+    N_SIMHASH_BITS,
+    N_SIMHASH_BLOCKS,
+    SIMHASH_HAMMING_MAX,
     exact_dedup_groups,
     jaccard,
     minhash_candidate_pairs,
     shingles,
+    simhash_near_pairs,
+    simhash_table,
 )
 from ..operators.similarity import round6
 from ..sources.parquet_io import load_table
@@ -100,6 +105,75 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the band-key join."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(docs, "text", "doc_id").orderBy("doc_a", "doc_b")
+
+
+# SimHash oracle fragments --------------------------------------------------
+
+_BITSUMS_SQL = ", ".join(
+    f"SUM(2 * ((h >> {j}) & 1) - 1) AS b{j}" for j in range(N_SIMHASH_BITS)
+)
+_FP_SQL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(N_SIMHASH_BITS)
+)
+_BLOCK_W = N_SIMHASH_BITS // N_SIMHASH_BLOCKS
+_BLOCK_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT doc, fingerprint, {b} AS block_idx,"
+    f" (fingerprint >> {b * _BLOCK_W}) & {(1 << _BLOCK_W) - 1} AS block_key FROM fp"
+    for b in range(N_SIMHASH_BLOCKS)
+)
+
+_SIMHASH_CTE = f"""
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hashed AS (
+        SELECT doc_id, CAST('0x' || substr(md5('sh|' || t), 1, {N_SIMHASH_BITS // 4}) AS BIGINT) AS h
+        FROM tok
+    ),
+    sums AS (SELECT doc_id, {_BITSUMS_SQL} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id AS doc, {_FP_SQL} AS fingerprint FROM sums)
+"""
+
+
+@query(
+    "dedup_simhash_fingerprint",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc, fingerprint FROM fp ORDER BY doc
+    """,
+)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit TF-weighted SimHash per document: token -> 48-bit md5-prefix
+    hash -> per-bit ±1 sums -> sign fingerprint. One explode + one
+    codegen'd 48-column hash aggregate; shuffle is one partial row per
+    (doc, partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table(docs, "text", "doc_id").orderBy("doc")
+
+
+@query(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    blocks AS (
+{_BLOCK_UNION}
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.block_idx = b.block_idx AND a.block_key = b.block_key
+    WHERE a.doc < b.doc
+      AND bit_count(xor(a.fingerprint, b.fingerprint)) <= {SIMHASH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole LSH: 4 blocks
+    of 12 bits — any pair within hamming 3 shares an exact block, so
+    candidates come from block-bucket grouping and are verified with
+    bit_count(a XOR b). Same one-shuffle bucket-expansion shape as
+    MinHash banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id").orderBy("doc_a", "doc_b")
 
 
 @query(
