@@ -45,6 +45,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         dedup_queries,
         event_windows,
+        multimodal_queries,
         relational,
         similarity_queries,
         text_queries,
