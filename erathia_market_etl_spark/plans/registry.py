@@ -48,6 +48,7 @@ def _load_all() -> None:
         multimodal_queries,
         relational,
         similarity_queries,
+        streaming_queries,
         text_queries,
     )
 

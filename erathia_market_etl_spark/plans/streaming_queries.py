@@ -1,0 +1,103 @@
+"""Streaming registry entries: bounded Structured Streaming runs with
+batch oracles (SURVEY.md §2.9 upgrade path, made concrete).
+
+Each entry builds the streaming plan, executes it to completion with
+Trigger.AvailableNow into a memory sink, and returns the sink table.
+With the single-file fixture there is exactly one micro-batch, so
+update-mode output must equal the equivalent batch aggregation — which
+is exactly what the DuckDB oracle computes. Multi-batch/watermark
+semantics are covered by tests/test_streaming.py (they need crafted
+file sequences, not the fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.event_stream import (
+    hourly_stats_stream,
+    run_available_now,
+    session_stats_stream,
+    stream_events,
+    user_running_totals_stream,
+)
+from .registry import query
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a bounded
+    stream; must match the batch tumbling_hourly_stats oracle exactly."""
+    out = run_available_now(hourly_stats_stream(stream_events(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session-window merge executed as a bounded stream; the
+    oracle reconstructs sessions with lag + running sum (same as the
+    batch session_window_stats)."""
+    # session-window streaming rejects update mode; complete keeps every
+    # finalized-or-open session, which for a bounded run IS the batch result
+    out = run_available_now(
+        session_stats_stream(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals. Single input file -> one micro-batch -> the one
+    update-mode emission per user is the final cumulative value, which
+    the batch GROUP BY oracle reproduces."""
+    out = run_available_now(user_running_totals_stream(stream_events(spark, sf_dir)))
+    return out.orderBy("user_id")

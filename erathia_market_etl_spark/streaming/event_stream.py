@@ -1,0 +1,208 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2.9).
+
+The reference is batch-only; this module supplies the streaming form of
+the same event-window operators — ``readStream`` file source →
+watermarked window aggregations → memory/``foreachBatch`` sinks — plus a
+custom stateful operator via ``applyInPandasWithState``. Batch/stream
+parity is the design invariant: every streaming aggregation here reuses
+the exact groupBy shape of ``plans/event_windows.py``, so a bounded run
+(``Trigger.AvailableNow``) must produce byte-identical results to the
+batch query, and the oracle-checked registry entries assert exactly
+that.
+
+At scale: the file source is a stand-in for Kafka — swap
+``readStream.parquet`` for ``readStream.format("kafka")`` and the plan
+below the source is unchanged. State lives in the HDFS/RocksDB state
+store keyed by (window, group) or (user); watermarks bound it.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.money import DEC, money_sum
+
+# raw file-source schema: ts arrives as long nanoseconds
+# (spark.sql.legacy.parquet.nanosAsLong; see sources/events.py)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_name_seq = itertools.count()
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events as an unbounded DataFrame. The file source needs a
+    directory; the fixture is a single parquet file, so stage a symlink
+    dir (no data copy). ts converts nanos->micros with exact integer
+    math, identical to the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    src = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stage)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans/event_windows.tumbling_hourly_stats: the
+    identical tumbling groupBy under an event-time watermark. State per
+    (window, event_type); the watermark closes windows older than
+    max(ts) - 2h so state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_stats_stream(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of session_window_stats: merge-on-gap session
+    aggregation. The state store merges overlapping sessions per user as
+    events arrive; the watermark finalizes sessions whose end precedes
+    it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user cumulative (count, total): state persists across
+    micro-batches; each batch emits the updated running values. The
+    float total is batch-order-dependent in the last ulp — emitted
+    values round to 2dp (money contract)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+        }
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    arbitrary per-key state the built-in window aggs can't express.
+    Update-mode emission: one row per (user, micro-batch touched)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded execution helpers
+# ---------------------------------------------------------------------------
+
+def run_available_now(df: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Run a streaming DataFrame to completion over all currently
+    available input (Trigger.AvailableNow) into a memory sink; return
+    the sink table. Bounded-run parity harness: with a single input
+    file there is exactly one micro-batch, so update-mode output equals
+    the batch query result."""
+    name = f"stream_result_{next(_name_seq)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def run_foreach_batch_to_parquet(df: DataFrame, path: str) -> list[int]:
+    """foreachBatch sink pattern: per-micro-batch arbitrary writes (the
+    idempotent-upsert hook at scale). Appends each batch to parquet and
+    records batch ids; returns them."""
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -1,0 +1,124 @@
+"""Structured Streaming semantics the bounded oracle runs can't cover:
+state persistence across micro-batches, watermark late-data dropping,
+and the foreachBatch sink. Uses crafted multi-file sources so the
+micro-batch sequence is deterministic."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from erathia_market_etl_spark.streaming.event_stream import (
+    hourly_stats_stream,
+    run_available_now,
+    run_foreach_batch_to_parquet,
+    user_running_totals_stream,
+)
+
+TS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_batch_file(spark, rows, path, mtime):
+    df = spark.createDataFrame(rows, TS_SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path + ".tmp")
+    part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.rename(os.path.join(path + ".tmp", part), path)
+    os.utime(path, (mtime, mtime))  # file source orders batches by mtime
+
+
+def _ts(h, m=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def staged_dir(tmp_path):
+    return str(tmp_path / "stream_src")
+
+
+def _read_stream(spark, src_dir, max_files=1):
+    return (
+        spark.readStream.schema(TS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def test_state_persists_across_microbatches(spark, staged_dir):
+    # 3 files -> 3 micro-batches; user 1 appears in all three
+    _write_batch_file(spark, [(1, _ts(1), 1, "a", 10.0), (2, _ts(1), 2, "a", 5.0)],
+                      f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, [(3, _ts(2), 1, "b", 20.0)],
+                      f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, [(4, _ts(3), 1, "c", 30.0), (5, _ts(3), 2, "b", 5.0)],
+                      f"{staged_dir}/b2.parquet", 1_000_200)
+
+    out = run_available_now(user_running_totals_stream(_read_stream(spark, staged_dir)))
+    rows = out.collect()
+    # update mode: one emission per (user, batch containing that user)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["n_events"], r["total_value"]))
+    assert len(by_user[1]) == 3  # user 1 touched in 3 batches
+    assert max(by_user[1]) == (3, 60.0)  # cumulative state survived batches
+    assert sorted(by_user[1]) == [(1, 10.0), (2, 30.0), (3, 60.0)]
+    assert max(by_user[2]) == (2, 10.0)
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, staged_dir):
+    # Spark applies a newly computed watermark one batch AFTER the data
+    # that produced it (the late-row filter for batch N uses the
+    # watermark derived from batches <= N-2's commit). Hence 3 batches:
+    # b0 establishes max ts 03:30 -> wm 02:30; b1 runs under that wm and
+    # emits/evicts the hour-1 window; b2's late hour-1 row is dropped.
+    _write_batch_file(
+        spark,
+        [(1, _ts(1, 10), 1, "a", 1.0), (2, _ts(2, 10), 1, "a", 1.0),
+         (3, _ts(3, 30), 1, "a", 1.0)],
+        f"{staged_dir}/b0.parquet", 1_000_000,
+    )
+    _write_batch_file(spark, [(4, _ts(3, 40), 2, "a", 7.0)],
+                      f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, [(5, _ts(1, 20), 1, "a", 100.0)],
+                      f"{staged_dir}/b2.parquet", 1_000_200)
+
+    agg = hourly_stats_stream(_read_stream(spark, staged_dir), watermark="1 hour")
+    out = run_available_now(agg, output_mode="append").collect()
+
+    emitted = {(r["window_start"].hour, r["n_events"], r["total_value"]) for r in out}
+    # hour-1 closed with ONLY the on-time event; the late value-100 row
+    # arrived after eviction and was dropped. hour-2/3 windows end after
+    # the final watermark (02:40) so append never emits them.
+    assert emitted == {(1, 1, 1.0)}
+
+
+def test_foreach_batch_sink_writes_every_batch(spark, staged_dir, tmp_path):
+    _write_batch_file(spark, [(1, _ts(1), 1, "a", 1.0)], f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, [(2, _ts(2), 2, "b", 2.0)], f"{staged_dir}/b1.parquet", 1_000_100)
+    sink_path = str(tmp_path / "sink")
+    batch_ids = run_foreach_batch_to_parquet(
+        _read_stream(spark, staged_dir).select("event_id", "user_id", "value"), sink_path
+    )
+    assert batch_ids == [0, 1]
+    written = spark.read.parquet(sink_path)
+    assert sorted(r["event_id"] for r in written.collect()) == [1, 2]
