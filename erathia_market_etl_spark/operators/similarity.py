@@ -15,6 +15,8 @@ hash-matches.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,6 +44,26 @@ def round6(col: Column) -> Column:
     """Engine-independent 6dp rounding (see money.round2_det).
     SQL twin: FLOOR(x * 1000000 + 0.5) / 1000000."""
     return (F.floor(col * 1000000 + F.lit(0.5)) / 1000000).cast("double")
+
+
+def vectorized_cosine_udf(query_vec: list[float]):
+    """Arrow-vectorized cosine scorer against a fixed query vector — the
+    scale path when interpreted HOF folds dominate (lambda expressions
+    are excluded from whole-stage codegen). Each Arrow batch becomes one
+    numpy matmul: batch_size x dim @ dim -> batch_size scores, BLAS-bound.
+    The query vector rides into executors via UDF closure (it's one row;
+    this is the broadcast-scalar pattern, not a join)."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return cos
 
 
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:

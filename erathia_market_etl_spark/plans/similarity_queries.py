@@ -107,6 +107,116 @@ def sim_topk_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_vectorized",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           FLOOR(({_COSINE_SQL.format(a='e.embedding', b='q.query_vec')})
+                 * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k through the Arrow-vectorized pandas-UDF scorer
+    (one numpy matmul per batch) instead of per-row HOF folds — same
+    semantics and oracle as sim_topk_bruteforce, ~BLAS throughput on
+    wide vectors. The one-row query vector collects driver-side and
+    ships in the UDF closure."""
+    from ..operators.similarity import vectorized_cosine_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    scorer = vectorized_cosine_udf(qvec)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", round6(scorer(F.col("embedding"))).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+_IVF_CTE = f"""
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({_COSINE_SQL.format(a='e.embedding', b='c.cvec')}) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, label, embedding, cid FROM scored WHERE rn = 1),
+    probes AS (SELECT cid FROM scored WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE})
+"""
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT cells.vec_id, cells.label,
+           FLOOR(({_COSINE_SQL.format(a='cells.embedding', b='q.query_vec')})
+                 * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM cells JOIN probes ON cells.cid = probes.cid CROSS JOIN q
+    WHERE cells.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, cells.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 16 coarse
+    centroids (broadcast cross-score + row_number argmin — one pass),
+    then search only the query's 4 nearest cells (~nprobe/K of the
+    data). Centroids here are the first 16 vectors — deterministic and
+    oracle-reproducible; production swaps in k-means centroids, the
+    cell/probe plumbing is identical. At scale the cell table is
+    written partitioned by cid, so probing prunes partitions."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("cvec"))), F.asc("cid")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    cells = scored.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "cid")
+    probes = (
+        scored.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE))
+        .select("cid")
+    )
+    q = _query_vector(spark, sf_dir)
+    return (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            round6(cosine(F.col("embedding"), F.col("query_vec"))).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
     "sim_near_dup_pairs",
     oracle=f"""
     WITH b AS (
