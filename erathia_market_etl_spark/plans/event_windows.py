@@ -139,6 +139,46 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_family",
+    oracle="""
+    SELECT user_id, event_id,
+           NTILE(4)       OVER w AS quartile,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING) AS last_event,
+           NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window family: ntile, percent_rank,
+    cume_dist, first/last/nth value. last/nth use the full-partition
+    frame (the default running frame would return the current row).
+    Ratios round through the FLOOR trick — both engines divide the same
+    integers, but repr differences at 6dp are possible otherwise."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r6 = lambda c: (F.floor(c * 1000000 + F.lit(0.5)) / 1000000).cast("double")  # noqa: E731
+    return events.select(
+        "user_id", "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wf).alias("last_event"),
+        F.nth_value("event_id", 2).over(wf).alias("second_event"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
     "tumbling_hourly_stats",
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS window_start,

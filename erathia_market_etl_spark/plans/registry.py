@@ -49,6 +49,7 @@ def _load_all() -> None:
         relational,
         similarity_queries,
         streaming_queries,
+        temporal_queries,
         text_queries,
     )
 

@@ -429,6 +429,116 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.unionByName(inactive).orderBy("s_suppkey")
 
 
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): per-user counts per event type. The explicit
+    value list keeps the plan single-pass — pivot without values triggers
+    an extra distinct scan, which at 100 TB is a full extra job."""
+    from ..sources.events import load_events
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via native melt — one scan, the measure
+    column materializes row-wise (vs the oracle's 3-scan UNION ALL)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure", "value",
+        )
+        .withColumn("measure", F.expr("substring(measure, 3)"))  # l_quantity -> quantity
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
+           FLOOR(quantile_cont(l_extendedprice, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY §2.4 gap): Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (same linear
+    interpolation). Exact percentile sorts per group — fine for bounded
+    group counts; unbounded cardinality should switch to
+    approx_percentile (see agg_approx_sketches)."""
+    r6 = lambda c: (F.floor(c * 1000000 + F.lit(0.5)) / 1000000).cast("double")  # noqa: E731
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+            r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_sketches")  # sketch algorithms differ per engine — no SQL oracle
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB path where exact distinct /
+    exact percentile would shuffle every value: HLL++ distinct count and
+    t-digest-style approx percentiles, both fixed-size sketches with
+    map-side partial merge. Accuracy vs exact is unit-tested
+    (tests/test_approx.py); engines' sketches differ so there is no
+    hash oracle."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("approx_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation extensions (SURVEY §2.4 explicit gaps: rollup/cube/stats)
 # ---------------------------------------------------------------------------

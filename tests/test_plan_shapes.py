@@ -1,0 +1,117 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+engine's scale story depends on must be visible in the executed plan —
+filter pushdown into the parquet scan, column pruning, broadcast hash
+joins for star dims, TakeOrderedAndProject for top-k, and partition
+pruning on the hive-partitioned silver fact. A plan that silently
+regresses to a shuffle join or a full-column scan would still pass the
+value-equality oracles; these tests pin the plan itself."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from erathia_market_etl_spark.plans import all_queries
+
+from .conftest import SF_T2
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan_of(df) -> str:
+    """Execute, then read the AQE-final plan (codegen annotations and
+    runtime join choices only appear after execution). collect() drives
+    the DataFrame's own QueryExecution — a write would plan a fresh one."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_silver_clean_pushes_filters_to_scan(spark):
+    df = QUERIES["silver_clean_fact"](spark, SF_T2)
+    plan = plan_of(df)
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    # the quantity predicate reaches the parquet reader; the key
+    # IS NOT NULL predicates are constant-folded away entirely because
+    # the fixture schema marks those columns non-nullable - correct
+    # (cheaper than pushing), so assert they don't survive as a
+    # residual Filter above the scan either
+    assert "Not(EqualTo(l_quantity,0.0))" in pushed.group(1)
+    assert "isnotnull(l_orderkey" not in plan.lower()
+
+
+def test_q1_prunes_columns_and_broadcasts_dims(spark):
+    df = QUERIES["q1_net_revenue_by_nation"](spark, SF_T2)
+    plan = plan_of(df)
+    # all three dim joins must be broadcast - the fact side never shuffles
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # lineitem scan reads exactly the 4 referenced columns
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"}
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = QUERIES["topk_parts_by_revenue"](spark, SF_T2)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_filter_pushed_through_join(spark):
+    # c_mktsegment = 'BUILDING' must reach the customer scan, not sit
+    # above the join
+    df = QUERIES["q3_top_customers"](spark, SF_T2)
+    plan = plan_of(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(c_mktsegment,BUILDING)" in p for p in pushed), plan
+
+
+def test_whole_stage_codegen_covers_relational_path(spark):
+    df = QUERIES["q1_net_revenue_by_nation"](spark, SF_T2)
+    plan = final_plan_of(df)
+    # '*(n)' prefixes are WholeStageCodegen stage markers in treeString;
+    # the aggregate and the join chain must both be inside codegen stages
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+    assert re.search(r"\*\(\d+\) BroadcastHashJoin", plan), plan
+
+
+def test_partition_pruning_on_hive_fact(spark, tmp_path):
+    """A year/month predicate over the partitioned silver fact must scan
+    only matching partitions (PartitionFilters), not all of them."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.generator.bronze import generate_bronze
+    from erathia_market_etl_spark.pipeline import run_silver
+
+    work = str(tmp_path)
+    generate_bronze(f"{work}/bronze", weeks=5)
+    run_silver(spark, f"{work}/bronze", f"{work}/silver")
+    fact = spark.read.parquet(f"{work}/silver/fact_sales")
+    one_month = fact.filter((F.col("year") == 1168) & (F.col("month") == 3))
+    plan = plan_of(one_month)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "year" in pf.group(1) and "month" in pf.group(1), plan
+    # and the partition columns are NOT in the data-filter list
+    assert "PushedFilters: []" in plan or "year" not in re.search(
+        r"PushedFilters: \[([^\]]*)\]", plan
+    ).group(1)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = QUERIES["dedup_exact_hash"](spark, SF_T2)
+    plan = plan_of(df)
+    # content-hash dedup is one exchange for the groupBy + one for the
+    # final orderBy (rangepartitioning) - nothing else
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 2, plan
