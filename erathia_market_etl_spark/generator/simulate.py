@@ -177,7 +177,12 @@ class MarketSimulator:
             product_key=p.key,
             town_key=self.rng.choice(self.towns_of[a.spec.faction_key]),
             quantity=qty,
-            gold_per_unit=round(price, 2),
+            # per-unit price stays full precision (market prices float,
+            # only the charged total rounds to money — ref G7/G8:
+            # round(price*qty, 2), bronze_generator.py:285,328); rounding
+            # the unit price too would make rows internally inconsistent
+            # (caught by test_properties: total != round(unit*qty, 2))
+            gold_per_unit=price,
             gold_total=round(price * qty, 2),
             current_gold_balance=round(a.gold, 2),
         )

@@ -88,3 +88,49 @@ def unique_token_ratio(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Whole-document fingerprint over normalized text."""
     return F.md5(F.trim(F.lower(text)))
+
+
+# winnowing parameters (MOSS-style: k-gram size, window of consecutive
+# k-gram hashes from which the minimum is selected)
+WINNOW_K = 8
+WINNOW_W = 5
+
+
+def winnowing_fingerprints(df, text_col: str, id_col: str,
+                           k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowed k-gram fingerprints (the rolling-hash document
+    fingerprinting scheme): slide a k-char window over the text, hash
+    each k-gram, then keep the minimum hash of every w consecutive
+    k-gram hashes — a guaranteed-coverage sample of the document robust
+    to insertions/reordering.
+
+    Formulated for codegen (same lesson as MinHash): explode positions
+    -> substring -> md5 -> windowed MIN over (doc, pos) -> distinct.
+    The only shuffle is the window sort by (doc, pos); at 100 TB this is
+    one sort-based stage partitioned by document.
+
+    DuckDB twin: generate_series positions + MIN() OVER (PARTITION BY
+    doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING), then
+    DISTINCT. Tail windows are partial in both engines (identical
+    semantics)."""
+    from pyspark.sql import Window
+
+    grams = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            "doc", "pos",
+            F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc", F.min("h").over(win).alias("fingerprint"))
+        .distinct()
+    )

@@ -167,3 +167,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("shingle_fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id AS doc, i AS pos, md5(substr(text, i, 8)) AS h
+        FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+        WHERE length(text) >= 8
+    )
+    SELECT DISTINCT doc,
+           MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+    FROM grams
+    ORDER BY doc, fingerprint
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed k-gram (rolling-hash) fingerprints, MOSS-style: k=8 char
+    grams, min hash per window of 5 consecutive gram hashes, distinct per
+    doc. Robust near-dup fingerprints with guaranteed match coverage."""
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", "doc_id").orderBy("doc", "fingerprint")

@@ -1,0 +1,94 @@
+"""Property-based checks (hypothesis) for the driver-side generator —
+SURVEY.md §5 rebuild strategy #4: the economic invariants must hold for
+ANY seed/rate configuration, not just the golden one."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from erathia_market_etl_spark.config import SimulationConfig
+from erathia_market_etl_spark.generator.bronze import calendar_rows
+from erathia_market_etl_spark.generator.definitions import products, towns
+from erathia_market_etl_spark.generator.simulate import (
+    ARTIFACT_POOL_SIZE,
+    MarketSimulator,
+)
+
+
+def _sim(seed: int, col_rate: float, tax: float) -> MarketSimulator:
+    cfg = SimulationConfig()
+    cal = calendar_rows(cfg)
+    by_faction: dict[int, list[int]] = {}
+    for k, _, f in towns():
+        by_faction.setdefault(f, []).append(k)
+    return MarketSimulator(
+        [r["date_key"] for r in cal], by_faction,
+        seed=seed, col_rate=col_rate, wealth_tax=tax,
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    col_rate=st.floats(0.0, 1.0),
+    tax=st.floats(0.0, 0.2),
+    weeks=st.integers(1, 6),
+)
+def test_simulator_invariants_hold_for_any_config(seed, col_rate, tax, weeks):
+    sim = _sim(seed, col_rate, tax)
+    date_keys = set(sim.date_keys)
+    for _, trades in sim.run_weeks(weeks):
+        for t in trades:
+            assert t.transaction_type in ("BUY", "SELL")
+            assert t.quantity > 0
+            assert t.gold_total == round(t.gold_per_unit * t.quantity, 2)
+            assert t.gold_per_unit > 0
+            assert t.date_key in date_keys
+            assert t.current_gold_balance >= 0.0
+        for a in sim.agents:
+            assert a.gold >= 0.0
+            for qty in a.inventory.values():
+                assert qty > -1e-9
+        for k, left in sim.artifact_pool.items():
+            assert 0 <= left <= ARTIFACT_POOL_SIZE[sim.products[k].tier_level]
+        for p in sim.products.values():
+            if p.category_name == "Resources":
+                assert 0.1 * p.base_value_gold - 1e-9 <= sim.prices[p.key] \
+                    <= 10 * p.base_value_gold + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    start=st.dates(dt.date(1995, 1, 1), dt.date(2005, 12, 31)),
+    span=st.integers(0, 400),
+)
+def test_calendar_properties(start, span):
+    end = start + dt.timedelta(days=span)
+    cfg = SimulationConfig()
+    cfg.start_date, cfg.end_date = start.isoformat(), end.isoformat()
+    rows = calendar_rows(cfg)
+    assert len(rows) == span + 1
+    keys = [r["date_key"] for r in rows]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    for r, off in zip(rows, range(span + 1)):
+        d = start + dt.timedelta(days=off)
+        assert r["day_of_week"] == d.weekday()  # Mon=0 convention (§7.5 #1)
+        assert r["is_weekend"] == (d.weekday() >= 5)
+        assert r["year"] == d.year + cfg.lore_year_offset
+        assert r["date_key"] == (d.year + cfg.lore_year_offset) * 10000 + d.month * 100 + d.day
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_same_seed_same_trades(seed):
+    a = [t for _, ts in _sim(seed, 0.5, 0.05).run_weeks(3) for t in ts]
+    b = [t for _, ts in _sim(seed, 0.5, 0.05).run_weeks(3) for t in ts]
+    assert a == b
+
+
+def test_product_keys_dense_and_sorted():
+    keys = [p.key for p in products()]
+    assert keys == list(range(1000, 1046))
