@@ -76,6 +76,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed table (hash-partitioned files + bucket
+    metadata in the catalog). Two tables bucketed identically on their
+    join key co-locate: Catalyst plans a SortMergeJoin with NO Exchange
+    on either side — the shuffle was paid once at write time and is
+    amortized over every subsequent join. The 100 TB pattern for
+    repeated fact⋈fact joins (tests/test_bucketing.py pins the
+    no-Exchange plan)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols) \
+        .sortBy(*bucket_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
