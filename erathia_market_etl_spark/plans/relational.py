@@ -539,6 +539,98 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload column
+    (get_json_object path extraction -> typed aggregate). At scale
+    prefer from_json with an explicit schema once per column set —
+    repeated get_json_object calls re-parse the document per path."""
+    from ..sources.events import load_events
+
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() flags (disambiguates real
+    NULL group values from subtotal rows) — the general form of
+    rollup/cube."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+
+
+@query(
+    "agg_distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_distinct_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (SURVEY §2.4 gap): distinct-count and
+    distinct-sum in one pass. Spark plans these as expand + two-phase
+    aggregation; the distinct set is per-group so money goes through the
+    2dp-decimal cast for cross-engine equality."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.round(F.sum_distinct(dec2("l_quantity")), 2).cast("double")
+            .alias("sum_distinct_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation extensions (SURVEY §2.4 explicit gaps: rollup/cube/stats)
 # ---------------------------------------------------------------------------

@@ -112,6 +112,40 @@ def test_watermark_drops_late_data_in_append_mode(spark, staged_dir):
     assert emitted == {(1, 1, 1.0)}
 
 
+def test_checkpoint_recovery_restores_state(spark, staged_dir, tmp_path):
+    """Kill-and-restart: a second query started from the same checkpoint
+    must (a) not reprocess batch 0 and (b) resume the state store, so
+    running totals continue from the pre-restart values."""
+    ckpt = str(tmp_path / "ckpt")
+    collected: list[tuple] = []
+
+    def run_once():
+        agg = user_running_totals_stream(_read_stream(spark, staged_dir))
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                collected.append((bid, r["user_id"], r["n_events"], r["total_value"]))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch_file(spark, [(1, _ts(1), 7, "a", 10.0), (2, _ts(1), 7, "a", 5.0)],
+                      f"{staged_dir}/b0.parquet", 1_000_000)
+    run_once()  # run 1: batch 0 only
+    assert collected == [(0, 7, 2, 15.0)]
+
+    _write_batch_file(spark, [(3, _ts(2), 7, "a", 20.0)],
+                      f"{staged_dir}/b1.parquet", 1_000_100)
+    run_once()  # run 2: resumes from checkpoint -> only batch 1, state restored
+    assert collected == [(0, 7, 2, 15.0), (1, 7, 3, 35.0)]
+
+
 def test_foreach_batch_sink_writes_every_batch(spark, staged_dir, tmp_path):
     _write_batch_file(spark, [(1, _ts(1), 1, "a", 1.0)], f"{staged_dir}/b0.parquet", 1_000_000)
     _write_batch_file(spark, [(2, _ts(2), 2, "b", 2.0)], f"{staged_dir}/b1.parquet", 1_000_100)
