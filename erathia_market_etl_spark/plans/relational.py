@@ -794,6 +794,50 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")
 
 
+@query(
+    "setop_except_all_bag",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: EXCEPT ALL subtracts multiplicities (a key
+    appearing 5x left and 2x right survives 3x) — exceptAll, vs
+    subtract's set difference. Aggregated to counts so the compare is
+    order-insensitive over the multiset."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "setop_intersect_all_bag",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def setop_intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL keeps min(multiplicity_left, multiplicity_right)
+    copies per value — intersectAll."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (F1-F9)
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.event_stream import (
+    click_purchase_interval_join_stream,
     hourly_stats_stream,
     run_available_now,
     session_stats_stream,
@@ -81,6 +82,34 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_stats_stream(stream_events(spark, sf_dir)), output_mode="complete"
     )
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (StreamingSymmetricHashJoin with
+    watermark-bounded state on both sides) executed as a bounded run;
+    the batch theta-join oracle must match exactly."""
+    out = run_available_now(
+        click_purchase_interval_join_stream(stream_events(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.orderBy("click_id", "purchase_id")
 
 
 @query(

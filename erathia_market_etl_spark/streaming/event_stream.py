@@ -166,6 +166,43 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join_stream(events: DataFrame,
+                                        window: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each click joins purchases by the same user within [click, click+1h].
+    Both sides carry watermarks so the state store can discard rows once
+    no future match is possible (clicks kept 1h past the purchase
+    watermark, purchases kept until the click watermark passes them) —
+    the state-bounding contract that makes stream-stream joins viable at
+    scale. Plan: StreamingSymmetricHashJoin keyed by user_id."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts",
+             "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Bounded execution helpers
 # ---------------------------------------------------------------------------
