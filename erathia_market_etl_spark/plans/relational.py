@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dec2, exact_std, money_avg, money_net, money_sum, round2_det
+from ..functions.money import (
+    dec2,
+    exact_std,
+    exact_sum,
+    money_avg,
+    money_net,
+    money_sum,
+    round2_det,
+)
 from ..sources.parquet_io import load_table
 from .registry import query
 
@@ -741,6 +749,99 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_partkey"))
         .limit(10)
     )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_partkey, revenue, rn FROM (
+        SELECT l_returnflag, l_partkey,
+               ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))), 2)::DOUBLE AS revenue,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))) DESC,
+                            l_partkey
+               ) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_partkey
+    )
+    WHERE rn <= 3
+    ORDER BY l_returnflag, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (vs the global top-k of O4): aggregate, then
+    row_number over a per-group window, filter rn <= k. Spark pushes the
+    rn <= 3 limit into the window sort (WindowGroupLimit) — each
+    partition keeps a 3-element heap instead of fully sorting."""
+    from pyspark.sql import Window
+
+    rev = exact_sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+    agg = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(rev.alias("rev_exact"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("rev_exact"), F.asc("l_partkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag", "l_partkey",
+            F.round("rev_exact", 2).cast("double").alias("revenue"),
+            "rn",
+        )
+        .orderBy("l_returnflag", "rn")
+    )
+
+
+@query(
+    "scd2_dimension_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               DATE '2024-01-01' AS valid_from,
+               DATE '9999-12-31' AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_name, 'SEGMENT_X' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey, u.c_name, u.c_mktsegment
+        FROM upd u JOIN cur c USING (c_custkey)
+        WHERE u.c_mktsegment <> c.c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-06-01' ELSE c.valid_to END AS valid_to,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN FALSE ELSE TRUE END AS is_current
+    FROM cur c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment,
+           DATE '2024-06-01', DATE '9999-12-31', TRUE
+    FROM changed
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge without MERGE INTO (anti-join + union +
+    versioning, operators/scd.py): customers whose segment changed get
+    their open version closed at the batch date and a new open version
+    inserted; unchanged rows carry through."""
+    from ..operators.scd import scd2_initial, scd2_merge
+
+    base = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    history = scd2_initial(base, "2024-01-01")
+    updates = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.lit("SEGMENT_X").alias("c_mktsegment"))
+    )
+    merged = scd2_merge(history, updates, "c_custkey", ["c_mktsegment"], "2024-06-01")
+    return merged.orderBy("c_custkey", "valid_from")
 
 
 # ---------------------------------------------------------------------------
