@@ -192,3 +192,50 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "text", "doc_id").orderBy("doc", "fingerprint")
+
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_quality_signals",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks, LENGTH(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           FLOOR(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                 / n_chars * 1000000 + 0.5) / 1000000 AS punct_ratio,
+           FLOOR(CAST(len(list_filter(toks, w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                 / len(toks) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           FLOOR(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+                 / n_chars * 1000000 + 0.5) / 1000000 AS alpha_ratio
+    FROM t
+    WHERE n_chars > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals of a pre-training filter: punctuation
+    density, stopword ratio (natural-language-ness), alphabetic ratio.
+    All regexp/array built-ins - the classifier thresholding these runs
+    as a plain filter downstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = TX.tokens(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        round6(F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")) / n_chars)
+            .alias("punct_ratio"),
+        round6(F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+               / F.size(toks).cast("double")).alias("stopword_ratio"),
+        round6(F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")) / n_chars)
+            .alias("alpha_ratio"),
+    ).orderBy("doc_id")
