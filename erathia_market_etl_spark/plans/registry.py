@@ -47,6 +47,7 @@ def _load_all() -> None:
         event_windows,
         multimodal_queries,
         relational,
+        sampling_queries,
         similarity_queries,
         streaming_queries,
         temporal_queries,

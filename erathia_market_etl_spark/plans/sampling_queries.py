@@ -1,0 +1,168 @@
+"""Sampling / splitting / shard-packing queries over the documents table
+(extension surface — the ops a training-data pipeline runs between
+filtering and tokenization).
+
+Everything is deterministic arithmetic, never ``rand()``: at 100 TB a
+split must be reproducible run-to-run and machine-to-machine, so the
+standard trick is a multiplicative hash of the stable document id
+(Knuth's 2654435761 mod 2^32) bucketed 0..99. Pure column arithmetic —
+no shuffle at all for the split/mixture assignment (narrow map stage),
+one partial+final agg for the mixture report, one word-count shuffle for
+the vocabulary, one window sort per source for shard packing.
+
+Reference has no sampling surface (SURVEY.md §2.7/§2.10 — absent);
+these extend it per §7.3's LLM-pipeline scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import load_table
+from .registry import query
+
+# Knuth multiplicative hash, folded to keep every intermediate within
+# int64 in BOTH engines (DuckDB errors on signed overflow; Spark wraps —
+# so the expression must never overflow): (id % 100003) * 2654435761
+# tops out at ~2.6e14.
+_FOLD = 100003
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def _bucket(col: F.Column, salt: int = 0) -> F.Column:
+    """Deterministic 0..99 bucket of an integer id column."""
+    return ((col % _FOLD) * _KNUTH + salt) % _MOD32 % 100
+
+
+def _bucket_sql(col: str, salt: int = 0) -> str:
+    return f"(({col} % {_FOLD}) * {_KNUTH} + {salt}) % {_MOD32} % 100"
+
+
+@query(
+    "sample_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           {_bucket_sql('doc_id')} AS bucket,
+           CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                WHEN {_bucket_sql('doc_id')} < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split by hashed
+    doc_id. Narrow (no shuffle): the assignment is a map-side expression,
+    so splitting 100 TB costs one scan and writers can partitionBy(split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               100 - 4 * CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS rate_pct,
+               {_bucket_sql('doc_id', 7919)} AS b
+        FROM documents
+    )
+    SELECT source, rate_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM t
+    GROUP BY source, rate_pct
+    ORDER BY source
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source gets a target keep-rate
+    (here derived from its numeric suffix; production passes a dict) and
+    rows survive when their salted hash bucket falls under it. The keep
+    decision is again map-side; only the per-source report aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 100 - 4 * F.regexp_extract("source", r"src(\d+)", 1).cast("long")
+    b = _bucket(F.col("doc_id"), salt=7919)
+    return (
+        docs.select("source", rate.alias("rate_pct"), b.alias("b"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("rate_pct"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_token_frequencies",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(LOWER(text), ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens -> count -> top 100 (the
+    classic word count feeding tokenizer/vocab construction). Catalyst
+    plans partial map-side aggregation before the shuffle, so the
+    exchange carries one row per distinct token per task, not one per
+    token occurrence; the top-k is TakeOrderedAndProject, never a
+    global sort. Deterministic tiebreak on the token itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+_SHARD_BUDGET = 2048  # whitespace tokens per shard
+
+
+@query(
+    "pack_token_budget_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                      / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+    FROM t
+    ORDER BY source, doc_id
+    """,
+)
+def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source, docs (in stable
+    doc_id order) are assigned to consecutive ~2048-token shards by
+    binning the running token count — the batch formulation of sequence
+    packing for training-shard layout. One window sort per source
+    partition; at 100 TB, sources are independent so the sort
+    parallelizes across the partitionBy key and nothing is global."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                .cast("double") / _SHARD_BUDGET).alias("shard_id"),
+    ).orderBy("source", "doc_id")
