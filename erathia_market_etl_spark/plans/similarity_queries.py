@@ -178,29 +178,63 @@ _IVF_CTE = f"""
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of 16 coarse
-    centroids (broadcast cross-score + row_number argmin — one pass),
-    then search only the query's 4 nearest cells (~nprobe/K of the
-    data). Centroids here are the first 16 vectors — deterministic and
-    oracle-reproducible; production swaps in k-means centroids, the
-    cell/probe plumbing is identical. At scale the cell table is
-    written partitioned by cid, so probing prunes partitions."""
-    from pyspark.sql import Window
+    centroids, then search only the query's 4 nearest cells (~nprobe/K
+    of the data). Centroids here are the first 16 vectors —
+    deterministic and oracle-reproducible; production swaps in k-means
+    centroids, the cell/probe plumbing is identical. At scale the cell
+    table is written partitioned by cid, so probing prunes partitions.
+
+    Assignment is shuffle-free: the 16 centroids fold into ONE
+    broadcast row (sort_array(collect_list(struct))), each vector
+    scores them inside a transform() HOF, and the argmin is
+    array_max over (score, -cid) structs — ties break to the lowest
+    cid exactly like the oracle's ROW_NUMBER (score DESC, cid ASC).
+    The old formulation exploded N x 16 rows through a shuffle +
+    window sort just to pick that max; this one is a narrow map stage."""
+    from ..operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    # centroid norms fold once into the broadcast row; each vector's own
+    # norm folds once per row — so assignment costs 16 dots + 1 norm per
+    # row, not 16 full cosines (which would re-fold both norms 16x).
+    # s = dot/(ne*nc) is the same expression tree as cosine(), so the
+    # floats (and the oracle hash) are unchanged.
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                    norm(F.col("embedding")).alias("cnorm"),
+                )
+            )
+        ).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(cosine(F.col("embedding"), F.col("cvec"))), F.asc("cid")
+    scores = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("embedding"), c["cvec"]) / (F.col("enorm") * c["cnorm"])).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
     scored = (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("enorm", norm(F.col("embedding")))
+        .select("vec_id", "label", "embedding", scores.alias("scores"))
     )
-    cells = scored.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "cid")
+    best = F.array_max(F.col("scores"))
+    cells = scored.select(
+        "vec_id", "label", "embedding", (-best["negcid"]).alias("cid")
+    )
+    # sort_array desc on (s, negcid) = (score DESC, cid ASC); top n_probe
     probes = (
-        scored.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE))
-        .select("cid")
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(
+                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
+            ).alias("p")
+        )
+        .select((-F.col("p")["negcid"]).alias("cid"))
     )
     q = _query_vector(spark, sf_dir)
     return (
