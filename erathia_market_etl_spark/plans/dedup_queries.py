@@ -207,3 +207,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", round6(jc).alias("jaccard_3gram"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(trim(lower(text))) AS fp
+        FROM documents WHERE doc_id < 250
+    ),
+    incoming AS (
+        SELECT doc_id, md5(trim(lower(text))) AS fp
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT i.doc_id, i.fp
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
+    ORDER BY i.doc_id
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: fingerprint the incoming batch and
+    anti-join against the existing corpus's fingerprint set — the
+    day-2 operation of every dedup pipeline (full re-dedup of 100 TB
+    per ingest is a non-starter; the fingerprint table is ~64 bytes/doc
+    and the anti-join shuffles only fingerprints, not text). Here the
+    'corpus' is doc_id < 250 and the 'batch' is the rest, split for
+    reproducibility."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.lower(F.col("text")))).alias("fp")
+    corpus = docs.filter(F.col("doc_id") < 250).select(fp).distinct()
+    incoming = docs.filter(F.col("doc_id") >= 250).select("doc_id", fp)
+    return (
+        incoming.join(corpus, "fp", "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import (
+    DEC,
     dec2,
     exact_std,
     exact_sum,
@@ -67,8 +68,11 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gold_aggregator.py:27-48) — star join, spend-vs-earn conditional
     SUMs in one pass, derived net metric, DESC sort.
 
-    Plan at scale: lineitem scans with pruned columns; orders/customer/
-    nation all broadcast (dims); single shuffle for the groupBy."""
+    Plan at scale: lineitem scans with pruned columns; customer/nation
+    broadcast (true dims); lineitem⋈orders left to AQE (broadcast at
+    small SF, shuffle or bucketed co-located join at scale — orders
+    grows with the fact, forcing broadcast would OOM a real cluster);
+    single shuffle for the groupBy."""
     lineitem = T(spark, sf_dir, "lineitem")
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
@@ -81,7 +85,9 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sales = (
         lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        # orders scales with the fact — never force-broadcast it; AQE
+        # broadcasts at small SF, shuffles (or bucket-joins) at scale
+        .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
@@ -132,7 +138,7 @@ def q2_monthly_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")
                           .select("p_partkey", "p_name")),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
@@ -179,7 +185,7 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")
                           .select("c_custkey", "c_name", "c_nationkey")),
@@ -1009,3 +1015,70 @@ def scalar_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_acctbal") < 5000, "standard")
         .otherwise("vip").alias("balance_band"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "subquery_correlated_above_avg",
+    oracle="""
+    WITH b AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,12))) AS s
+        FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice AS retail_price
+    FROM part p JOIN b ON p.p_brand = b.p_brand
+    WHERE CAST(p.p_retailprice AS DECIMAL(18,2)) * b.n > b.s
+    ORDER BY p.p_partkey
+    """,
+)
+def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("parts priced above their brand's
+    average"), decorrelated the way Catalyst rewrites it: aggregate once
+    per brand, join back, filter. The predicate compares
+    price*count > sum (exact decimals) instead of price > sum/count —
+    decimal division rounds differently across engines, multiplication
+    doesn't, so the boundary is bit-exact on both sides. One shuffle for
+    the brand aggregate; the join-back broadcasts (brand cardinality is
+    tiny at any scale)."""
+    part = T(spark, sf_dir, "part")
+    b = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("p_retailprice").cast(DEC)).alias("s"),
+    )
+    return (
+        part.join(F.broadcast(b), "p_brand")
+        .filter(dec2("p_retailprice") * F.col("n") > F.col("s"))
+        .select("p_partkey", "p_brand", F.col("p_retailprice").alias("retail_price"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "agg_having_filter",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 5 AND MAX(p_size) > 25
+    ORDER BY p_brand
+    """,
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicate — in DataFrame terms just a
+    filter above the agg (Catalyst keeps it there; it can't push below
+    the groupBy because it references aggregates)."""
+    return (
+        T(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .filter((F.col("n_parts") >= 5) & (F.col("max_size") > 25))
+        .orderBy("p_brand")
+    )

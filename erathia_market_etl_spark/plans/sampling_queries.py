@@ -166,3 +166,37 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
                 .cast("double") / _SHARD_BUDGET).alias("shard_id"),
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "text_length_trim",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM r
+    WHERE pr >= 0.05 AND pr <= 0.95
+    ORDER BY doc_id
+    """,
+)
+def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier trimming by length percentile — drop the shortest and
+    longest 5% of the corpus (boilerplate stubs and concatenation junk,
+    respectively). percent_rank over a total order (n_chars, doc_id)
+    keeps the boundary exact in both engines: rank arithmetic is
+    integer, and (rank-1)/(n-1) is a single IEEE division — identical
+    everywhere, unlike interpolated quantiles whose summation could
+    differ. At 100 TB the global window would be the bottleneck:
+    production swaps in approxQuantile thresholds (two scan passes, no
+    global sort) — same filter, approximate boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.percent_rank().over(w).alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

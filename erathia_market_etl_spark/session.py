@@ -32,6 +32,11 @@ def get_spark(cfg: EngineConfig | None = None, **extra_conf: str) -> SparkSessio
         # events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot read
         # natively; read as long nanos and convert (see sources.events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # default 4 MiB open-cost stops small files from splitting, so a
+        # 10 MB local fixture scans on ~3 cores; 256 KiB lets small-SF
+        # scans fan out across local[32] while large files still split at
+        # maxPartitionBytes — at cluster scale this conf is a no-op.
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
@@ -48,4 +53,5 @@ def harden_session(spark: SparkSession) -> SparkSession:
     # Spark 4 ([PARQUET_TYPE_ILLEGAL]); long-nanos + explicit conversion
     # keeps exact integer math (sources.events.load_events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.files.openCostInBytes", "262144")
     return spark
