@@ -1082,3 +1082,67 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_parts") >= 5) & (F.col("max_size") > 25))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q5_regional_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))), 2)::DOUBLE
+               AS local_revenue,
+           COUNT(*) AS transactions
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY local_revenue DESC, nation_name
+    """,
+)
+def q5_regional_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake with the 'local supplier'
+    correlation (supplier and customer share a nation) — the deepest
+    join tree in the surface, exercising the region dim for the first
+    time. Plan at scale: region+nation+customer+supplier all broadcast
+    (true dims), so the nation/region predicate prunes customers inside
+    the broadcast hash join probe; lineitem⋈orders is the only
+    shuffle-eligible join and AQE picks its strategy; one final shuffle
+    for the groupBy."""
+    lineitem = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    supplier = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+
+    nations_in_region = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(nations_in_region),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            money_sum(revenue).alias("local_revenue"),
+            F.count(F.lit(1)).alias("transactions"),
+        )
+        .orderBy(F.desc("local_revenue"), F.asc("nation_name"))
+    )

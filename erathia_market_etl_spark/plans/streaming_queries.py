@@ -130,3 +130,27 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch GROUP BY oracle reproduces."""
     out = run_available_now(user_running_totals_stream(stream_events(spark, sf_dir)))
     return out.orderBy("user_id")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over a key projection
+    holds every seen key in the state store and emits each exactly once
+    — the streaming form of exact dedup (first-seen-wins). Projecting
+    to the key columns BEFORE dedup keeps the output deterministic
+    (which physical row 'wins' is arrival-order-dependent; the key set
+    is not) and shrinks state to key-width. Unbounded keys need the
+    watermarked variant (dropDuplicatesWithinWatermark, covered in
+    tests/test_streaming.py) to age state out."""
+    events = stream_events(spark, sf_dir)
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_available_now(deduped, output_mode="append")
+    return out.orderBy("user_id", "event_type")
