@@ -156,3 +156,47 @@ def test_foreach_batch_sink_writes_every_batch(spark, staged_dir, tmp_path):
     assert batch_ids == [0, 1]
     written = spark.read.parquet(sink_path)
     assert sorted(r["event_id"] for r in written.collect()) == [1, 2]
+
+
+def test_dedup_within_watermark_reemits_after_state_expiry(spark, staged_dir):
+    """dropDuplicatesWithinWatermark: a key is emitted once and
+    suppressed while its state lives; once the watermark passes the
+    key's event time + delay, state is evicted and a later duplicate is
+    treated as new. (Plain dropDuplicates would suppress it forever —
+    and grow state forever; the watermarked variant is the 100 TB form.)
+    Watermark application lags one batch (same as the late-data test)."""
+    # b0: user 7 first seen at 01:00; in-batch dup at 01:10 suppressed
+    _write_batch_file(
+        spark,
+        [(1, _ts(1, 0), 7, "a", 1.0), (2, _ts(1, 10), 7, "a", 1.0)],
+        f"{staged_dir}/b0.parquet", 1_000_000,
+    )
+    # b1: wm still 00:10 -> state for user 7 alive -> dup (id 3) dropped;
+    # user 8 at 05:00 is new (emitted) and advances the wm to 04:00
+    _write_batch_file(
+        spark,
+        [(3, _ts(1, 20), 7, "a", 1.0), (4, _ts(5, 0), 8, "b", 1.0)],
+        f"{staged_dir}/b1.parquet", 1_000_100,
+    )
+    # b2: runs under wm 04:00; state cleanup at its commit evicts user 7
+    # (01:00 + 1h < 04:00). user 9 keeps the stream advancing.
+    _write_batch_file(
+        spark,
+        [(5, _ts(5, 30), 9, "c", 1.0)],
+        f"{staged_dir}/b2.parquet", 1_000_200,
+    )
+    # b3: user 7's state is gone -> this duplicate is 'new' again
+    _write_batch_file(
+        spark,
+        [(6, _ts(6, 0), 7, "a", 1.0)],
+        f"{staged_dir}/b3.parquet", 1_000_300,
+    )
+
+    deduped = (
+        _read_stream(spark, staged_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    out = run_available_now(deduped, output_mode="append")
+    emitted = sorted(r["event_id"] for r in out.collect())
+    assert emitted == [1, 4, 5, 6]
