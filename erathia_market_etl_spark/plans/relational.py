@@ -1146,3 +1146,30 @@ def q5_regional_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy(F.desc("local_revenue"), F.asc("nation_name"))
     )
+
+
+@query(
+    "silver_null_repair",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), 0.01) AS discount_repaired
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def silver_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel repair, the complement of the reference's null-DROP
+    cleaning (silver_processor.py:40-42): na.replace turns the 0.0
+    sentinel into NULL, na.fill imputes the default — both narrow
+    map-side expressions (Catalyst folds them into the scan projection),
+    so repairing 100 TB is one pass with no shuffle. SQL twin:
+    COALESCE(NULLIF(x, sentinel), default)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_discount")
+    repaired = (
+        li.na.replace({0.0: None}, subset=["l_discount"])
+        .na.fill({"l_discount": 0.01})
+    )
+    return repaired.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_discount").alias("discount_repaired"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -154,3 +154,31 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(deduped, output_mode="append")
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich each event micro-batch with a batch
+    dimension table — the canonical streaming lookup/enrichment pattern.
+    The static side is planned per micro-batch (broadcast hash join —
+    dims stay broadcastable no matter how long the stream runs) and is
+    re-read each batch, so slowly-changing dims are picked up without
+    restarting the query. Stateless: no watermark, no state store."""
+    from ..sources.parquet_io import load_table
+
+    events = stream_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = events.join(
+        customer, events["user_id"] == customer["c_custkey"]
+    ).select("event_id", "user_id", "segment")
+    out = run_available_now(enriched, output_mode="append")
+    return out.orderBy("event_id")
