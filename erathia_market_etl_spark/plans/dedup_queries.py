@@ -243,3 +243,43 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES_CTE},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id,
+           CASE WHEN MIN(b) < a THEN MIN(b) ELSE a END AS component_id
+    FROM reach
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs as edges,
+    connected components via iterative min-label propagation
+    (operators/graph.py), component id = canonical (minimum) doc —
+    'keep one per cluster' is then a filter on doc_id == component_id.
+    Oracle computes the same fixpoint with a recursive CTE (transitive
+    closure + per-vertex min). The one iterative algorithm in the
+    surface; each round is one distributed join+agg."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("v").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
