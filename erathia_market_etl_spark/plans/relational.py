@@ -1173,3 +1173,95 @@ def silver_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("l_discount").alias("discount_repaired"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS month_start,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           EXTRACT(quarter FROM o_orderdate)::INT AS order_quarter
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: day add, truncation, diff, last-day,
+    quarter — all codegen'd built-ins. The fixture stores o_orderdate
+    as timestamp; both sides cast to DATE first so every derived type
+    matches (DuckDB's ts + INTERVAL yields TIMESTAMP, date + int
+    yields DATE)."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_eoy"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("order_quarter"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonant_mask,
+           replace(p_name, ' ', '-') AS kebab,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(p_brand) AS brand_rev,
+           POSITION('0' IN p_name) AS first_zero,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: global regexp replace, literal replace,
+    zero-padding, reverse, substring position, field extraction."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("consonant_mask"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("kebab"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_name"), "0").cast("long").alias("first_zero"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_array_kit",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           list_sort(list_distinct(toks))[1:5] AS first_five_sorted,
+           array_to_string(toks[1:3], '|') AS head_joined,
+           CAST(toks[1] IS NOT NULL AND len(toks) > 0 AS BOOLEAN) AS non_empty
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def scalar_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over tokenized text: distinct, sort, slice,
+    join — the building blocks the dedup/text operators compose,
+    exposed as a direct surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first_five_sorted"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
+        (toks.getItem(0).isNotNull() & (F.size(toks) > 0)).alias("non_empty"),
+    ).orderBy("doc_id")
