@@ -200,3 +200,38 @@ def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query("sample_stratified_by")  # rows-only: rand()-based, no cross-engine oracle
+def sample_stratified_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (df.stat.sampleBy): per-stratum Bernoulli
+    fractions — the API for 'downsample web to 10%, keep books at 90%'
+    when exact reproducibility is NOT required (otherwise use
+    sample_mixture_weighted's hash bucketing; that one is the
+    recommended production path precisely because THIS one cannot be
+    oracle-checked). Seeded, so stable within Spark; statistical
+    tolerance pinned in tests/test_sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
+    sampled = docs.sampleBy("source", fractions=strata, seed=42)
+    return (
+        sampled.filter(F.col("source").isin(*strata))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@query("agg_freq_items")  # rows-only: single-pass sketch, result is approximate
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries style frequent-items sketch (df.stat.freqItems): one
+    pass, fixed memory, returns a superset of items with frequency >
+    support — the cheap first cut before an exact top-k (the exact,
+    oracle-checked counterpart is text_token_frequencies). Output is a
+    set-valued column; explode + sort for a stable display."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = docs.stat.freqItems(["source"], support=0.04)
+    return (
+        freq.select(F.explode("source_freqItems").alias("frequent_source"))
+        .orderBy("frequent_source")
+    )
