@@ -57,15 +57,21 @@ def enrich_customer(dim_customer: DataFrame) -> DataFrame:
 def run_silver(spark: SparkSession, bronze_dir: str, silver_dir: str) -> dict[str, int]:
     """Clean every bronze table into silver parquet: fact partitioned by
     (year, month) (S7), dims compacted to one file (S8). Returns row
-    counts (the reference's verification probe, S13)."""
+    counts (the reference's verification probe, S13) via ``observe`` —
+    the count rides on the write job itself, so the probe is free; a
+    post-write ``.count()`` would re-execute the whole clean pipeline
+    (a second full scan of the fact at 100 TB)."""
+    from pyspark.sql import Observation
+
     counts: dict[str, int] = {}
 
     fact = spark.read.parquet(os.path.join(bronze_dir, "fact_sales"))
-    fact = clean_fact(fact)
+    obs = Observation("silver_fact_rows")
+    fact = clean_fact(fact).observe(obs, F.count(F.lit(1)).alias("rows"))
     fact.write.mode("overwrite").partitionBy("year", "month").parquet(
         os.path.join(silver_dir, "fact_sales")
     )
-    counts["fact_sales"] = fact.count()
+    counts["fact_sales"] = obs.get["rows"]
 
     for name in DIM_TABLES:
         df = spark.read.parquet(os.path.join(bronze_dir, f"{name}.parquet"))
@@ -73,10 +79,12 @@ def run_silver(spark: SparkSession, bronze_dir: str, silver_dir: str) -> dict[st
             df = enrich_customer(df)
         else:
             df = df.dropDuplicates([DIM_KEYS[name]])
+        dim_obs = Observation(f"silver_{name}_rows")
+        df = df.observe(dim_obs, F.count(F.lit(1)).alias("rows"))
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(silver_dir, name)
         )
-        counts[name] = df.count()
+        counts[name] = dim_obs.get["rows"]
     return counts
 
 
