@@ -20,6 +20,41 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The reference DECLARED an explicit fact schema but never imported it
+# anywhere (schemas.py:6-19 — dead code; SURVEY.md §1.4). Here it is an
+# applied contract: the silver read enforces it, so upstream type drift
+# (a re-generated bronze with a widened or stringified column) fails
+# loudly at the scan instead of silently poisoning every mart.
+# Divergence from the reference's text, on purpose: date_key is LONG —
+# the reference declared IntegerType yet its own generator writes int64
+# (one more symptom of the schema never being applied); a contract must
+# match the bytes actually on disk. year/month are the hive partition
+# columns (parsed int).
+FACT_SALES_SCHEMA = StructType(
+    [
+        StructField("trade_key", LongType()),
+        StructField("date_key", LongType()),
+        StructField("transaction_type", StringType()),
+        StructField("customer_key", LongType()),
+        StructField("product_key", LongType()),
+        StructField("town_key", LongType()),
+        StructField("quantity", DoubleType()),
+        StructField("gold_per_unit", DoubleType()),
+        StructField("gold_total", DoubleType()),
+        StructField("current_gold_balance", DoubleType()),
+        StructField("year", IntegerType()),
+        StructField("month", IntegerType()),
+    ]
+)
 
 DIM_TABLES = [
     "dim_faction", "dim_town", "dim_customer",
@@ -65,7 +100,9 @@ def run_silver(spark: SparkSession, bronze_dir: str, silver_dir: str) -> dict[st
 
     counts: dict[str, int] = {}
 
-    fact = spark.read.parquet(os.path.join(bronze_dir, "fact_sales"))
+    fact = spark.read.schema(FACT_SALES_SCHEMA).parquet(
+        os.path.join(bronze_dir, "fact_sales")
+    )
     obs = Observation("silver_fact_rows")
     fact = clean_fact(fact).observe(obs, F.count(F.lit(1)).alias("rows"))
     fact.write.mode("overwrite").partitionBy("year", "month").parquet(
