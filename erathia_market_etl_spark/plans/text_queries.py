@@ -239,3 +239,56 @@ def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")) / n_chars)
             .alias("alpha_ratio"),
     ).orderBy("doc_id")
+
+
+@query(
+    "decon_test_train_overlap",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id AS doc, i AS pos, md5(substr(text, i, 8)) AS h
+        FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+        WHERE length(text) >= 8
+    ),
+    fp AS (
+        SELECT DISTINCT doc,
+               MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+        FROM grams
+    )
+    SELECT t.doc AS test_doc,
+           COUNT(DISTINCT tr.doc) AS n_train_docs,
+           COUNT(DISTINCT t.fingerprint) AS n_shared_fingerprints
+    FROM fp t JOIN fp tr ON t.fingerprint = tr.fingerprint
+    WHERE t.doc < 250 AND tr.doc >= 250
+    GROUP BY t.doc
+    ORDER BY test_doc
+    """,
+)
+def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which held-out ('test', doc_id<250)
+    documents share winnowed 8-gram fingerprints with the training
+    corpus (doc_id>=250), how many training docs each collides with,
+    and on how many distinct fingerprints — the report a pre-training
+    pipeline runs before shipping an eval set. Join is fingerprint ⋈
+    fingerprint (short md5 strings), never text ⋈ text; at 100 TB the
+    fingerprint tables are the only shuffled data and the train side is
+    reusable across every eval set checked."""
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "text", "doc_id")
+    test = fp.filter(F.col("doc") < 250).select(
+        F.col("doc").alias("test_doc"), "fingerprint"
+    )
+    train = fp.filter(F.col("doc") >= 250).select(
+        F.col("doc").alias("train_doc"), "fingerprint"
+    )
+    return (
+        test.join(train, "fingerprint")
+        .groupBy("test_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("fingerprint").alias("n_shared_fingerprints"),
+        )
+        .orderBy("test_doc")
+    )
