@@ -1265,3 +1265,66 @@ def scalar_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
         (toks.getItem(0).isNotNull() & (F.size(toks) > 0)).alias("non_empty"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q6_forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,12))), 2)::DOUBLE
+               AS potential_revenue,
+           COUNT(*) AS qualifying_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    ORDER BY potential_revenue
+    """,
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: no joins at all — a conjunctive range predicate
+    and one aggregate. The whole query is scan-bound: every predicate
+    pushes to the parquet reader (row-group min/max skipping; with
+    write_range_clustered layout on l_shipdate, whole files skip), and
+    the aggregation is a single partial+final pair over the survivors.
+    The purest test that filters actually reach storage."""
+    li = T(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1995-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dec2("l_extendedprice") * dec2("l_discount"))
+                .alias("potential_revenue"),
+            F.count(F.lit(1)).alias("qualifying_items"),
+        )
+        .orderBy("potential_revenue")
+    )
+
+
+@query(
+    "setop_union_by_name_missing",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    UNION ALL BY NAME
+    SELECT s_suppkey, s_name, NULL AS s_acctbal FROM supplier WHERE s_acctbal < 0
+    ORDER BY s_suppkey, s_acctbal NULLS FIRST
+    """,
+)
+def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema evolution across
+    appended batches — the missing column null-fills instead of
+    positional misalignment (plain UNION would silently pair columns by
+    position). The everyday guard for long-lived ingest pipelines whose
+    upstream adds columns over time."""
+    s = T(spark, sf_dir, "supplier")
+    full = s.select("s_suppkey", "s_name", "s_acctbal")
+    partial = s.filter(F.col("s_acctbal") < 0).select("s_suppkey", "s_name")
+    return full.unionByName(partial, allowMissingColumns=True).orderBy(
+        "s_suppkey", F.asc_nulls_first("s_acctbal")
+    )
