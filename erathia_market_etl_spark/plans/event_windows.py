@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import DEC, money_sum
+from ..functions.money import DEC, cents, money_sum_cents
 from ..sources.events import load_events
 from .registry import query
 
@@ -102,7 +102,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return events.select(
         "user_id", "event_id",
-        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("running_value"),
+        (F.round(F.sum(cents("value")).over(w).cast("decimal(38,0)") / 100, 2)
+         .cast("double").alias("running_value")),
         F.count(F.lit(1)).over(w).alias("running_n"),
     ).orderBy("user_id", "event_id")
 
@@ -132,7 +133,8 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return events.select(
         "user_id", "event_id",
-        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("frame_sum"),
+        (F.round(F.sum(cents("value")).over(w).cast("decimal(38,0)") / 100, 2)
+         .cast("double").alias("frame_sum")),
         F.min("value").over(w).alias("frame_min"),
         F.max("value").over(w).alias("frame_max"),
     ).orderBy("user_id", "event_id")
@@ -200,7 +202,7 @@ def tumbling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money_sum("value").alias("total_value"),
+            money_sum_cents(cents("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -238,7 +240,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money_sum("value").alias("total_value"),
+            money_sum_cents(cents("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -286,7 +288,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money_sum("value").alias("total_value"),
+            money_sum_cents(cents("value")).alias("total_value"),
         )
         .select(
             "user_id",

@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 
 from ..functions.money import (
     DEC,
+    cents,
     dec2,
     exact_std,
     exact_sum,
     money_avg,
-    money_net,
-    money_sum,
+    money_net_cents,
+    money_sum_cents,
     round2_det,
 )
 from ..sources.parquet_io import load_table
@@ -78,8 +79,11 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = T(spark, sf_dir, "customer")
     nation = T(spark, sf_dir, "nation")
 
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
-    zero = F.lit(0).cast("decimal(38,4)")
+    # exact scale-4 cents: price_cents * (100 - discount_cents) is the
+    # integer twin of dec2(price) * (1 - dec2(discount)) — sums run in
+    # codegen over longs instead of Decimal128 buffers (~2x, see money.py)
+    revenue = cents("l_extendedprice") * (100 - cents("l_discount"))
+    zero = F.lit(0).cast("long")
     returned = F.when(F.col("l_returnflag") == "R", revenue).otherwise(zero)
     kept = F.when(F.col("l_returnflag") != "R", revenue).otherwise(zero)
 
@@ -97,9 +101,9 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sales.groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            money_sum(returned).alias("total_returned"),
-            money_sum(kept).alias("total_kept"),
-            money_net(kept, returned).alias("net_revenue"),
+            money_sum_cents(returned, 4).alias("total_returned"),
+            money_sum_cents(kept, 4).alias("total_kept"),
+            money_net_cents(kept, returned, 4).alias("net_revenue"),
             F.count(F.lit(1)).alias("transactions"),
         )
         .orderBy(F.desc("net_revenue"), F.asc("nation_name"))
@@ -149,7 +153,7 @@ def q2_monthly_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             money_avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("avg_unit_price"),
-            money_sum("l_quantity").alias("total_quantity"),
+            money_sum_cents(cents("l_quantity")).alias("total_quantity"),
         )
         .orderBy("order_year", "order_month", "part_name")
     )
@@ -197,7 +201,9 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("c_name").alias("customer_name"),
                        F.col("n_name").alias("nation_name"))
         .agg(
-            money_sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("total_spent"),
+            money_sum_cents(
+                cents("l_extendedprice") * (100 - cents("l_discount")), 4
+            ).alias("total_spent"),
             F.count("l_orderkey").alias("transactions"),
         )
         .orderBy(F.desc("total_spent"), F.asc("customer_name"))
@@ -237,7 +243,7 @@ def q4_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("p_type").alias("part_type"))
         .agg(
             F.count("l_orderkey").alias("total_sold"),
-            money_sum("l_extendedprice").alias("total_gold_value"),
+            money_sum_cents(cents("l_extendedprice")).alias("total_gold_value"),
         )
         .orderBy(F.asc("total_sold"), F.desc("total_gold_value"), F.asc("brand"))
     )
@@ -666,7 +672,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"),
-             money_sum("l_extendedprice").alias("sum_price"))
+             money_sum_cents(cents("l_extendedprice")).alias("sum_price"))
         .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     )
 
@@ -688,7 +694,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             money_sum("o_totalprice").alias("sum_total"))
+             money_sum_cents(cents("o_totalprice")).alias("sum_total"))
         .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
     )
 
@@ -751,7 +757,8 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(money_sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("revenue"))
+        .agg(money_sum_cents(cents("l_extendedprice") * (100 - cents("l_discount")), 4)
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_partkey"))
         .limit(10)
     )
@@ -1137,11 +1144,11 @@ def q5_regional_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         .join(F.broadcast(nations_in_region),
               F.col("c_nationkey") == F.col("n_nationkey"))
     )
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    revenue = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         joined.groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            money_sum(revenue).alias("local_revenue"),
+            money_sum_cents(revenue, 4).alias("local_revenue"),
             F.count(F.lit(1)).alias("transactions"),
         )
         .orderBy(F.desc("local_revenue"), F.asc("nation_name"))
@@ -1299,7 +1306,7 @@ def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            money_sum(dec2("l_extendedprice") * dec2("l_discount"))
+            money_sum_cents(cents("l_extendedprice") * cents("l_discount"), 4)
                 .alias("potential_revenue"),
             F.count(F.lit(1)).alias("qualifying_items"),
         )

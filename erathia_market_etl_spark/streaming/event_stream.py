@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.money import DEC, money_sum
+from ..functions.money import cents, money_sum_cents
 
 # raw file-source schema: ts arrives as long nanoseconds
 # (spark.sql.legacy.parquet.nanosAsLong; see sources/events.py)
@@ -84,7 +84,7 @@ def hourly_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money_sum("value").alias("total_value"),
+            money_sum_cents(cents("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -105,7 +105,7 @@ def session_stats_stream(events: DataFrame, gap: str = "30 minutes",
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            money_sum("value").alias("total_value"),
+            money_sum_cents(cents("value")).alias("total_value"),
         )
         .select(
             "user_id",
