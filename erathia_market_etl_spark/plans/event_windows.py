@@ -298,3 +298,67 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "sessionize_by_gap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a window-function composition (the classic
+    lag -> boundary flag -> running-sum pattern): a new session starts
+    when the gap to the previous event exceeds 30 minutes; the running
+    sum of boundary flags numbers sessions 1..k per user. Unlike
+    F.session_window (session_window_stats), this yields stable ordinal
+    session ids and exact durations, and the same two-window shape runs
+    on any engine. Timestamps compare in exact integer microseconds
+    (events are micro-aligned; Spark unix_micros == DuckDB epoch_us).
+
+    At scale: both windows share one partitioning (user_id) — a single
+    shuffle, then two sequential passes over each partition."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = events.select(
+        "user_id", "event_id", "ts",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0).alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(w).alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
