@@ -313,8 +313,8 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS session_seq
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq,

@@ -62,9 +62,23 @@ def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("media_feature_extract")  # decode is a Python stub — no SQL oracle
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (fake decoder:
-    normalized byte histogram). Returns one fixed-width vector per
-    media row."""
-    return extract_features(_media(spark, sf_dir)).orderBy("media_id")
+    normalized byte histogram). The raw ``array<double>`` vector lives on
+    the unregistered ``extract_features`` operator; the driver-checked
+    projection flattens it to scalar columns f0..f7 (rounded 6dp) so the
+    result canonicalizes in plain pandas — raw array columns are
+    unhashable in the driver's sort/hash path."""
+    from ..operators.multimodal import N_FEATURES
+
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(N_FEATURES)
+        ],
+    ).orderBy("media_id")
 
 
 @query("media_frame_sample")  # decode is a Python stub — no SQL oracle

@@ -4,6 +4,14 @@ Replicates the driver's compare: run the Spark query and the DuckDB
 oracle SQL on the same parquet fixtures, then check row count, column
 names, and an order-insensitive value hash. Used by tests/ so mismatches
 surface before the driver's CORRECTNESS gate does.
+
+Canonicalization parity (round-1 lesson, VERDICT.md "What's wrong" #5):
+BOTH sides go through pandas exactly like the driver — the Spark result
+via ``toPandas()`` and the oracle via ``cursor.df()`` — NOT via
+``collect()``/``fetchall()``. The paths differ in type mapping (DuckDB
+HUGEINT → float64 under pandas but Python int under fetchall), so a
+fetchall-based local compare passes where the driver fails. Going
+through pandas makes that class of mismatch reproduce locally.
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 
 from .sources.parquet_io import FIXTURE_TABLES
 
@@ -29,22 +38,37 @@ def duckdb_connect_fixtures(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _canon(v) -> str:
+    # numpy scalars first: np.bool_/np.integer are NOT instances of the
+    # Python types, and np.float64 must share the float path so the
+    # int-vs-float distinction matches the driver's pandas view.
     if v is None:
         return "∅"
-    if isinstance(v, bool):
-        return "T" if v else "F"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if bool(v) else "F"
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return "∅"  # pandas renders SQL NULL in numeric cols as NaN
         if v == 0.0:
             v = 0.0  # normalize -0.0
         return repr(round(v, 6))
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, _dt.datetime):
-        return v.isoformat()
+        # Driver parity: Spark DATE → python date via toPandas, DuckDB
+        # DATE → midnight datetime64 via .df(); the driver compares them
+        # equal (silver_clean_fact was driver-green in r1), so midnight
+        # timestamps canonicalize as bare dates on both sides.
+        s = v.isoformat()
+        return s[:10] if s.endswith("T00:00:00") else s
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
+    if v != v:  # pd.NaT and friends
+        return "∅"
     return str(v)
 
 
@@ -79,15 +103,24 @@ class CompareResult:
         )
 
 
+def _pandas_rows(pdf) -> list[tuple]:
+    # itertuples preserves numpy scalar types (the driver's view);
+    # .values would upcast mixed columns to object inconsistently.
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def compare_query(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
-    spark_cols = tuple(spark_df.columns)
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    # Driver parity: Spark side via toPandas(), oracle via .df() —
+    # see module docstring.
+    spark_pdf = spark_df.toPandas()
+    spark_cols = tuple(spark_pdf.columns)
+    spark_rows = _pandas_rows(spark_pdf)
 
     con = duckdb_connect_fixtures(sf_dir)
     try:
-        cur = con.execute(oracle_sql)
-        oracle_cols = tuple(d[0] for d in cur.description)
-        oracle_rows = cur.fetchall()
+        oracle_pdf = con.execute(oracle_sql).df()
+        oracle_cols = tuple(oracle_pdf.columns)
+        oracle_rows = _pandas_rows(oracle_pdf)
     finally:
         con.close()
 
