@@ -29,7 +29,10 @@ def _dirs(work: str) -> tuple[str, str, str]:
     )
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark`` injects an existing session (tests); when
+    None a session is created and stopped here, like the reference's
+    per-step init_spark/stop (main.py:146-162)."""
     ap = argparse.ArgumentParser(prog="erathia-market-etl-spark")
     ap.add_argument("command", choices=["bronze", "silver", "gold", "full", "report"])
     ap.add_argument("--work", required=True, help="pipeline working directory")
@@ -38,7 +41,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--col-rate", type=float, default=None,
                     help="cost-of-living rate (ref main.py:82-89 validation)")
     ap.add_argument("--wealth-tax", type=float, default=None)
+    # G3 decision-odds knobs (ref main.py:66-71 prompts)
+    ap.add_argument("--vip-buy", type=float, default=None)
+    ap.add_argument("--vip-sell", type=float, default=None)
+    ap.add_argument("--unit-buy", type=float, default=None)
+    ap.add_argument("--unit-sell", type=float, default=None)
     ap.add_argument("--mart", default=None, help="report: mart table to print")
+    ap.add_argument("--filter", dest="filter_", default=None, metavar="COL=VALUE",
+                    help="report drill-down: equality filter on a mart "
+                         "column (ref main.py:296-330)")
+    ap.add_argument("--distinct", default=None, metavar="COL",
+                    help="report: print the DISTINCT values of a mart "
+                         "column (the reference's drill-down menu source)")
     args = ap.parse_args(argv)
 
     cfg = SimulationConfig()
@@ -57,6 +71,23 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(f"invalid --wealth-tax {args.wealth_tax}, using default "
                   f"{cfg.wealth_tax_rate}")
+    # decision odds: apply the requested values, then the reference's
+    # combined check — if either class's buy+sell exceeds 1.0, ALL four
+    # odds revert to defaults (ref main.py:82-89, not per-flag)
+    defaults = SimulationConfig()
+    for flag, attr in (("vip_buy", "vip_buy_chance"),
+                       ("vip_sell", "vip_sell_chance"),
+                       ("unit_buy", "unit_buy_chance"),
+                       ("unit_sell", "unit_sell_chance")):
+        v = getattr(args, flag)
+        if v is not None:
+            setattr(cfg, attr, v)
+    if not cfg.odds_valid():
+        print("ERROR: Sum of BUY and SELL chances cannot exceed 1.0. "
+              "Using defaults.")
+        for attr in ("vip_buy_chance", "vip_sell_chance",
+                     "unit_buy_chance", "unit_sell_chance"):
+            setattr(cfg, attr, getattr(defaults, attr))
     if args.weeks is not None and args.weeks <= 0:
         print(f"invalid --weeks {args.weeks}, using default {cfg.default_weeks}")
         args.weeks = None
@@ -68,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"bronze written: {stats}")
         return 0
 
-    spark = get_spark(EngineConfig(app_name="erathia-market-etl-cli"))
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(EngineConfig(app_name="erathia-market-etl-cli"))
     try:
         if args.command == "silver":
             print(f"silver counts: {run_silver(spark, bronze, silver)}")
@@ -87,14 +120,42 @@ def main(argv: list[str] | None = None) -> int:
                 print("available marts (ref main.py:263 dm_%% discovery):")
                 for n in names:
                     print(f"  {n}")
-            elif args.mart in marts:
-                marts[args.mart].show(100, truncate=False)
-            else:
+            elif args.mart not in marts:
                 print(f"unknown mart {args.mart}; choose from {names}")
                 return 2
+            else:
+                df = marts[args.mart]
+                if args.distinct is not None:
+                    # drill-down menu source (ref main.py:304: SELECT
+                    # DISTINCT "Resource Name" ... ORDER BY 1)
+                    if args.distinct not in df.columns:
+                        print(f"unknown column {args.distinct!r}; "
+                              f"columns: {df.columns}")
+                        return 2
+                    for row in (df.select(args.distinct).distinct()
+                                .orderBy(args.distinct).collect()):
+                        print(row[0])
+                    return 0
+                if args.filter_ is not None:
+                    # parameterized equality drill-down (ref main.py:326:
+                    # WHERE "Resource Name" = ? ORDER BY "Year","Month")
+                    col, sep, value = args.filter_.partition("=")
+                    if not sep:
+                        print(f"bad --filter {args.filter_!r}; "
+                              f"expected COL=VALUE")
+                        return 2
+                    if col not in df.columns:
+                        print(f"unknown column {col!r}; columns: {df.columns}")
+                        return 2
+                    from pyspark.sql import functions as F
+                    df = df.filter(F.col(col) == F.lit(value))
+                    if {"Year", "Month"} <= set(df.columns):
+                        df = df.orderBy("Year", "Month")
+                df.show(100, truncate=False)
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -31,7 +31,18 @@ class SimulationConfig:
     default_weeks: int = 104
     cost_of_living_rate: float = 0.5
     wealth_tax_rate: float = 0.05
+    # G3 decision odds (ref main.py:66-71 defaults; buy + sell <= 1.0
+    # validated with fallback-to-defaults, main.py:82-89)
+    vip_buy_chance: float = 0.5
+    vip_sell_chance: float = 0.2
+    unit_buy_chance: float = 0.2
+    unit_sell_chance: float = 0.6
     chunk_size_weeks: int = 100
+
+    def odds_valid(self) -> bool:
+        """Ref main.py:82: sum of BUY and SELL chances per class <= 1.0."""
+        return (self.vip_buy_chance + self.vip_sell_chance) <= 1.0 and \
+               (self.unit_buy_chance + self.unit_sell_chance) <= 1.0
 
 
 @dataclass

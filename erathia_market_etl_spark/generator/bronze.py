@@ -136,16 +136,16 @@ def generate_bronze(
     dim_counts = write_dimensions(out_dir, cfg)
 
     cal = calendar_rows(cfg)
-    town_by_faction: dict[int, list[int]] = {}
-    for k, _, f in towns():
-        town_by_faction.setdefault(f, []).append(k)
-
     sim = MarketSimulator(
         date_keys=[r["date_key"] for r in cal],
-        town_keys_by_faction=town_by_faction,
+        town_keys=[k for k, _, _ in towns()],  # global draw (ref :313,340)
         seed=cfg.seed,
         col_rate=cfg.cost_of_living_rate,
         wealth_tax=cfg.wealth_tax_rate,
+        vip_buy=cfg.vip_buy_chance,
+        vip_sell=cfg.vip_sell_chance,
+        unit_buy=cfg.unit_buy_chance,
+        unit_sell=cfg.unit_sell_chance,
     )
     fact_dir = os.path.join(out_dir, "fact_sales")
     os.makedirs(fact_dir, exist_ok=True)

@@ -138,8 +138,11 @@ def register_silver_views(spark: SparkSession, silver_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 MART_SQL: dict[str, str] = {
-    # Q1 — faction economy: spend vs earn + net (gold_aggregator.py:27-48)
-    "dm_faction_net_profit": """
+    # Q1 — faction economy: spend vs earn + net (gold_aggregator.py:27-48).
+    # Table name and every alias match the reference exactly; the
+    # `Faction Name` tiebreak is the one documented addition (the
+    # reference's bare DESC sort is nondeterministic on ties, §7.4).
+    "dm_faction_economy": """
         WITH faction_sales AS (
             SELECT f.faction_name, s.transaction_type, s.gold_total
             FROM fact_sales s
@@ -147,22 +150,22 @@ MART_SQL: dict[str, str] = {
             JOIN dim_faction f  ON c.faction_key = f.faction_key
         )
         SELECT faction_name AS `Faction Name`,
-               ROUND(SUM(CASE WHEN transaction_type = 'BUY'  THEN gold_total ELSE 0 END), 2) AS `Total Spent`,
-               ROUND(SUM(CASE WHEN transaction_type = 'SELL' THEN gold_total ELSE 0 END), 2) AS `Total Earned`,
+               ROUND(SUM(CASE WHEN transaction_type = 'BUY'  THEN gold_total ELSE 0 END), 2) AS `Total Gold Spent`,
+               ROUND(SUM(CASE WHEN transaction_type = 'SELL' THEN gold_total ELSE 0 END), 2) AS `Total Gold Earned`,
                ROUND(SUM(CASE WHEN transaction_type = 'SELL' THEN gold_total ELSE 0 END)
                    - SUM(CASE WHEN transaction_type = 'BUY'  THEN gold_total ELSE 0 END), 2) AS `Net Profit`,
-               COUNT(*) AS `Transactions`
+               COUNT(*) AS `Total Transactions`
         FROM faction_sales
         GROUP BY faction_name
-        ORDER BY `Net Profit` DESC
+        ORDER BY `Net Profit` DESC, `Faction Name`
     """,
     # Q2 — monthly resource price history (gold_aggregator.py:56-75)
     "dm_resource_price_history": """
         SELECT d.year AS `Year`,
                d.month AS `Month`,
                p.product_name AS `Resource Name`,
-               ROUND(AVG(s.gold_per_unit), 2) AS `Avg Price`,
-               ROUND(SUM(s.quantity), 2) AS `Total Volume`
+               ROUND(AVG(s.gold_per_unit), 2) AS `Average Price`,
+               ROUND(SUM(s.quantity), 2) AS `Total Quantity Traded`
         FROM fact_sales s
         JOIN dim_product p           ON s.product_key = p.product_key
         JOIN dim_product_category pc ON p.category_key = pc.category_key
@@ -171,12 +174,13 @@ MART_SQL: dict[str, str] = {
         GROUP BY d.year, d.month, p.product_name
         ORDER BY `Year`, `Month`, `Resource Name`
     """,
-    # Q3 — top-100 VIP spenders (gold_aggregator.py:83-101)
+    # Q3 — top-100 VIP spenders + earners (gold_aggregator.py:83-101)
     "dm_top_vip_customers": """
         SELECT c.customer_name AS `Customer Name`,
-               f.faction_name AS `Faction Name`,
-               ROUND(SUM(CASE WHEN s.transaction_type = 'BUY' THEN s.gold_total ELSE 0 END), 2) AS `Total Spent`,
-               COUNT(s.trade_key) AS `Transactions`
+               f.faction_name AS `Faction`,
+               ROUND(SUM(CASE WHEN s.transaction_type = 'BUY'  THEN s.gold_total ELSE 0 END), 2) AS `Total Spent`,
+               ROUND(SUM(CASE WHEN s.transaction_type = 'SELL' THEN s.gold_total ELSE 0 END), 2) AS `Total Earned`,
+               COUNT(s.trade_key) AS `Total Transactions`
         FROM fact_sales s
         JOIN dim_customer c ON s.customer_key = c.customer_key
         JOIN dim_faction f  ON c.faction_key = f.faction_key
@@ -185,9 +189,9 @@ MART_SQL: dict[str, str] = {
         ORDER BY `Total Spent` DESC, `Customer Name`
         LIMIT 100
     """,
-    # Q4 — artifact popularity; BUY count labeled "Total Sold" on purpose
+    # Q4 — artifact sales; BUY count labeled "Total Sold" on purpose
     # (gold_aggregator.py:106-125; SURVEY.md §7.5 #6 — replicate, don't fix)
-    "dm_artifact_popularity": """
+    "dm_artifact_sales_summary": """
         SELECT p.product_name AS `Artifact Name`,
                pc.tier_level AS `Tier`,
                COUNT(s.trade_key) AS `Total Sold`,

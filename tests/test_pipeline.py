@@ -27,10 +27,9 @@ N_WEEKS = 30
 def _mini_sim(seed=42):
     cfg = SimulationConfig()
     cal = calendar_rows(cfg)
-    by_faction = {}
-    for k, _, f in towns():
-        by_faction.setdefault(f, []).append(k)
-    return MarketSimulator([r["date_key"] for r in cal], by_faction, seed=seed)
+    return MarketSimulator(
+        [r["date_key"] for r in cal], [k for k, _, _ in towns()], seed=seed
+    )
 
 
 # -- definitions cardinalities (SURVEY §1.2) --------------------------------
@@ -137,19 +136,28 @@ def test_silver_semantics(pipeline_result, spark):
 def test_gold_marts(pipeline_result, spark):
     work, result = pipeline_result
     marts = run_gold(spark, f"{work}/silver")
+    # table names and aliases match gold_aggregator.py:27-125 exactly
     assert set(marts) == {
-        "dm_faction_net_profit", "dm_resource_price_history",
-        "dm_top_vip_customers", "dm_artifact_popularity",
+        "dm_faction_economy", "dm_resource_price_history",
+        "dm_top_vip_customers", "dm_artifact_sales_summary",
     }
-    q1 = marts["dm_faction_net_profit"].collect()
+    q1 = marts["dm_faction_economy"].collect()
     assert 0 < len(q1) <= 9
+    assert q1[0].asDict().keys() == {
+        "Faction Name", "Total Gold Spent", "Total Gold Earned",
+        "Net Profit", "Total Transactions",
+    }
     assert q1[0]["Net Profit"] >= q1[-1]["Net Profit"]  # DESC order
     for r in q1:  # net = earned - spent (2dp)
-        assert abs(r["Net Profit"] - round(r["Total Earned"] - r["Total Spent"], 2)) < 0.011
+        assert abs(r["Net Profit"] - round(r["Total Gold Earned"] - r["Total Gold Spent"], 2)) < 0.011
+    q2 = marts["dm_resource_price_history"]
+    assert {"Average Price", "Total Quantity Traded"} <= set(q2.columns)
     q3 = marts["dm_top_vip_customers"]
     assert q3.count() <= 100
-    assert all(r["Faction Name"] for r in q3.collect())
-    q4 = marts["dm_artifact_popularity"].collect()
+    assert {"Faction", "Total Spent", "Total Earned",
+            "Total Transactions"} <= set(q3.columns)
+    assert all(r["Faction"] for r in q3.collect())
+    q4 = marts["dm_artifact_sales_summary"].collect()
     sold = [r["Total Sold"] for r in q4]
     assert sold == sorted(sold)  # ASC on Total Sold
 
@@ -160,6 +168,6 @@ def test_pipeline_deterministic_marts(spark, tmp_path_factory, pipeline_result):
     work2 = str(tmp_path_factory.mktemp("medallion2"))
     run_full_pipeline(spark, work2, weeks=N_WEEKS, seed=42)
     work1, _ = pipeline_result
-    a = spark.read.parquet(f"{work1}/gold/dm_faction_net_profit").collect()
-    b = spark.read.parquet(f"{work2}/gold/dm_faction_net_profit").collect()
+    a = spark.read.parquet(f"{work1}/gold/dm_faction_economy").collect()
+    b = spark.read.parquet(f"{work2}/gold/dm_faction_economy").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -21,11 +21,8 @@ from erathia_market_etl_spark.generator.simulate import (
 def _sim(seed: int, col_rate: float, tax: float) -> MarketSimulator:
     cfg = SimulationConfig()
     cal = calendar_rows(cfg)
-    by_faction: dict[int, list[int]] = {}
-    for k, _, f in towns():
-        by_faction.setdefault(f, []).append(k)
     return MarketSimulator(
-        [r["date_key"] for r in cal], by_faction,
+        [r["date_key"] for r in cal], [k for k, _, _ in towns()],
         seed=seed, col_rate=col_rate, wealth_tax=tax,
     )
 
@@ -44,10 +41,15 @@ def test_simulator_invariants_hold_for_any_config(seed, col_rate, tax, weeks):
         for t in trades:
             assert t.transaction_type in ("BUY", "SELL")
             assert t.quantity > 0
-            assert t.gold_total == round(t.gold_per_unit * t.quantity, 2)
+            # normal trades charge round(price*qty, 2); the downgrade
+            # path charges the agent's ENTIRE remaining gold with
+            # qty = round(gold/price, 2) (ref :294-295), so the total
+            # can differ from price*qty by up to price * 0.005
+            assert abs(t.gold_total - t.gold_per_unit * t.quantity) \
+                <= t.gold_per_unit * 0.005 + 0.005
             assert t.gold_per_unit > 0
             assert t.date_key in date_keys
-            assert t.current_gold_balance >= 0.0
+            assert t.current_gold_balance >= -1e-9
         for a in sim.agents:
             assert a.gold >= 0.0
             for qty in a.inventory.values():
