@@ -12,12 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET,
     N_MINHASH,
     N_SIMHASH_BITS,
     N_SIMHASH_BLOCKS,
     SIMHASH_HAMMING_MAX,
     exact_dedup_groups,
     jaccard,
+    lsh_bucket_stats,
+    minhash_band_table,
     minhash_candidate_pairs,
     shingles,
     simhash_near_pairs,
@@ -56,16 +59,27 @@ _BAND_UNION = "\n        UNION ALL\n".join(
     for b in range(4)
 )
 
-_CANDIDATES_CTE = f"""
+_BANDS_CTE = f"""
     {_SHINGLES_CTE},
     sig AS (SELECT doc_id, {_SIG_SQL} FROM sh WHERE len(s) > 0),
     banded AS (SELECT doc_id, {_BANDS_SQL} FROM sig),
     bands AS (
 {_BAND_UNION}
+    )
+"""
+
+# the hot-bucket cap (operators/dedup.py:cap_bucket_members) mirrored in
+# SQL: deterministic first-K-by-id per bucket via QUALIFY row_number
+_CANDIDATES_CTE = f"""
+    {_BANDS_CTE},
+    capped AS (
+        SELECT doc_id, band_idx, band_key FROM bands
+        QUALIFY row_number() OVER (PARTITION BY band_idx, band_key
+                                   ORDER BY doc_id) <= {DEFAULT_MAX_BUCKET}
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
     )
@@ -156,10 +170,15 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SIMHASH_CTE},
     blocks AS (
 {_BLOCK_UNION}
+    ),
+    capped AS (
+        SELECT doc, fingerprint, block_idx, block_key FROM blocks
+        QUALIFY row_number() OVER (PARTITION BY block_idx, block_key
+                                   ORDER BY doc) <= {DEFAULT_MAX_BUCKET}
     )
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
            bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
-    FROM blocks a JOIN blocks b
+    FROM capped a JOIN capped b
       ON a.block_idx = b.block_idx AND a.block_key = b.block_key
     WHERE a.doc < b.doc
       AND bit_count(xor(a.fingerprint, b.fingerprint)) <= {SIMHASH_HAMMING_MAX}
@@ -207,6 +226,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", round6(jc).alias("jaccard_3gram"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    sizes AS (
+        SELECT band_idx, band_key, COUNT(*) AS sz
+        FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT band_idx,
+           COUNT(*) AS n_buckets,
+           MAX(sz) AS max_bucket_size,
+           CAST(SUM(CASE WHEN sz > {DEFAULT_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow_buckets,
+           CAST(SUM(CASE WHEN sz > {DEFAULT_MAX_BUCKET} THEN sz - {DEFAULT_MAX_BUCKET} ELSE 0 END) AS BIGINT)
+               AS n_dropped_members
+    FROM sizes
+    GROUP BY band_idx
+    ORDER BY band_idx
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size profile + truncation accounting: the 'logged
+    overflow' companion to the hot-bucket cap (operators/dedup.py:
+    cap_bucket_members). Reports, per band, how many buckets exist, the
+    largest, and exactly how many members the {K}-cap drops — so a
+    skewed corpus degrades LSH recall *visibly*, never silently. Two
+    hash aggregations over the band table; no pair expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_table(docs, "text", "doc_id")
+    return lsh_bucket_stats(bands, ["band_idx", "band_key"], DEFAULT_MAX_BUCKET)
 
 
 @query(

@@ -110,6 +110,8 @@ _ROUND_PRIORITY: list[str] = [
     "sessionize_by_gap",
     "scalar_json_extract",
     "media_feature_extract",
+    # -- new in round 2 --
+    "dedup_lsh_bucket_stats",
     # -- previously green: flagship queries first for leftover budget --
     "q1_net_revenue_by_nation",
     "q2_monthly_price_history",
