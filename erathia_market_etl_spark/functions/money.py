@@ -103,15 +103,22 @@ def money_net_cents(pos: Column, neg: Column, scale: int = 2) -> Column:
 
 
 def round2_det(col: Column) -> Column:
-    """Engine-independent 2dp rounding of a double: FLOOR(x*100 + 0.5)/100.
+    """Engine-independent 2dp rounding of a double:
+    SIGN(x) * FLOOR(ABS(x)*100 + 0.5) / 100.
 
     ROUND(double, 2) differs between engines on half-cent boundaries
     (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
     binary value) — this variant is pure IEEE arithmetic, so identical
-    input doubles always produce identical output. Use it whenever the
-    value being rounded came from double division; exact decimals keep
-    plain ROUND. SQL twin: FLOOR(x * 100 + 0.5) / 100."""
-    return (F.floor(col * 100 + F.lit(0.5)) / 100).cast("double")
+    input doubles always produce identical output. Sign-aware on purpose
+    (r1 ADVICE): bare FLOOR(x*100+0.5) rounds negative half-cents toward
+    +infinity (-0.125 -> -0.12) where the reference's ROUND HALF_UP goes
+    away from zero (-0.13); mirroring ABS/SIGN keeps negative money
+    (net metrics) on the reference contract. Use it whenever the value
+    being rounded came from double division; exact decimals keep plain
+    ROUND. SQL twin: SIGN(x) * FLOOR(ABS(x) * 100 + 0.5) / 100."""
+    return (
+        F.signum(col) * F.floor(F.abs(col) * 100 + F.lit(0.5)) / 100
+    ).cast("double")
 
 
 def money_avg(col: Column | str) -> Column:
@@ -124,9 +131,14 @@ def money_avg(col: Column | str) -> Column:
 def exact_std(col: Column | str) -> Column:
     """Sample stddev from exact decimal moments: engines disagree on
     incremental (Welford) accumulation order, so compute
-    sqrt((Σx² − (Σx)²/n) / (n−1)) from order-independent sums."""
+    sqrt((Σx² − (Σx)²/n) / (n−1)) from order-independent sums.
+
+    The variance numerator is clamped at 0 (r1 ADVICE): for
+    near-constant large-magnitude columns, double cancellation in
+    Σx² − (Σx)²/n can land a hair below zero and sqrt would return NaN.
+    SQL twin: SQRT(GREATEST(0.0, sxx - sx*sx/n) / (n-1))."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(F.lit(1)).cast("double")
     sx = F.sum(c.cast(DEC)).cast("double")
     sxx = F.sum((c * c).cast(DEC)).cast("double")
-    return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    return F.sqrt(F.greatest(F.lit(0.0), sxx - sx * sx / n) / (n - F.lit(1.0)))

@@ -116,8 +116,9 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT EXTRACT(year FROM o.o_orderdate)::INT AS order_year,
            EXTRACT(month FROM o.o_orderdate)::INT AS order_month,
            p.p_name AS part_name,
-           FLOOR(CAST(SUM(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*) * 100 + 0.5) / 100 AS avg_unit_price,
+           SIGN(CAST(SUM(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+             * FLOOR(ABS(CAST(SUM(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*)) * 100 + 0.5) / 100 AS avg_unit_price,
            ROUND(SUM(CAST(l.l_quantity AS DECIMAL(38,12))), 2)::DOUBLE AS total_quantity
     FROM lineitem l
     JOIN part p   ON l.l_partkey = p.p_partkey
@@ -706,8 +707,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            ROUND(MIN(l_quantity), 2) AS min_qty,
            ROUND(MAX(l_quantity), 2) AS max_qty,
-           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100 AS avg_qty,
-           FLOOR(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+           SIGN(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+             * FLOOR(ABS(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_qty,
+           FLOOR(SQRT(GREATEST(0.0,
+                       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE)
                        - CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
                          * CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
                       / (COUNT(*) - 1)) * 100 + 0.5) / 100 AS std_qty,
