@@ -78,13 +78,33 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # per-query ratio vs the frozen round-1 baseline (BASELINE_BENCH.json,
+    # VERDICT r1 #7) — only meaningful at the baseline's scale factor
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if baseline.get("sf") == sf:
+            base_q = baseline.get("queries", {})
+            out["vs_baseline"] = {
+                name: round(t / base_q[name], 3)
+                for name, t in timings.items()
+                if base_q.get(name)
+            }
+            if baseline.get("value"):
+                out["vs_baseline_total"] = round(total / baseline["value"], 3)
+
+    print(json.dumps(out))
     spark.stop()
 
 
