@@ -57,70 +57,72 @@ def _load_all() -> None:
     )
 
 
-# The driver's per-round correctness pass is budget-capped (round 1
-# recorded rows for exactly the first 50 registered queries), so
-# registration order is evidence allocation. Queries listed here are
-# emitted FIRST by all_queries()/all_oracles(): round 2 front-loads the
-# 39 queries with no round-1 driver row, then the 3 rows that were red
-# in round 1 (now fixed), then the flagship/previously-green set to
-# soak up any leftover driver budget. Unlisted queries follow in
-# registration order.
+# The driver's per-round correctness pass is budget-capped (50 queries
+# per round), so registration order is evidence allocation.
+#
+# ROTATION POLICY (standing, re-derive each round): front-load, in order,
+#   (a) every query whose implementation OR oracle changed since its most
+#       recent green CORRECTNESS row — stale evidence first;
+#   (b) queries that were red / rows-only last round and have since been
+#       fixed or given an oracle;
+#   (c) queries whose newest green row is two files back (the cap makes
+#       greens rotate out; no query's evidence should age past 2 rounds);
+#   (d) a handful of flagship canaries to soak up leftover budget.
+# Unlisted queries follow in registration order.
 _ROUND_PRIORITY: list[str] = [
-    # -- no driver row in round 1 (VERDICT.md "What's missing" #1) --
-    "q5_regional_local_supplier_volume",
-    "q6_forecast_revenue_change",
-    "silver_null_repair",
-    "agg_having_filter",
-    "subquery_correlated_above_avg",
-    "setop_intersect_all_bag",
-    "setop_union_by_name_missing",
-    "scalar_date_smart_key",
-    "scalar_date_arith",
-    "scalar_string_kit",
-    "scalar_string_extended",
-    "scalar_array_kit",
-    "asof_click_to_purchase",
-    "range_join_error_bursts",
-    "sim_topk_bruteforce",
-    "sim_topk_vectorized",
-    "sim_topk_lsh_bucket",
-    "sim_topk_ivf",
-    "sim_near_dup_pairs",
-    "text_token_stats",
-    "text_token_frequencies",
-    "text_length_trim",
-    "text_language_id",
-    "text_quality_score",
-    "text_quality_signals",
-    "text_fingerprint",
-    "text_winnowing_fingerprints",
-    "decon_test_train_overlap",
-    "sample_split_assign",
-    "sample_mixture_weighted",
-    "sample_stratified_by",
-    "pack_token_budget_shards",
-    "agg_freq_items",
-    "stream_tumbling_hourly",
-    "stream_session_stats",
-    "stream_stream_interval_join",
-    "stream_user_running_totals",
-    "stream_dedup_keys",
-    "stream_static_enrich",
-    # -- red in round 1, fixed this round --
-    "sessionize_by_gap",
-    "scalar_json_extract",
-    "media_feature_extract",
-    # -- new in round 2 --
-    "dedup_lsh_bucket_stats",
-    # -- previously green: flagship queries first for leftover budget --
+    # -- (a)+(b) changed since last green row / fixed this round --
+    "scalar_array_kit",            # red r2 (raw array output) -> array_join fix
+    "agg_stats_profile",           # green r1 only; exact_std/round2_det changed r2
+    "dedup_simhash_near_pairs",    # green r1 only; bucket cap changed r2
+    "sim_near_dup_pairs",          # banded+capped this round
+    "sample_stratified_by",        # deterministic hash-bucket sampling + oracle this round
+    "media_feature_extract",       # hashable projection + oracle this round
+    "agg_approx_sketches",         # exact-vs-approx delta columns this round
+    "agg_freq_items",              # exact-vs-approx delta columns this round
+    "dedup_minhash_lsh_pairs",     # cap pipeline touched this round (perf)
+    "sim_bucket_stats",            # new this round: sim_near_dup overflow twin
+    # -- (c) r1-green with no r2 row: re-attest before evidence ages out --
+    "agg_cube",
+    "agg_distinct_aggregates",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "count_probe",
+    "dedup_cluster_components",
+    "dedup_distinct_rows",
+    "dedup_incremental_new_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprint",
+    "distinct_projection_sorted",
+    "filter_conjunctive",
+    "filter_parameterized",
+    "join_left_outer_counts",
+    "join_semi_anti",
+    "media_catalog",
+    "pivot_event_type_counts",
+    "scd2_dimension_merge",
+    "session_window_stats",
+    "setop_except",
+    "setop_except_all_bag",
+    "setop_intersect",
+    "setop_union_distinct",
+    "silver_dedup_by_key",
+    "silver_derive_flag",
+    "sliding_window_counts",
+    "topk_parts_by_revenue",
+    "topk_per_group",
+    "tumbling_hourly_stats",
+    "unpivot_measures",
+    "window_distribution_family",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_user_events",
+    "window_running_total",
+    # -- (d) flagship canaries --
     "q1_net_revenue_by_nation",
     "q2_monthly_price_history",
     "q3_top_customers",
-    "q4_part_popularity",
-    "silver_clean_fact",
     "dedup_exact_hash",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_near_pairs",
 ]
 
 

@@ -1254,7 +1254,7 @@ def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_unique,
-           list_sort(list_distinct(toks))[1:5] AS first_five_sorted,
+           array_to_string(list_sort(list_distinct(toks))[1:5], '|') AS first_five_sorted,
            array_to_string(toks[1:3], '|') AS head_joined,
            CAST(toks[1] IS NOT NULL AND len(toks) > 0 AS BOOLEAN) AS non_empty
     FROM t
@@ -1271,7 +1271,12 @@ def scalar_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first_five_sorted"),
+        # joined to a string, not a raw array: the driver's pandas
+        # canonicalizer cannot hash list cells (tests/test_registry_contract.py
+        # guards the whole registry against ArrayType/MapType outputs)
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), "|"
+        ).alias("first_five_sorted"),
         F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
         (toks.getItem(0).isNotNull() & (F.size(toks) > 0)).alias("non_empty"),
     ).orderBy("doc_id")
