@@ -8,7 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine, round6, sign_bucket
+from ..operators.similarity import (
+    N_SIGN_BANDS,
+    SIGN_BITS_PER_BAND,
+    cosine,
+    round6,
+    sign_band_near_pairs,
+    sign_band_table,
+    sign_bucket,
+)
 from ..sources.parquet_io import load_table
 from .registry import query
 
@@ -250,35 +258,98 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SIGN_BUCKET = 256  # hot-bucket cap, mirrored in both oracles below
+
+
+def _band_bits_sql(v: str, band: int, bits: int = SIGN_BITS_PER_BAND) -> str:
+    return "||".join(
+        f"(CASE WHEN {v}[{band * bits + i + 1}] > 0 THEN '1' ELSE '0' END)"
+        for i in range(bits)
+    )
+
+
+# one SELECT per band, UNION ALL — DuckDB twin of sign_band_table
+_SIGN_BANDS_CTE = "sbands AS (" + " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_idx, "
+    f"{_band_bits_sql('embedding', b)} AS band_key FROM embeddings"
+    for b in range(N_SIGN_BANDS)
+) + ")"
+
+
 @query(
     "sim_near_dup_pairs",
     oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-               {_BUCKET_SQL.format(v='embedding')} AS bucket
-        FROM embeddings
+    WITH {_SIGN_BANDS_CTE},
+    capped AS (
+        SELECT vec_id, band_idx, band_key FROM sbands
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY band_idx, band_key ORDER BY vec_id
+        ) <= {MAX_SIGN_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM capped x
+        JOIN capped y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.vec_id < y.vec_id
     )
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           FLOOR(({_COSINE_SQL.format(a='x.embedding', b='y.embedding')})
+    SELECT c.vec_a, c.vec_b,
+           FLOOR(({_COSINE_SQL.format(a='a.embedding', b='b2.embedding')})
                  * 1000000 + 0.5) / 1000000 AS cosine_sim
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-    WHERE ({_COSINE_SQL.format(a='x.embedding', b='y.embedding')}) >= 0.9
+    FROM cand c
+    JOIN embeddings a  ON a.vec_id  = c.vec_a
+    JOIN embeddings b2 ON b2.vec_id = c.vec_b
+    WHERE ({_COSINE_SQL.format(a='a.embedding', b='b2.embedding')}) >= 0.9
     ORDER BY vec_a, vec_b
     """,
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: bucket self-join (never all-pairs) +
-    cosine threshold — the embedding analog of MinHash-LSH dedup."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    """Embedding-cosine near-dup via BANDED sign-LSH — the embedding
+    analog of MinHash-LSH dedup. Round 2's single fixed 8-bit bucket
+    self-join was Θ(N²/256) at scale (r2 VERDICT "What's wrong" #3);
+    this is the bounded replacement: 32 hyperplanes in 4 bands of 8,
+    capped buckets (max {MAX_SIGN_BUCKET} members, deterministic by
+    vec_id), in-bucket pair expansion O(cap²) worst case, exact cosine
+    verify on the joined-back embeddings. Truncation is reported by
+    sim_bucket_stats — never silent. See
+    operators/similarity.py:sign_band_near_pairs for the plan-shape
+    rationale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_band_near_pairs(
+        emb, threshold=0.9, max_bucket=MAX_SIGN_BUCKET
+    ).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "sim_bucket_stats",
+    oracle=f"""
+    WITH {_SIGN_BANDS_CTE},
+    sizes AS (
+        SELECT band_idx, band_key, COUNT(*) AS sz
+        FROM sbands GROUP BY band_idx, band_key
     )
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
-    cs = cosine(F.col("ea"), F.col("eb"))
-    return (
-        x.join(y, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cs >= 0.9)
-        .select("vec_a", "vec_b", round6(cs).alias("cosine_sim"))
-        .orderBy("vec_a", "vec_b")
+    SELECT band_idx,
+           COUNT(*) AS n_buckets,
+           MAX(sz) AS max_bucket_size,
+           CAST(SUM(CASE WHEN sz > {MAX_SIGN_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow_buckets,
+           CAST(SUM(CASE WHEN sz > {MAX_SIGN_BUCKET} THEN sz - {MAX_SIGN_BUCKET} ELSE 0 END) AS BIGINT)
+               AS n_dropped_members
+    FROM sizes
+    GROUP BY band_idx
+    ORDER BY band_idx
+    """,
+)
+def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-band bucket-size profile + truncation accounting — the
+    overflow-reporting twin of sim_near_dup_pairs (same role
+    dedup_lsh_bucket_stats plays for MinHash): per band, bucket count,
+    the largest bucket, and exactly what the {MAX_SIGN_BUCKET}-cap
+    would drop, so skew degrades recall visibly. Two hash aggregations
+    over the (id, band) table; embeddings never shuffle."""
+    from ..operators.dedup import lsh_bucket_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_stats(
+        sign_band_table(emb), ["band_idx", "band_key"], MAX_SIGN_BUCKET
     )
