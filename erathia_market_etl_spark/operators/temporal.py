@@ -100,7 +100,14 @@ def bounded_range_self_join(
         F.col(ts).alias("b_ts"),
         bucket.alias("__bucket"),
     )
-    gap = F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    # NTZ-safe: TIMESTAMP_NTZ (what Spark 4 infers for parquet
+    # timestamps without a UTC annotation) cannot cast straight to
+    # DOUBLE; routing through TIMESTAMP keeps microsecond precision and
+    # applies the same offset to both sides, so the gap is unchanged.
+    gap = (
+        F.col("b_ts").cast("timestamp").cast("double")
+        - F.col("a_ts").cast("timestamp").cast("double")
+    )
     return (
         a.join(b, [key, "__bucket"])
         .filter((gap > 0) & (gap <= max_gap_seconds))

@@ -96,6 +96,7 @@ def range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("a_event_id"),
         F.col("b_event_id"),
-        (F.col("b_ts").cast("double") - F.col("a_ts").cast("double"))
+        (F.col("b_ts").cast("timestamp").cast("double")
+         - F.col("a_ts").cast("timestamp").cast("double"))
         .cast("bigint").alias("gap_seconds"),
     ).orderBy("user_id", "a_event_id", "b_event_id")

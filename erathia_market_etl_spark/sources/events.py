@@ -20,7 +20,14 @@ from .parquet_io import load_table
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # floor-divide: identical to DuckDB's truncation for positive epochs
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ in Spark 4; normalize to TIMESTAMP so downstream
+        # epoch math / watermarks behave identically across fixture
+        # vintages (session tz is UTC, so the wall clock is unchanged).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -38,18 +38,31 @@ from pyspark.sql.types import (
 
 from ..functions.money import cents, money_sum_cents
 
-# raw file-source schema: ts arrives as long nanoseconds
-# (spark.sql.legacy.parquet.nanosAsLong; see sources/events.py)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# raw file-source schema; the ``ts`` field depends on the fixture's
+# parquet annotation (see _events_raw_schema): TIMESTAMP(NANOS) arrives
+# as long via spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) as TIMESTAMP_NTZ.
+def _events_raw_schema(src: str) -> StructType:
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    pa_ts = pq.read_schema(src).field("ts").type
+    if pa_ts.unit == "ns":
+        ts_field: Any = LongType()
+    elif pa_ts.tz is None:
+        ts_field = TimestampNTZType()
+    else:
+        ts_field = TimestampType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_field),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 _name_seq = itertools.count()
 
@@ -67,11 +80,15 @@ def stream_events(
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw_schema = _events_raw_schema(src)
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
