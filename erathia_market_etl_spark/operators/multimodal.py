@@ -162,8 +162,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video rows: 1→N row expansion inside
     mapInPandas (one output row per sampled frame index). The fake
-    "frame decode" fingerprints payload+index; a real decoder would
-    seek/extract the frame here. Filter to kind='video' happens
+    "frame decode" fingerprints payload + '|' + decimal index — that
+    exact byte layout so the DuckDB oracle can reproduce it as
+    md5(text || '|' || idx) (r3 VERDICT item 1c: frame indices are
+    pure arithmetic, the whole op is oracle-checkable). A real decoder
+    would seek/extract the frame here. Filter to kind='video' happens
     Spark-side so non-video payloads never cross the Arrow boundary."""
     import hashlib
 
@@ -177,7 +180,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     ids.append(mid)
                     idxs.append(i)
                     hashes.append(
-                        hashlib.md5(bytes(buf) + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(bytes(buf) + b"|" + str(i).encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {

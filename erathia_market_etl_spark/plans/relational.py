@@ -540,21 +540,59 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # sketch algorithms differ per engine — no SQL oracle
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    WITH e AS (
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               approx_count_distinct(l_partkey) AS ap,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               approx_quantile(l_extendedprice, 0.5) AS ap50,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               approx_quantile(l_extendedprice, 0.99) AS ap99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, exact_parts,
+           abs(ap - exact_parts) <= 0.06 * exact_parts + 1 AS parts_ok,
+           abs(ap50 - p50) <= 0.05 * p50 AS p50_ok,
+           abs(ap99 - p99) <= 0.05 * p99 AS p99_ok
+    FROM e ORDER BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB path where exact distinct /
     exact percentile would shuffle every value: HLL++ distinct count and
     t-digest-style approx percentiles, both fixed-size sketches with
-    map-side partial merge. Accuracy vs exact is unit-tested
-    (tests/test_approx.py); engines' sketches differ so there is no
-    hash oracle."""
+    map-side partial merge. Raw sketch values differ per engine, so the
+    oracled output is the accuracy CONTRACT (r3 VERDICT item 1b): the
+    exact distinct count (hash-checked cross-engine) plus bound flags —
+    each engine runs ITS OWN sketch against its own exact answer and
+    asserts the error bound in-query (HLL++ rsd=0.02 given 3σ; the
+    rank-error-bounded percentiles 5%). A drifting sketch flips a flag
+    and the row goes red. The exact aggregates here are evidence-only;
+    the production sketch-only form stays as written (drop the exact
+    columns, keep the plan's single map-side-partial pass)."""
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
-            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("approx_p99"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+            exact_p50.alias("p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+            exact_p99.alias("p99"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("ap99"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("ap") - F.col("exact_parts"))
+             <= 0.06 * F.col("exact_parts") + 1).alias("parts_ok"),
+            (F.abs(F.col("ap50") - F.col("p50")) <= 0.05 * F.col("p50")).alias("p50_ok"),
+            (F.abs(F.col("ap99") - F.col("p99")) <= 0.05 * F.col("p99")).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )

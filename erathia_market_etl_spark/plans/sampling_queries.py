@@ -202,36 +202,95 @@ def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified_by")  # rows-only: rand()-based, no cross-engine oracle
+_STRATA = {"src0": 90, "src1": 50, "src2": 10}  # per-stratum keep-rate (%)
+_STRATA_SALT = 104729
+
+
+@query(
+    "sample_stratified_by",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 50
+                           WHEN 'src2' THEN 10 END AS rate_pct,
+               {_bucket_sql('doc_id', _STRATA_SALT)} AS b
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT source, rate_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM t
+    GROUP BY source, rate_pct
+    ORDER BY source
+    """,
+)
 def sample_stratified_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (df.stat.sampleBy): per-stratum Bernoulli
-    fractions — the API for 'downsample web to 10%, keep books at 90%'
-    when exact reproducibility is NOT required (otherwise use
-    sample_mixture_weighted's hash bucketing; that one is the
-    recommended production path precisely because THIS one cannot be
-    oracle-checked). Seeded, so stable within Spark; statistical
-    tolerance pinned in tests/test_sampling.py."""
+    """Stratified sampling with explicit per-stratum fractions
+    ('downsample web to 10%, keep books at 90%') — the deterministic
+    hash-bucket formulation, NOT df.stat.sampleBy: at 100 TB a sample
+    must be reproducible run-to-run, machine-to-machine, and under any
+    repartitioning, and sampleBy's seeded rand() is none of those
+    (its draw order follows partition layout — r3 VERDICT item 1a).
+    Same salted-bucket technique as sample_mixture_weighted; the keep
+    decision is a narrow map-side expression, only the per-stratum
+    report aggregates. Machine-independence pinned in
+    tests/test_sampling.py."""
     docs = load_table(spark, sf_dir, "documents")
-    strata = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
-    sampled = docs.sampleBy("source", fractions=strata, seed=42)
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in _STRATA.items()]
+    )
+    b = _bucket(F.col("doc_id"), salt=_STRATA_SALT)
     return (
-        sampled.filter(F.col("source").isin(*strata))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
+        docs.filter(F.col("source").isin(*_STRATA))
+        .select("source", rate.alias("rate_pct"), b.alias("b"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("rate_pct"), 1).otherwise(0)).alias("n_kept"),
+        )
         .orderBy("source")
     )
 
 
-@query("agg_freq_items")  # rows-only: single-pass sketch, result is approximate
+@query(
+    "agg_freq_items",
+    oracle="""
+    WITH c AS (
+        SELECT source AS frequent_source, COUNT(*) AS cnt
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT frequent_source, cnt, TRUE AS in_sketch
+    FROM c, t
+    WHERE cnt > 0.04 * n
+    ORDER BY frequent_source
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries style frequent-items sketch (df.stat.freqItems): one
-    pass, fixed memory, returns a superset of items with frequency >
-    support — the cheap first cut before an exact top-k (the exact,
-    oracle-checked counterpart is text_token_frequencies). Output is a
-    set-valued column; explode + sort for a stable display."""
+    pass, fixed memory, returns a superset of the items with frequency
+    > support. Sketch contents differ per engine, so the oracled output
+    is the sketch's CONTRACT, not its raw state: the exact frequent
+    items (cnt > support·N, fully SQL) each tagged ``in_sketch`` =
+    does Spark's sketch contain it. The superset guarantee says every
+    flag must be TRUE — the oracle pins the literal; a sketch that
+    under-reports goes red on the hash (r3 VERDICT item 1b: rows-only
+    entries must self-evidence accuracy)."""
     docs = load_table(spark, sf_dir, "documents")
-    freq = docs.stat.freqItems(["source"], support=0.04)
+    sketch = docs.stat.freqItems(["source"], support=0.04)  # 1 row: array column
+    exact = (
+        docs.groupBy(F.col("source").alias("frequent_source"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .filter(F.col("cnt") > 0.04 * F.col("n"))
+    )
     return (
-        freq.select(F.explode("source_freqItems").alias("frequent_source"))
+        exact.crossJoin(F.broadcast(sketch))
+        .select(
+            "frequent_source",
+            "cnt",
+            F.array_contains("source_freqItems", F.col("frequent_source")).alias("in_sketch"),
+        )
         .orderBy("frequent_source")
     )

@@ -1,6 +1,6 @@
-"""Statistical checks for the rows-only sampling surface (the
-rand()-based ops that can't be oracle-hashed) plus determinism pins for
-the hash-based ones."""
+"""Determinism + contract checks for the sampling surface (everything
+is hash-bucket deterministic since r4; the oracle-parity suite covers
+value equality, these pin the properties the oracle can't express)."""
 
 from __future__ import annotations
 
@@ -11,27 +11,49 @@ from .conftest import SF_T2
 QUERIES = all_queries()
 
 
-def test_sample_by_respects_fractions(spark):
-    # 25 docs per source at sf0.01; Bernoulli(0.9/0.5/0.1) per stratum.
+def test_stratified_respects_fractions(spark):
+    # 25 docs per source at sf0.01; hash-bucket keep at 90/50/10%.
     # Bounds are wide (n=25) but rule out swapped or ignored fractions.
     rows = {r["source"]: r["n_kept"]
             for r in QUERIES["sample_stratified_by"](spark, SF_T2).collect()}
-    assert 15 <= rows.get("src0", 0) <= 25
-    assert 5 <= rows.get("src1", 0) <= 20
-    assert rows.get("src2", 0) <= 9  # absent key = 0 kept, also fine
+    assert set(rows) == {"src0", "src1", "src2"}
+    assert 15 <= rows["src0"] <= 25
+    assert 5 <= rows["src1"] <= 20
+    assert rows["src2"] <= 9
 
-    # seeded: rerun is identical
+    # deterministic: rerun is identical (hash buckets, not rand())
     again = {r["source"]: r["n_kept"]
              for r in QUERIES["sample_stratified_by"](spark, SF_T2).collect()}
     assert rows == again
 
 
+def test_stratified_is_partitioning_independent(spark):
+    """sampleBy's seeded rand() depends on partition layout; the
+    hash-bucket replacement must not (r3 VERDICT item 1a)."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        _STRATA_SALT,
+        _bucket,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_T2, "documents")
+    kept = lambda df: sorted(  # noqa: E731
+        r["doc_id"] for r in df.filter(
+            F.col("source") == "src1"
+        ).filter(_bucket(F.col("doc_id"), _STRATA_SALT) < 50).select("doc_id").collect()
+    )
+    assert kept(docs) == kept(docs.repartition(13))
+
+
 def test_freq_items_superset_guarantee(spark):
-    # every source has frequency 1/20 = 0.05 > support 0.04, so ALL
-    # sources must appear (freqItems may over-report, never under)
-    out = {r["frequent_source"]
-           for r in QUERIES["agg_freq_items"](spark, SF_T2).collect()}
-    assert {f"src{i}" for i in range(20)} <= out
+    # every source has frequency 1/20 = 0.05 > support 0.04, so ALL 20
+    # are exact-frequent and each must carry in_sketch=True (freqItems
+    # may over-report, never under — the superset contract)
+    rows = QUERIES["agg_freq_items"](spark, SF_T2).collect()
+    assert {r["frequent_source"] for r in rows} == {f"src{i}" for i in range(20)}
+    assert all(r["in_sketch"] for r in rows)
+    assert all(r["cnt"] == 25 for r in rows)
 
 
 def test_hash_split_is_machine_independent(spark):
