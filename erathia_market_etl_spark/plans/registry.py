@@ -60,65 +60,29 @@ def _load_all() -> None:
 # The driver's per-round correctness pass is budget-capped (50 queries
 # per round), so registration order is evidence allocation.
 #
-# ROTATION POLICY (standing, re-derive each round): front-load, in order,
+# ROTATION POLICY (standing): front-load, in order,
 #   (a) every query whose implementation OR oracle changed since its most
-#       recent green CORRECTNESS row — stale evidence first;
-#   (b) queries that were red / rows-only last round and have since been
-#       fixed or given an oracle;
-#   (c) queries whose newest green row is two files back (the cap makes
-#       greens rotate out; no query's evidence should age past 2 rounds);
-#   (d) a handful of flagship canaries to soak up leftover budget.
-# Unlisted queries follow in registration order.
-_ROUND_PRIORITY: list[str] = [
-    # -- (a)+(b) changed since last green row / fixed this round --
-    "scalar_array_kit",            # red r2 (raw array output) -> array_join fix
-    "agg_stats_profile",           # green r1 only; exact_std/round2_det changed r2
-    "dedup_simhash_near_pairs",    # green r1 only; bucket cap changed r2
-    "sim_near_dup_pairs",          # banded+capped this round
-    "sample_stratified_by",        # deterministic hash-bucket sampling + oracle this round
-    "media_feature_extract",       # hashable projection + oracle this round
-    "agg_approx_sketches",         # exact-vs-approx delta columns this round
-    "agg_freq_items",              # exact-vs-approx delta columns this round
-    "dedup_minhash_lsh_pairs",     # cap pipeline touched this round (perf)
-    "sim_bucket_stats",            # new this round: sim_near_dup overflow twin
-    # -- (c) r1-green with no r2 row: re-attest before evidence ages out --
-    "agg_cube",
-    "agg_distinct_aggregates",
-    "agg_exact_percentiles",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "count_probe",
-    "dedup_cluster_components",
-    "dedup_distinct_rows",
-    "dedup_incremental_new_docs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprint",
-    "distinct_projection_sorted",
-    "filter_conjunctive",
-    "filter_parameterized",
-    "join_left_outer_counts",
-    "join_semi_anti",
-    "media_catalog",
-    "pivot_event_type_counts",
-    "scd2_dimension_merge",
-    "session_window_stats",
-    "setop_except",
-    "setop_except_all_bag",
-    "setop_intersect",
-    "setop_union_distinct",
-    "silver_dedup_by_key",
-    "silver_derive_flag",
-    "sliding_window_counts",
-    "topk_parts_by_revenue",
-    "topk_per_group",
-    "tumbling_hourly_stats",
-    "unpivot_measures",
-    "window_distribution_family",
-    "window_lag_lead",
-    "window_moving_frame",
-    "window_rank_user_events",
-    "window_running_total",
-    # -- (d) flagship canaries --
+#       recent green CORRECTNESS row (_CHANGED — the one hand-maintained
+#       input, updated with the commits that change query semantics);
+#   (b) queries with no green row in any CORRECTNESS file yet;
+#   (c) queries whose newest green row is oldest, oldest first (the cap
+#       makes greens rotate out; evidence must not age past 2 rounds);
+#   (d) flagship canaries, then the remaining fresh greens.
+# (b)-(d) are DERIVED from the committed CORRECTNESS_r*.json files at
+# import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
+# a hand-written priority list went stale and burned driver slots).
+
+# Queries whose semantics/oracle changed after their newest green row:
+_CHANGED: list[str] = [
+    "sample_stratified_by",    # r4: sampleBy rand() -> deterministic hash bucket + oracle
+    "agg_freq_items",          # r4: exact frequent items + in_sketch contract + oracle
+    "agg_approx_sketches",     # r4: exact column + in-query error-bound flags + oracle
+    "media_feature_extract",   # r4: floor-trick rounding + byte-histogram oracle
+    "media_frame_sample",      # r4: SQL-expressible frame fingerprint + oracle
+    "sim_similar_pairs",       # r4: new — non-vacuous banded-LSH evidence twin
+]
+
+_CANARIES: list[str] = [
     "q1_net_revenue_by_nation",
     "q2_monthly_price_history",
     "q3_top_customers",
@@ -126,8 +90,54 @@ _ROUND_PRIORITY: list[str] = [
 ]
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """name -> newest round with a full green row (rows+schema+hash),
+    scanned from the committed CORRECTNESS_r*.json files."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    out: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def _priority(names: list[str]) -> list[str]:
+    green = _last_green_rounds()
+    newest = max(green.values(), default=0)
+    changed = [n for n in _CHANGED if n in names]
+    rest = [n for n in names if n not in changed]
+    never = [n for n in rest if n not in green]
+    aged = sorted(
+        (n for n in rest if n in green and green[n] < newest),
+        key=lambda n: (green[n], n),
+    )
+    canaries = [n for n in _CANARIES if n in rest and green.get(n) == newest]
+    fresh = sorted(
+        n for n in rest if green.get(n) == newest and n not in canaries
+    )
+    return changed + never + aged + canaries + fresh
+
+
 def _ordered(d: dict[str, _T]) -> dict[str, _T]:
-    out = {n: d[n] for n in _ROUND_PRIORITY if n in d}
+    out = {n: d[n] for n in _priority(list(d)) if n in d}
     out.update({n: v for n, v in d.items() if n not in out})
     return out
 

@@ -1,0 +1,120 @@
+"""Non-vacuous evidence for the embedding near-dup bander (r3 VERDICT
+item 3): the sf0.01 fixture has no cosine-0.9 pairs, so the driver's
+green row for sim_near_dup_pairs is an empty=empty match. These tests
+feed sign_band_near_pairs corpora where the answer is KNOWN — a
+degenerate all-identical corpus (cap math must bound the blowup, stats
+must account the truncation) and a synthetic corpus with planted
+near-dups (the pair must come out through the bands; a band-colliding
+but dissimilar pair must be filtered by the exact verify)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from erathia_market_etl_spark.operators.dedup import lsh_bucket_stats
+from erathia_market_etl_spark.operators.similarity import (
+    sign_band_near_pairs,
+    sign_band_table,
+)
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+DIM = 64  # fixture dimensionality; bands read the first 32
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb(spark):
+    """2000 copies of one vector: every band collapses to ONE bucket."""
+    vec = F.array(*[F.lit(float(d % 7 - 3) or 1.0).cast("float") for d in range(DIM)])
+    return spark.range(2_000).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def test_sign_band_cap_bounds_degenerate_corpus(degenerate_emb):
+    # identical vectors: all 4 bands collide, cap keeps the 16 lowest
+    # ids in each, so the distinct pair set is exactly C(16,2) — never
+    # the C(2000,2) single-task explosion the cap exists to prevent
+    pairs = sign_band_near_pairs(degenerate_emb, threshold=0.9, max_bucket=16)
+    rows = pairs.collect()
+    assert len(rows) == 16 * 15 // 2
+    assert all(r["cosine_sim"] == 1.0 for r in rows)
+    assert all(r["vec_a"] < 16 and r["vec_b"] < 16 for r in rows)
+
+
+def test_sign_band_stats_report_overflow(degenerate_emb):
+    stats = lsh_bucket_stats(
+        sign_band_table(degenerate_emb), ["band_idx", "band_key"], max_bucket=16
+    ).collect()
+    assert len(stats) == 4  # one row per band
+    for r in stats:
+        assert r["n_buckets"] == 1
+        assert r["max_bucket_size"] == 2_000
+        assert r["n_overflow_buckets"] == 1
+        assert r["n_dropped_members"] == 2_000 - 16
+
+
+@pytest.fixture(scope="module")
+def planted_emb(spark):
+    """Deterministic corpus with known geometry:
+      0: base vector (all positive)
+      1: base + tiny perturbation        -> cosine ≈ 0.9999 (near-dup)
+      2: positive on dims 0..51, negative after -> collides with 0 in
+         all 4 bands (first 32 dims positive) but cosine ≈ 0.47
+      3: alternating signs               -> different band keys
+      4: all negative                    -> different band keys
+    """
+    base = [1.0 + 0.01 * d for d in range(DIM)]
+    near = list(base)
+    near[40] = base[40] * 0.5  # same sign, small magnitude change
+    half = [v if d < 52 else -v for d, v in enumerate(base)]
+    alt = [v * (1 if d % 2 == 0 else -1) for d, v in enumerate(base)]
+    neg = [-v for v in base]
+    rows = [(i, [float(x) for x in vec]) for i, vec in
+            enumerate([base, near, half, alt, neg])]
+    return rows
+
+
+def _pairs(spark, rows, threshold):
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    return {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in sign_band_near_pairs(df, threshold=threshold).collect()
+    }
+
+
+def test_planted_near_dup_found_through_bands(spark, planted_emb):
+    found = _pairs(spark, planted_emb, threshold=0.9)
+    assert set(found) == {(0, 1)}  # the planted pair, nothing else
+    assert found[(0, 1)] >= 0.99
+
+
+def test_band_collision_filtered_by_exact_verify(spark, planted_emb):
+    # (0, 2) collides in every band (first 32 dims share signs) but the
+    # exact cosine is ~0.47 — the verify stage must drop it at 0.9 and
+    # emit it at 0.4 (the sim_similar_pairs threshold)
+    found = _pairs(spark, planted_emb, threshold=0.4)
+    assert (0, 2) in found
+    assert 0.4 <= found[(0, 2)] <= 0.6
+    assert (0, 1) in found  # still there at the looser threshold
+    # band-key-disjoint vectors never become candidates regardless of
+    # threshold: (3, x) and (4, x) pairs are absent even at 0.4
+    assert all(3 not in p and 4 not in p for p in found)
+
+
+def test_sim_similar_pairs_nonvacuous_at_fixture(spark):
+    """The registered driver query must emit rows on the real sf0.001
+    fixture — this is the non-vacuity guarantee the 0.9 near-dup query
+    cannot give on random embeddings."""
+    from erathia_market_etl_spark.plans import all_queries
+
+    from .conftest import SF_SMOKE
+
+    out = all_queries()["sim_similar_pairs"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r["cosine_sim"] >= 0.4 for r in out)
