@@ -62,15 +62,23 @@ def main() -> None:
         "array(cast(id as float), cast(1 as float)) AS v"
     ).select(scorer("v")).write.mode("overwrite").format("noop").save()
 
+    # The two LSH pipelines have the deepest codegen (8-way MIN string
+    # rotations / 48 conditional bit-sums): their first execution pays
+    # multi-second JIT+codegen compilation, so min-of-2 leaves one real
+    # sample and recorded r2->r3 drift (1.9->3.5s) with no code change —
+    # profiled steady-state is ~1.1-1.6s. Three runs restore a stable
+    # minimum (r3 VERDICT item 4).
+    EXTRA_RUNS = {"dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs"}
+
     registry = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # min of 2 executions: first run absorbs one-off costs (parquet
+        # min of N executions: first run absorbs one-off costs (parquet
         # footer reads, codegen compilation, page-cache faults) that are
         # amortized noise on a long-lived cluster; min measures the
         # engine's steady-state plan execution.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in EXTRA_RUNS else 2):
             df = registry[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

@@ -102,8 +102,12 @@ def bounded_range_self_join(
     )
     # NTZ-safe: TIMESTAMP_NTZ (what Spark 4 infers for parquet
     # timestamps without a UTC annotation) cannot cast straight to
-    # DOUBLE; routing through TIMESTAMP keeps microsecond precision and
-    # applies the same offset to both sides, so the gap is unchanged.
+    # DOUBLE; routing through TIMESTAMP keeps microsecond precision.
+    # The NTZ->TIMESTAMP cast applies the session-tz offset; under the
+    # UTC session tz this engine forces (harden_session/get_spark —
+    # documented in SCALE.md) that offset is a constant zero, so the
+    # gap is unchanged. A DST-observing session tz would NOT cancel
+    # for pairs straddling a transition — UTC is a requirement here.
     gap = (
         F.col("b_ts").cast("timestamp").cast("double")
         - F.col("a_ts").cast("timestamp").cast("double")

@@ -1,12 +1,15 @@
-"""Events-table source: nanosecond-timestamp handling.
+"""Events-table source: fixture-timestamp normalization.
 
-The driver fixture ``events.parquet`` stores ``ts`` as parquet
-TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark 4 refuses to read
-natively ([PARQUET_TYPE_ILLEGAL]). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as long
-nanoseconds; ``ts div 1000`` -> ``timestamp_micros`` converts with exact
-integer math, matching DuckDB's native nanos->micros truncation of the
-same file. Set session timezone to UTC before extracting date parts.
+The ``ts`` column of ``events.parquet`` varies by fixture vintage:
+TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark 4 refuses to read
+natively ([PARQUET_TYPE_ILLEGAL]) — arrives as long nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong=true`` and converts via
+``ts div 1000`` -> ``timestamp_micros`` with exact integer math
+(matching DuckDB's nanos->micros truncation of the same file); the
+current TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture arrives as
+TIMESTAMP_NTZ and is cast to TIMESTAMP, a no-op on the wall clock under
+the UTC session timezone. Both paths land on TIMESTAMP so downstream
+date parts / epoch math / watermarks are vintage-independent.
 """
 
 from __future__ import annotations

@@ -46,9 +46,17 @@ def _events_raw_schema(src: str) -> StructType:
     import pyarrow.parquet as pq
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
+    import pyarrow.types as pat
+
     pa_ts = pq.read_schema(src).field("ts").type
-    if pa_ts.unit == "ns":
-        ts_field: Any = LongType()
+    ts_field: Any
+    if not pat.is_timestamp(pa_ts):
+        # a fixture vintage storing ts as plain INT64 (no timestamp
+        # annotation) reads fine as long nanos — same branch the NANOS
+        # fixture takes, without touching .unit/.tz on a non-timestamp
+        ts_field = LongType()
+    elif pa_ts.unit == "ns":
+        ts_field = LongType()
     elif pa_ts.tz is None:
         ts_field = TimestampNTZType()
     else:
@@ -72,8 +80,11 @@ def stream_events(
 ) -> DataFrame:
     """events as an unbounded DataFrame. The file source needs a
     directory; the fixture is a single parquet file, so stage a symlink
-    dir (no data copy). ts converts nanos->micros with exact integer
-    math, identical to the batch reader."""
+    dir (no data copy). ts arrives either as long nanos (NANOS fixture
+    via nanosAsLong; exact ``div 1000`` integer conversion) or as
+    TIMESTAMP_NTZ (MICROS isAdjustedToUTC=false fixture), normalized to
+    TIMESTAMP under the UTC session tz — identical to the batch reader
+    (sources/events.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="events_stream_")
     src = os.path.join(sf_dir, "events.parquet")
