@@ -72,8 +72,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"invalid --wealth-tax {args.wealth_tax}, using default "
                   f"{cfg.wealth_tax_rate}")
     # decision odds: apply the requested values, then the reference's
-    # combined check — if either class's buy+sell exceeds 1.0, ALL four
-    # odds revert to defaults (ref main.py:82-89, not per-flag)
+    # combined check — if either class's buy+sell exceeds 1.0, the WHOLE
+    # parameter set reverts to defaults, including cost-of-living and
+    # wealth-tax (ref main.py:82-89 returns the full default dict, not
+    # just the four odds)
     defaults = SimulationConfig()
     for flag, attr in (("vip_buy", "vip_buy_chance"),
                        ("vip_sell", "vip_sell_chance"),
@@ -86,7 +88,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print("ERROR: Sum of BUY and SELL chances cannot exceed 1.0. "
               "Using defaults.")
         for attr in ("vip_buy_chance", "vip_sell_chance",
-                     "unit_buy_chance", "unit_sell_chance"):
+                     "unit_buy_chance", "unit_sell_chance",
+                     "cost_of_living_rate", "wealth_tax_rate"):
             setattr(cfg, attr, getattr(defaults, attr))
     if args.weeks is not None and args.weeks <= 0:
         print(f"invalid --weeks {args.weeks}, using default {cfg.default_weeks}")

@@ -123,6 +123,14 @@ class MarketSimulator:
         self.rng = random.Random(seed)
         self.col_rate = col_rate
         self.wealth_tax = wealth_tax
+        # the CLI validates-and-falls-back (app.py, ref main.py:82-89);
+        # programmatic construction must not silently run with a
+        # negative HOLD weight in random.choices
+        if vip_buy + vip_sell > 1.0 or unit_buy + unit_sell > 1.0:
+            raise ValueError(
+                "buy+sell odds exceed 1.0 "
+                f"(vip={vip_buy + vip_sell}, unit={unit_buy + unit_sell})"
+            )
         self.odds = {
             "vip": (vip_buy, vip_sell, 1.0 - vip_buy - vip_sell),
             "unit": (unit_buy, unit_sell, 1.0 - unit_buy - unit_sell),

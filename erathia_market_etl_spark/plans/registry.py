@@ -72,15 +72,19 @@ def _load_all() -> None:
 # import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
 # a hand-written priority list went stale and burned driver slots).
 
-# Queries whose semantics/oracle changed after their newest green row:
-_CHANGED: list[str] = [
-    "sample_stratified_by",    # r4: sampleBy rand() -> deterministic hash bucket + oracle
-    "agg_freq_items",          # r4: exact frequent items + in_sketch contract + oracle
-    "agg_approx_sketches",     # r4: exact column + in-query error-bound flags + oracle
-    "media_feature_extract",   # r4: floor-trick rounding + byte-histogram oracle
-    "media_frame_sample",      # r4: SQL-expressible frame fingerprint + oracle
-    "sim_similar_pairs",       # r4: new — non-vacuous banded-LSH evidence twin
-]
+# name -> round in which its semantics/oracle changed. An entry is
+# SELF-EXPIRING: it is prioritized only while the newest green row
+# predates the change, so once the driver re-greens it the entry stops
+# consuming slots (no manual pruning to forget — the r3 failure mode).
+_CHANGED: dict[str, int] = {
+    "sample_stratified_by": 4,   # sampleBy rand() -> deterministic hash bucket + oracle
+    "agg_freq_items": 4,         # exact frequent items + in_sketch contract + oracle
+    "agg_approx_sketches": 4,    # exact column + in-query error-bound flags + oracle
+    "media_feature_extract": 4,  # floor-trick rounding + byte-histogram oracle
+    "media_frame_sample": 4,     # SQL-expressible frame fingerprint + oracle
+    "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
+    "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
+}
 
 _CANARIES: list[str] = [
     "q1_net_revenue_by_nation",
@@ -122,7 +126,10 @@ def _last_green_rounds() -> dict[str, int]:
 def _priority(names: list[str]) -> list[str]:
     green = _last_green_rounds()
     newest = max(green.values(), default=0)
-    changed = [n for n in _CHANGED if n in names]
+    changed = [
+        n for n, rnd in _CHANGED.items()
+        if n in names and green.get(n, -1) < rnd
+    ]
     rest = [n for n in names if n not in changed]
     never = [n for n in rest if n not in green]
     aged = sorted(

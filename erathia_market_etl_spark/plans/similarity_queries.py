@@ -322,6 +322,78 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+@query(
+    "sim_band_recall",
+    oracle=f"""
+    WITH {_SIGN_BANDS_CTE},
+    qb AS (
+        SELECT band_idx, band_key FROM sbands WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM sbands s JOIN qb ON s.band_idx = qb.band_idx
+                             AND s.band_key = qb.band_key
+        WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    topk AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY ({_COSINE_SQL.format(a='e.embedding', b='q.query_vec')}) DESC, e.vec_id
+        LIMIT {TOP_K}
+    )
+    SELECT {TOP_K} AS k,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM topk t JOIN cand c ON c.vec_id = t.vec_id) AS n_hits,
+           FLOOR((SELECT COUNT(*) FROM topk t JOIN cand c ON c.vec_id = t.vec_id)
+                 / {TOP_K} * 1000000 + 0.5) / 1000000 AS recall
+    """,
+)
+def sim_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k accuracy contract for the banded-LSH candidate
+    generator (same theme as agg_approx_sketches: an approximation
+    ships with an oracled measurement of its own quality). Candidates =
+    vectors sharing ≥1 of the query's 4 sign bands; ground truth =
+    exact brute-force top-{TOP_K}; output = candidate count, hit count,
+    recall — so band recall on the live corpus is driver-checked every
+    rotation instead of assumed from the hyperplane math. On random
+    fixture embeddings recall is genuinely low (0.1 at sf0.01 — 32
+    random hyperplanes separate near-orthogonal vectors aggressively); on
+    near-dup-bearing corpora it approaches 1 (tests/test_similarity.py
+    plants those). At scale both sides are one band-table probe of the
+    query's 4 buckets + one brute-force pass for the audit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands = sign_band_table(emb)
+    qb = bands.filter(F.col("vec_id") == QUERY_VEC_ID).select("band_idx", "band_key")
+    cand = (
+        bands.join(F.broadcast(qb), ["band_idx", "band_key"])
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    q = _query_vector(spark, sf_dir)
+    topk = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("query_vec")).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = topk.join(cand, "vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_cand.crossJoin(n_hits)
+        .select(
+            F.lit(TOP_K).alias("k"),
+            "n_candidates",
+            "n_hits",
+            round6(F.col("n_hits") / TOP_K).alias("recall"),
+        )
+    )
+
+
 SIMILAR_THRESHOLD = 0.4
 
 

@@ -55,6 +55,11 @@ def _canon(v) -> str:
     if isinstance(v, np.integer):
         return str(int(v))
     if isinstance(v, _dt.datetime):
+        # pd.NaT IS an instance of datetime and its isoformat() is the
+        # literal string 'NaT' — canonicalize it as SQL NULL instead
+        # (NaT != NaT, same self-compare trick as the float-NaN path)
+        if v != v:
+            return "∅"
         # Driver parity: Spark DATE → python date via toPandas, DuckDB
         # DATE → midnight datetime64 via .df(); the driver compares them
         # equal (silver_clean_fact was driver-green in r1), so midnight

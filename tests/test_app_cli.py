@@ -34,12 +34,20 @@ def _fact_rows(work_dir: str):
 
 def test_invalid_odds_fall_back_to_defaults(tmp_path, capsys):
     w = str(tmp_path / "w1")
-    rc = main(["bronze", "--work", w, "--weeks", "1",
+    rc = main(["bronze", "--work", w, "--weeks", "1", "--seed", "11",
+               "--col-rate", "0.9",
                "--vip-buy", "0.9", "--vip-sell", "0.5"])
     assert rc == 0
     out = capsys.readouterr().out
     # reference wording: combined check, ALL odds revert (main.py:82-89)
     assert "Sum of BUY and SELL chances cannot exceed 1.0" in out
+    # the reference's fallback returns the FULL default parameter dict —
+    # the valid-but-user-set col-rate reverts too (main.py:84-89): the
+    # run must be byte-identical to one with no parameter flags at all
+    w2 = str(tmp_path / "w1_defaults")
+    rc = main(["bronze", "--work", w2, "--weeks", "1", "--seed", "11"])
+    assert rc == 0
+    assert _fact_rows(w).equals(_fact_rows(w2))
 
 
 def test_odds_flags_reach_the_simulator(tmp_path, capsys):

@@ -230,3 +230,13 @@ def test_balance_recorded_unrounded_after_mutation():
     t = sim._try_buy(a)
     assert t is not None
     assert t.current_gold_balance == a.gold  # raw float, post-mutation
+
+
+def test_programmatic_invalid_odds_rejected():
+    """The CLI validates-and-falls-back; direct construction must raise
+    rather than silently run random.choices with a negative HOLD
+    weight."""
+    import pytest
+
+    with pytest.raises(ValueError, match="odds exceed 1.0"):
+        _sim(vip_buy=0.9, vip_sell=0.5)

@@ -44,3 +44,15 @@ def test_drifted_bronze_fails_at_scan(spark, tmp_path):
     df = spark.read.schema(FACT_SALES_SCHEMA).parquet(str(tmp_path / "bronze" / "fact_sales"))
     with pytest.raises(Exception, match="(?i)parquet|schema|type|cannot"):
         df.collect()
+
+
+def test_canon_nat_is_null():
+    """pd.NaT IS a datetime instance and isoformat()s to the literal
+    'NaT' — the canonicalizer must fold it to the NULL token like
+    float NaN, or a null timestamp hash-mismatches a true NULL."""
+    import pandas as pd
+
+    from erathia_market_etl_spark.testing import _canon
+
+    assert _canon(pd.NaT) == _canon(None)
+    assert _canon(pd.NaT) == "∅"
