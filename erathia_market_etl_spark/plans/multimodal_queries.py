@@ -1,10 +1,12 @@
 """Multimodal queries over the synthetic media table (extension surface).
 
-The catalog projection is fully SQL-expressible (payload length, hash,
-typed metadata) and oracle-checked; the decode-dependent ops
-(feature extraction, frame sampling) run the real mapInPandas plumbing
-with the deterministic fake decoder and get the driver's rows-only
-check — the fake is byte-level numpy, not SQL.
+All four are oracle-checked (r4): the catalog projection is plain SQL;
+the decode-dependent ops (feature extraction, frame sampling, resize)
+run the real mapInPandas plumbing with the deterministic fake decoder,
+whose byte-level outputs the DuckDB twins reproduce — the payload is
+ASCII text, so the byte histogram is an ord() histogram, the frame
+fingerprint is md5(text||'|'||idx), and the resize pass-through is
+md5-pinned.
 """
 
 from __future__ import annotations
@@ -12,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_features, media_table, sample_frames
+from ..operators.multimodal import (
+    extract_features,
+    media_table,
+    resize_stub,
+    sample_frames,
+)
 from ..sources.parquet_io import load_table
 from .registry import query
 
@@ -142,3 +149,33 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), every_n=10).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "media_resize_passthrough",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           224 AS width, 224 AS height
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+)
+def media_resize_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under driver check: image payloads cross the
+    Arrow boundary through resize_stub's mapInPandas and come back
+    byte-identical (md5-pinned by the oracle) with metadata rewritten to
+    the target dimensions. The stub leaves bytes unchanged — the real
+    decoder/resampler swaps into the same pandas loop — so what this
+    query proves is the production plumbing: image-only Spark-side
+    filter, batch iteration, binary round-trip fidelity, schema."""
+    out = resize_stub(_media(spark, sf_dir), 224, 224)
+    return out.select(
+        "media_id",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).orderBy("media_id")

@@ -84,6 +84,7 @@ _CHANGED: dict[str, int] = {
     "media_frame_sample": 4,     # SQL-expressible frame fingerprint + oracle
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
+    "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
 }
 
 _CANARIES: list[str] = [
