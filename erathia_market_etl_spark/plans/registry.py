@@ -124,8 +124,9 @@ def _last_green_rounds() -> dict[str, int]:
     return out
 
 
-def _priority(names: list[str]) -> list[str]:
-    green = _last_green_rounds()
+def _priority(names: list[str], green: dict[str, int] | None = None) -> list[str]:
+    if green is None:
+        green = _last_green_rounds()
     newest = max(green.values(), default=0)
     changed = [
         n for n, rnd in _CHANGED.items()

@@ -41,3 +41,43 @@ def test_no_complex_top_level_columns(spark, name):
         "join arrays to strings (F.array_join) in the driver-facing "
         "projection — see module docstring"
     )
+
+
+# -- rotation derivation (r3 VERDICT item 2) ---------------------------------
+# The priority order is computed from CORRECTNESS evidence, not prose;
+# pin the derivation rules on a synthetic green map.
+
+def test_rotation_priority_rules():
+    from erathia_market_etl_spark.plans.registry import _CHANGED, _priority
+
+    names = ["zz_fresh", "aa_fresh", "old_r1", "old_r2", "never_seen",
+             "q1_net_revenue_by_nation"]
+    green = {"zz_fresh": 3, "aa_fresh": 3, "old_r1": 1, "old_r2": 2,
+             "q1_net_revenue_by_nation": 3}
+    order = _priority(names, green)
+    # never-green first, then aged greens oldest-first, then canaries,
+    # then fresh greens alphabetically
+    assert order == ["never_seen", "old_r1", "old_r2",
+                     "q1_net_revenue_by_nation", "aa_fresh", "zz_fresh"]
+    # a _CHANGED entry outranks everything while its green row predates
+    # the change, and self-expires once the driver re-greens it
+    changed_name, changed_round = next(iter(_CHANGED.items()))
+    names2 = [changed_name, "never_seen"]
+    assert _priority(names2, {changed_name: changed_round - 1}) == \
+        [changed_name, "never_seen"]
+    assert _priority(names2, {changed_name: changed_round})[0] == "never_seen"
+
+
+def test_rotation_front_slots_hold_all_changed_queries():
+    """Every _CHANGED entry still awaiting its green row must sit inside
+    the driver's 50-slot budget."""
+    from erathia_market_etl_spark.plans.registry import (
+        _CHANGED,
+        _last_green_rounds,
+    )
+
+    green = _last_green_rounds()
+    order = list(QUERIES)
+    for name, rnd in _CHANGED.items():
+        if green.get(name, -1) < rnd:
+            assert order.index(name) < 50, name
