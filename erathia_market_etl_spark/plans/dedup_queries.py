@@ -334,3 +334,53 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("v").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_corpus_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES_CTE},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    non_reps AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM non_reps)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_corpus_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the near-dup pipeline: the DEDUPED CORPUS —
+    every document except non-representative near-dup cluster members
+    (representative = minimum doc_id per connected component, the same
+    canonical label dedup_cluster_components assigns). The other dedup
+    queries emit pairs/components/stats for audit; this one emits what a
+    training pipeline actually feeds the tokenizer. Shape: LSH pairs →
+    min-label components → filter members ≠ label → LEFT ANTI join back
+    to documents. At 100 TB the anti-join shuffles only (doc_id) keys
+    against the corpus scan, and the non-representative side is tiny
+    (near-dup members only), so AQE broadcasts it."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    non_reps = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .filter(F.col("v") != F.col("component_id"))
+        .select(F.col("v").alias("doc_id"))
+    )
+    return (
+        docs.join(non_reps, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -85,6 +85,8 @@ _CHANGED: dict[str, int] = {
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
     "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
+    "dedup_corpus_representatives": 4,  # new — the deduped-corpus output query
+    "setop_except": 4,  # non-vacuous: restricted right side, result > 0 rows
 }
 
 _CANARIES: list[str] = [

@@ -937,15 +937,23 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey <= 20
     ORDER BY nationkey
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (set difference); exceptAll would be the
-    # bag-difference variant, which SQL EXCEPT is not.
+    # bag-difference variant, which SQL EXCEPT is not. The right side is
+    # restricted to the first 20 suppliers so the difference is NON-EMPTY
+    # at every fixture SF (unrestricted, both tables cover all 25 nations
+    # and the green row is a vacuous 0 = 0 — the evidence anti-pattern r3
+    # VERDICT item 3 called out on sim_near_dup_pairs).
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 20)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s).orderBy("nationkey")
 
 
