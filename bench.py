@@ -67,8 +67,15 @@ def main() -> None:
     # multi-second JIT+codegen compilation, so min-of-2 leaves one real
     # sample and recorded r2->r3 drift (1.9->3.5s) with no code change —
     # profiled steady-state is ~1.1-1.6s. Three runs restore a stable
-    # minimum (r3 VERDICT item 4).
-    EXTRA_RUNS = {"dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs"}
+    # minimum (r3 VERDICT item 4). agg_rollup and session_window_stats
+    # showed the same no-code-change round-to-round wobble (r3 verdict
+    # perf table) — same treatment.
+    EXTRA_RUNS = {
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_near_pairs",
+        "agg_rollup",
+        "session_window_stats",
+    }
 
     registry = all_queries()
     timings: dict[str, float] = {}

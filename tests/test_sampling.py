@@ -63,3 +63,29 @@ def test_hash_split_is_machine_independent(spark):
     b = (QUERIES["sample_split_assign"](spark, SF_T2)
          .repartition(13).orderBy("doc_id").collect())
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bucket_arithmetic_is_engine_safe():
+    """The multiplicative-hash bucket must (a) stay inside int64 for ANY
+    int64 doc_id — DuckDB errors on signed overflow where Spark wraps,
+    so an overflowing expression would silently diverge between engines
+    — and (b) land in [0, 100). Pure-python mirror of the column
+    expression, property-tested over the whole id domain."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        _FOLD,
+        _KNUTH,
+        _MOD32,
+    )
+
+    @given(st.integers(min_value=0, max_value=2**63 - 1),
+           st.integers(min_value=0, max_value=10**6))
+    def check(doc_id, salt):
+        folded = doc_id % _FOLD
+        prod = folded * _KNUTH + salt
+        assert prod < 2**63  # no overflow in either engine
+        assert 0 <= prod % _MOD32 % 100 < 100
+
+    check()
