@@ -154,3 +154,80 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
         for i in range(n_bits)
     ]
     return F.concat(*bits)
+
+
+def kmeans_centroids(emb, k: int = 16, iters: int = 10,
+                     sample_n: int = 4096, seed: int = 7,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Sampled Lloyd k-means for IVF coarse centroids — the production
+    centroid source SCALE.md promises ("centroids come from sampled
+    k-means, driver-side on a sample — the one sanctioned collect").
+
+    Scale shape: ONE bounded collect of ``sample_n`` vectors (hash-
+    ordered by id so the sample is deterministic and partition-layout-
+    independent), then pure numpy Lloyd iterations on the driver —
+    k·sample_n·dim flops per iteration, microseconds at any corpus size
+    because the sample is fixed-size. The registered ``sim_topk_ivf``
+    keeps first-K centroids instead so its DuckDB oracle can reproduce
+    the pipeline; swap THIS in via ``assign_cells`` when recall matters
+    more than hash-reproducibility.
+
+    Returns a list of k python float lists (centroids), deterministic
+    for a given (data, k, iters, sample_n, seed).
+    """
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit(f"kms{seed}|"), F.col(id_col).cast("string"))))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ style spread is overkill for coarse IVF cells; take k
+    # deterministic spread seeds from the hash-shuffled sample instead
+    C = X[np.linspace(0, n - 1, k, dtype=int)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [c.tolist() for c in C]
+
+
+def assign_cells(spark, emb, centroids: list[list[float]],
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Shuffle-free IVF cell assignment against arbitrary centroids
+    (e.g. from kmeans_centroids): centroids fold into ONE broadcast row,
+    each vector scores them inside a transform() HOF, argmin via
+    array_max over (score, -cid) structs — the same narrow map-stage
+    shape as the registered sim_topk_ivf query
+    (plans/similarity_queries.py), generalized to centroid vectors that
+    are not rows of the table. Output: input columns + ``cid``."""
+    import pandas as pd  # noqa: F401  (pyspark->pandas conversion dep)
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    ).select(
+        F.sort_array(
+            F.collect_list(
+                F.struct("cid", "cvec", norm(F.col("cvec")).alias("cnorm"))
+            )
+        ).alias("cents")
+    )
+    scores = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["cvec"]) / (F.col("_enorm") * c["cnorm"])).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("_enorm", norm(F.col(vec_col)))
+        .withColumn("cid", (-F.array_max(scores)["negcid"]).cast("int"))
+        .drop("cents", "_enorm")
+    )

@@ -118,3 +118,56 @@ def test_sim_similar_pairs_nonvacuous_at_fixture(spark):
     out = all_queries()["sim_similar_pairs"](spark, SF_SMOKE).collect()
     assert len(out) > 0
     assert all(r["cosine_sim"] >= 0.4 for r in out)
+
+
+# -- sampled k-means centroids (the production IVF path) ---------------------
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Three well-separated clusters of 50 vectors each: cluster c lives
+    on axis block c (dims 8c..8c+7 dominant), small deterministic jitter."""
+    rows = []
+    for c in range(3):
+        for i in range(50):
+            vec = [0.01 * ((i * 7 + d) % 5) for d in range(DIM)]
+            for d in range(8 * c, 8 * c + 8):
+                vec[d] += 10.0
+            rows.append((c * 50 + i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_kmeans_recovers_separated_clusters(spark, clustered_emb):
+    from erathia_market_etl_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(clustered_emb, k=3, iters=10)
+    assert len(cents) == 3 and all(len(c) == DIM for c in cents)
+    # deterministic: same inputs -> identical centroids
+    assert cents == kmeans_centroids(clustered_emb, k=3, iters=10)
+
+    out = assign_cells(spark, clustered_emb, cents).collect()
+    assert len(out) == 150
+    # every true cluster maps to exactly one cell, bijectively
+    cell_of = {}
+    for r in out:
+        cell_of.setdefault(r["vec_id"] // 50, set()).add(r["cid"])
+    assert all(len(cells) == 1 for cells in cell_of.values())
+    assert len({next(iter(c)) for c in cell_of.values()}) == 3
+
+
+def test_assign_cells_plan_is_narrow(spark, clustered_emb):
+    """Assignment must stay a broadcast + map stage — no Exchange from
+    the assignment itself (the whole point vs an N x K explode+window)."""
+    from erathia_market_etl_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(clustered_emb, k=3, iters=2)
+    plan = assign_cells(spark, clustered_emb, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # collect_list of 3 centroids is one tiny agg; the vector side must
+    # join it via BroadcastNestedLoopJoin, never a shuffle Exchange
+    assert "BroadcastNestedLoopJoin" in plan
