@@ -367,9 +367,11 @@ def dedup_corpus_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries emit pairs/components/stats for audit; this one emits what a
     training pipeline actually feeds the tokenizer. Shape: LSH pairs →
     min-label components → filter members ≠ label → LEFT ANTI join back
-    to documents. At 100 TB the anti-join shuffles only (doc_id) keys
-    against the corpus scan, and the non-representative side is tiny
-    (near-dup members only), so AQE broadcasts it."""
+    to documents. The anti-join is a sort-merge on doc_id by design —
+    on a heavily-duplicated corpus (web crawls routinely dedup away
+    most of the data) the non-representative side is NOT small, so a
+    broadcast hint would be a scale bug; SMJ shuffles only 8-byte keys
+    plus the projected columns, never text payloads."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
