@@ -115,3 +115,30 @@ def test_exact_dedup_single_shuffle(spark):
     # final orderBy (rangepartitioning) - nothing else
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(exchanges) <= 2, plan
+
+
+def test_lsh_pipelines_minimal_shuffle_inventory(spark):
+    """The LSH candidate generators must keep their minimal exchange
+    set — in particular the cap window and the bucket groupBy share ONE
+    hash exchange on the band keys (Catalyst reuses the partitioning).
+    A regression that re-shuffles between cap and collect_list doubles
+    the biggest exchange at 100 TB."""
+    from erathia_market_etl_spark.operators.dedup import minhash_candidate_pairs
+    from erathia_market_etl_spark.operators.similarity import sign_band_near_pairs
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    docs = load_table(spark, SF_T2, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    hash_ex = [ln for ln in plan_of(pairs).splitlines()
+               if "Exchange hashpartitioning" in ln]
+    # (doc) signature agg + (band_idx, band_key) shared window/groupBy +
+    # (doc_a, doc_b) distinct — the fan_out round-robin is separate
+    assert len(hash_ex) <= 3, "\n".join(hash_ex)
+
+    emb = load_table(spark, SF_T2, "embeddings")
+    band_pairs = sign_band_near_pairs(emb)
+    hash_ex = [ln for ln in plan_of(band_pairs).splitlines()
+               if "Exchange hashpartitioning" in ln]
+    # (band_idx, band_key) shared + (vec_a, vec_b) distinct; the verify
+    # joins must ride BroadcastExchange, not extra shuffles
+    assert len(hash_ex) <= 2, "\n".join(hash_ex)
