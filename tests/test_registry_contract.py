@@ -25,7 +25,13 @@ QUERIES = all_queries()
 # Queries whose callable *executes* work on invocation (streaming runs an
 # availableNow trigger to completion); their schemas are still checked —
 # nothing is exempt from the guard — they are just slower to build.
-_FORBIDDEN = (ST.ArrayType, ST.MapType, ST.StructType)
+# DecimalType joins the complex types: Spark's toPandas() yields python
+# Decimal objects where DuckDB's .df() yields float64, so a DECIMAL
+# column str()-canonicalizes differently on the two sides and
+# hash-mismatches even when values agree. Money pipelines accumulate in
+# DECIMAL(38,12) internally but must cast the driver-facing projection
+# back to double (functions/money.py does).
+_FORBIDDEN = (ST.ArrayType, ST.MapType, ST.StructType, ST.DecimalType)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
