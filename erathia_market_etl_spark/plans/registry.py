@@ -87,6 +87,8 @@ _CHANGED: dict[str, int] = {
     "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
     "dedup_corpus_representatives": 4,  # new — the deduped-corpus output query
     "setop_except": 4,  # non-vacuous: restricted right side, result > 0 rows
+    "text_length_trim": 5,  # distributed rank decomposition (r4 VERDICT #1)
+    "pack_token_budget_shards": 5,  # hierarchical running sum (r4 VERDICT #2)
 }
 
 _CANARIES: list[str] = [

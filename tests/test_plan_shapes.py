@@ -117,6 +117,54 @@ def test_exact_dedup_single_shuffle(spark):
     assert len(exchanges) <= 2, plan
 
 
+def test_length_trim_no_single_partition_over_corpus(spark):
+    """text_length_trim's rank decomposition (r4 VERDICT #1): the
+    per-row rank window must partition by n_chars (distributed), and
+    the only SinglePartition exchange allowed is the one feeding the
+    tiny distinct-lengths cumulative sum — i.e. every SinglePartition
+    subtree aggregates BEFORE exchanging; none may sit directly over
+    the documents scan."""
+    df = QUERIES["text_length_trim"](spark, SF_T2)
+    plan = plan_of(df)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(n_chars#\d+", plan
+    ), plan
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 1, plan
+    for i in sp:
+        below = "\n".join(lines[i + 1:])
+        agg_pos = below.find("HashAggregate")
+        scan_pos = below.find("FileScan")
+        assert 0 <= agg_pos < scan_pos, (
+            f"SinglePartition exchange not fed by an aggregate:\n{plan}"
+        )
+
+
+def test_pack_shards_running_sum_is_hierarchical(spark):
+    """pack_token_budget_shards (r4 VERDICT #2): the corpus running-sum
+    window must partition by (source, blk) — parallelism scales with
+    block count, not #sources — and any source-only exchange may only
+    carry the per-BLOCK table (aggregated before exchanging)."""
+    df = QUERIES["pack_token_budget_shards"](spark, SF_T2)
+    plan = plan_of(df)
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, blk#\d+L?, doc_id#\d+", plan
+    ), plan
+    lines = plan.splitlines()
+    src_only = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"Exchange hashpartitioning\(source#\d+, \d+\)", ln)
+    ]
+    for i in src_only:
+        below = "\n".join(lines[i + 1:])
+        agg_pos = below.find("HashAggregate")
+        scan_pos = below.find("FileScan")
+        assert 0 <= agg_pos < scan_pos, (
+            f"source-only exchange not fed by the per-block aggregate:\n{plan}"
+        )
+
+
 def test_lsh_pipelines_minimal_shuffle_inventory(spark):
     """The LSH candidate generators must keep their minimal exchange
     set — in particular the cap window and the bucket groupBy share ONE
