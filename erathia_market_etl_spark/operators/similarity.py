@@ -181,6 +181,8 @@ def kmeans_centroids(emb, k: int = 16, iters: int = 10,
         .limit(sample_n)
         .collect()
     )
+    if not sample:
+        raise ValueError("kmeans_centroids: empty embeddings input")
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     n = len(X)
     k = min(k, n)
@@ -205,7 +207,13 @@ def assign_cells(spark, emb, centroids: list[list[float]],
     array_max over (score, -cid) structs — the same narrow map-stage
     shape as the registered sim_topk_ivf query
     (plans/similarity_queries.py), generalized to centroid vectors that
-    are not rows of the table. Output: input columns + ``cid``."""
+    are not rows of the table. Output: input columns + ``cid``.
+
+    Zero norms are guarded: a zero-norm centroid (or embedding) scores
+    -inf instead of NaN — unguarded, Spark sorts NaN GREATEST in struct
+    ordering, so one zero-norm centroid would silently capture every
+    row (r4 ADVICE). With all scores -inf (zero-norm embedding) the
+    argmin tie-breaks deterministically to the lowest cid."""
     import pandas as pd  # noqa: F401  (pyspark->pandas conversion dep)
 
     cent_df = spark.createDataFrame(
@@ -221,7 +229,12 @@ def assign_cells(spark, emb, centroids: list[list[float]],
     scores = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            (dot(F.col(vec_col), c["cvec"]) / (F.col("_enorm") * c["cnorm"])).alias("s"),
+            F.when(
+                F.col("_enorm") * c["cnorm"] > 0,
+                dot(F.col(vec_col), c["cvec"]) / (F.col("_enorm") * c["cnorm"]),
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("s"),
             (-c["cid"]).alias("negcid"),
         ),
     )

@@ -73,6 +73,11 @@ def _r6(expr: str) -> str:
 # The fake decoder is a byte histogram (8 bins of 32 over 0..255) of the
 # utf-8 payload; the fixture text is pure ASCII, so per-character ord()
 # IS the byte value and the histogram is SQL (r3 VERDICT item 1c).
+# ASCII-ness is asserted against the live fixture in
+# tests/test_multimodal.py (r4 ADVICE: a non-ASCII vintage would make
+# ord() count codepoints where Spark counts utf-8 bytes); an empty text
+# yields a zeros row on BOTH sides via LEFT JOIN + COALESCE(f_i, 0.0),
+# matching _fake_decode_features' zeros-histogram guard.
 _FEATURE_BINS_SQL = ",\n           ".join(
     f"{_r6(f'SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) / COUNT(*)')} AS f{i}"
     for i in range(8)
@@ -94,8 +99,8 @@ _FEATURE_BINS_SQL = ",\n           ".join(
     SELECT d.doc_id AS media_id,
            CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-           b.f0, b.f1, b.f2, b.f3, b.f4, b.f5, b.f6, b.f7
-    FROM documents d JOIN b ON b.doc_id = d.doc_id
+           {", ".join(f"COALESCE(b.f{i}, 0.0) AS f{i}" for i in range(8))}
+    FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
     ORDER BY media_id
     """,
 )

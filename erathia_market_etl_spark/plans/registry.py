@@ -80,7 +80,6 @@ _CHANGED: dict[str, int] = {
     "sample_stratified_by": 4,   # sampleBy rand() -> deterministic hash bucket + oracle
     "agg_freq_items": 4,         # exact frequent items + in_sketch contract + oracle
     "agg_approx_sketches": 4,    # exact column + in-query error-bound flags + oracle
-    "media_feature_extract": 4,  # floor-trick rounding + byte-histogram oracle
     "media_frame_sample": 4,     # SQL-expressible frame fingerprint + oracle
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
@@ -89,6 +88,7 @@ _CHANGED: dict[str, int] = {
     "setop_except": 4,  # non-vacuous: restricted right side, result > 0 rows
     "text_length_trim": 5,  # distributed rank decomposition (r4 VERDICT #1)
     "pack_token_budget_shards": 5,  # hierarchical running sum (r4 VERDICT #2)
+    "media_feature_extract": 5,  # oracle hardened: LEFT JOIN + COALESCE (r4 ADVICE)
 }
 
 _CANARIES: list[str] = [

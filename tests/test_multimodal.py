@@ -83,3 +83,21 @@ def test_decode_real_is_gated():
     if not HAVE_CODECS:
         with pytest.raises(NotImplementedError):
             decode_real(b"xx", "image")
+
+
+def test_fixture_text_is_ascii_and_nonempty(spark):
+    """The media_feature_extract oracle histograms per-CHARACTER ord()
+    while Spark histograms utf-8 BYTES — identical only while the
+    fixture payload is pure ASCII (r4 ADVICE: pin the vintage; a
+    non-ASCII regeneration must fail loudly here, not drift silently).
+    Empty text is separately safe (LEFT JOIN + COALESCE oracle twin of
+    the decoder's zeros-histogram guard), so only ASCII-ness needs the
+    live-fixture pin."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_T2
+
+    for sf in (SF_SMOKE, SF_T2):
+        docs = load_table(spark, sf, "documents")
+        non_ascii = docs.filter(F.col("text").rlike(r"[^\x00-\x7F]")).count()
+        assert non_ascii == 0, f"non-ASCII text in {sf} breaks the ord() oracle"
