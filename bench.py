@@ -39,9 +39,16 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
     "sim_topk_ivf",
-    "sim_topk_lsh_bucket",
     "text_token_stats",
     "text_language_id",
+    # r4 VERDICT "Next round" #4: the expensive end of the registry —
+    # the heaviest end-to-end pipeline (LSH -> iterative components ->
+    # anti-join) and the pair-emitting banded-LSH path — carry perf
+    # evidence from r5 on. (sim_topk_lsh_bucket left with its retired
+    # driver slot; its plan is a strict subset of sim_topk_bruteforce's
+    # with a bucket filter.)
+    "dedup_corpus_representatives",
+    "sim_similar_pairs",
 ]
 
 
@@ -75,6 +82,8 @@ def main() -> None:
         "dedup_simhash_near_pairs",
         "agg_rollup",
         "session_window_stats",
+        "dedup_corpus_representatives",
+        "sim_similar_pairs",
     }
 
     registry = all_queries()

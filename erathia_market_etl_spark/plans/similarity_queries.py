@@ -76,9 +76,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_topk_lsh_bucket",
-    oracle=f"""
+# sim_topk_lsh_bucket's driver slot was RETIRED in r5 to pay for
+# sim_ivf_cell_quality (r4 VERDICT "Next round" #5: one slot in, one
+# slot out — new registrations dilute evidence freshness). The operator
+# keeps full local evidence: test_sim_topk_lsh_bucket_matches_oracle
+# runs this exact oracle through the same compare the driver uses.
+LSH_BUCKET_ORACLE = f"""
     WITH q AS (SELECT embedding AS query_vec,
                       {_BUCKET_SQL.format(v='embedding')} AS qbucket
                FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
@@ -90,13 +93,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND {_BUCKET_SQL.format(v='e.embedding')} = q.qbucket
     ORDER BY cosine_sim DESC, e.vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
 def sim_topk_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign-bit LSH
     bucket (~1/256 of the data). At scale, write the table partitioned by
     bucket and this filter becomes partition pruning — the scan itself
-    shrinks 256×."""
+    shrinks 256×. Driver slot retired r5 (see LSH_BUCKET_ORACLE note);
+    oracle-checked locally in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir).select(
         "query_vec", sign_bucket(F.col("query_vec")).alias("qbucket")
@@ -255,6 +260,97 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(TOP_K)
+    )
+
+
+IVF_NPROBE = 4
+IVF_RECALL_FLOOR = 0.3   # measured 0.4 (sf0.001) / 0.5 (sf0.01) @ nprobe=4
+IVF_BALANCE_CEIL = 0.25  # measured max cell fraction 0.074 / 0.086 (k=16)
+
+
+@query(
+    "sim_ivf_cell_quality",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {N_CENTROIDS} AS k,
+           {IVF_NPROBE} AS n_probe,
+           TRUE AS cells_ok,
+           TRUE AS balance_ok,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def sim_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract for the PRODUCTION IVF path — sampled-k-means
+    centroids (kmeans_centroids) + broadcast cell assignment
+    (assign_cells) — in the sim_band_recall / agg_approx_sketches style
+    (r4 VERDICT "What's missing" #1: that path had local-only
+    evidence). The k-means result is not SQL-reproducible, so the
+    oracle pins the path's CONTRACT instead of its state:
+
+      * n_vectors — the assigned-cells table preserves cardinality,
+        hash-checked against the exact DuckDB COUNT(*) (the broadcast
+        assignment is 1:1, no dropped/duplicated rows);
+      * cells_ok — assignment actually partitions the space (2..k
+        distinct cells used);
+      * balance_ok — no cell captures more than {IVF_BALANCE_CEIL:.0%}
+        of the corpus (uniform would be 1/k ≈ 6%; a zero-norm-centroid
+        NaN capture or a collapsed k-means would trip this);
+      * recall_ok — IVF top-{TOP_K} at nprobe={IVF_NPROBE} recovers
+        ≥ {IVF_RECALL_FLOOR:.0%} of the exact brute-force top-{TOP_K}
+        for the standard query vector (measured headroom above).
+
+    Determinism: the k-means sample is hash-ordered with a fixed seed
+    (partition-layout-independent), Lloyd is driver numpy, probes are
+    argsort over the already-driver-side centroid list — so every run
+    produces the same booleans. Scale: centroid fit is O(sample), the
+    only corpus-wide stages are the narrow broadcast assignment, one
+    groupBy(cid) for sizes, and the brute-force audit pass (the same
+    audit cost sim_band_recall pays)."""
+    import numpy as np
+
+    from ..operators.similarity import assign_cells, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=N_CENTROIDS, iters=5, seed=7)
+    cells = assign_cells(spark, emb, cents)
+
+    C = np.asarray(cents, dtype=np.float64)
+    q = _query_vector(spark, sf_dir)
+    qvec = np.asarray(q.first()["query_vec"], dtype=np.float64)
+    cscore = (C @ qvec) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qvec))
+    probes = [int(i) for i in np.argsort(-cscore)[:IVF_NPROBE]]
+
+    def topk(df):
+        return (
+            df.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.col("query_vec")).alias("cs"),
+            )
+            .orderBy(F.desc("cs"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    stats = sizes.agg(
+        F.sum("sz").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("sz").alias("max_sz"),
+    )
+    hits = (
+        topk(emb).join(topk(cells.filter(F.col("cid").isin(probes))), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return stats.crossJoin(hits).select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.lit(N_CENTROIDS).alias("k"),
+        F.lit(IVF_NPROBE).alias("n_probe"),
+        ((F.col("n_cells") >= 2) & (F.col("n_cells") <= N_CENTROIDS)).alias("cells_ok"),
+        ((F.col("max_sz") / F.col("n_vectors")) <= IVF_BALANCE_CEIL).alias("balance_ok"),
+        ((F.col("n_hits") / TOP_K) >= IVF_RECALL_FLOOR).alias("recall_ok"),
     )
 
 

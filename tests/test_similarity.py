@@ -171,3 +171,53 @@ def test_assign_cells_plan_is_narrow(spark, clustered_emb):
     # collect_list of 3 centroids is one tiny agg; the vector side must
     # join it via BroadcastNestedLoopJoin, never a shuffle Exchange
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_empty_input_raises(spark):
+    """r4 ADVICE: empty embeddings must fail with a clear message, not
+    a numpy shape error from a 1-D empty array."""
+    import pytest as _pytest
+
+    from erathia_market_etl_spark.operators.similarity import kmeans_centroids
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_centroids(empty, k=3)
+
+
+def test_assign_cells_zero_norm_guard(spark):
+    """r4 ADVICE: a zero-norm centroid must not capture every row via
+    NaN-sorts-greatest; a zero-norm embedding must get a deterministic
+    cid, not an arbitrary NaN-driven one."""
+    from erathia_market_etl_spark.operators.similarity import assign_cells
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]]  # centroid 1 is zero-norm
+    out = {r["vec_id"]: r["cid"] for r in
+           assign_cells(spark, emb, cents).collect()}
+    assert out[0] == 0 and out[1] == 2  # real centroids win, never cid 1
+    assert out[2] == 0  # all -inf -> deterministic lowest-cid tie-break
+
+
+def test_sim_topk_lsh_bucket_matches_oracle(spark):
+    """Driver slot retired r5 (paid for sim_ivf_cell_quality); the
+    operator keeps the SAME oracle check locally, through the same
+    compare the driver runs."""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        LSH_BUCKET_ORACLE,
+        sim_topk_lsh_bucket,
+    )
+    from erathia_market_etl_spark.testing import compare_query
+
+    from .conftest import SF_SMOKE
+
+    r = compare_query(
+        "sim_topk_lsh_bucket",
+        sim_topk_lsh_bucket(spark, SF_SMOKE),
+        LSH_BUCKET_ORACLE,
+        SF_SMOKE,
+    )
+    assert r.ok, r
