@@ -51,6 +51,10 @@ HEADLINE = [
     "sim_similar_pairs",
 ]
 
+# timed from query construction, not just the noop write — see the
+# timer-placement comment in main()
+CONSTRUCTION_TIMED = {"dedup_corpus_representatives", "sim_similar_pairs"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +88,11 @@ def main() -> None:
         "session_window_stats",
         "dedup_corpus_representatives",
         "sim_similar_pairs",
+        # one-off 3x wobble observed r5 (0.46s steady vs 1.77s outlier
+        # runs) with no code change — late-run JIT/GC, same signature
+        # as the r3 LSH drift
+        "text_token_stats",
+        "text_language_id",
     }
 
     registry = all_queries()
@@ -93,10 +102,23 @@ def main() -> None:
         # footer reads, codegen compilation, page-cache faults) that are
         # amortized noise on a long-lived cluster; min measures the
         # engine's steady-state plan execution.
+        # Timer placement: baseline-comparable queries keep the r1
+        # convention (time the noop write only) so vs_baseline ratios
+        # stay apples-to-apples — construction costs a flat ~0.3-0.5 s
+        # of driver-side file-listing round-trips that the frozen
+        # baseline also excluded. The r5 additions are timed
+        # CONSTRUCTION-INCLUSIVE instead: dedup_corpus_representatives
+        # runs its checkpointed component iterations eagerly while the
+        # plan is built, so an exec-only timer would report ~0.2 s for
+        # a ~3.5 s pipeline (measured); sim_similar_pairs gets the same
+        # treatment so the two new rows share one convention.
         best = float("inf")
+        include_construction = name in CONSTRUCTION_TIMED
         for _ in range(3 if name in EXTRA_RUNS else 2):
-            df = registry[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            if not include_construction:
+                t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
@@ -125,8 +147,16 @@ def main() -> None:
                 for name, t in timings.items()
                 if base_q.get(name)
             }
-            if baseline.get("value"):
-                out["vs_baseline_total"] = round(total / baseline["value"], 3)
+            # apples-to-apples: ratio over the SHARED query set only —
+            # r5 added headline entries the frozen baseline never timed
+            # (and retired one), so total/baseline.value would compare
+            # different workloads
+            shared = [n for n in timings if base_q.get(n)]
+            if shared:
+                out["vs_baseline_total"] = round(
+                    sum(timings[n] for n in shared)
+                    / sum(base_q[n] for n in shared), 3
+                )
 
     print(json.dumps(out))
     spark.stop()
