@@ -11,9 +11,11 @@ distributed.
 
 Algorithm: min-label propagation. label(v) starts as v; each round
 label(v) := min(label(v), min over neighbors' labels); converges to the
-component minimum in O(component diameter) rounds. Each round is one
-shuffle (join edges⋈labels) + one aggregation; ``localCheckpoint``
-truncates the lineage so the plan does not grow exponentially with
+component minimum in O(component diameter) rounds. The edge table is
+cached pre-partitioned on the join key, so each round exchanges ONLY
+the labels side (join + one label/convergence aggregation — a single
+labels-sized shuffle per round at scale); ``localCheckpoint`` on the
+labels truncates the lineage so the plan does not grow with
 iterations.
 
 At 100 TB: diameter-bound rounds are fine for dedup graphs (clusters
@@ -36,12 +38,21 @@ def connected_components(
     """Component id (= minimum vertex id) for every vertex that appears
     in ``edges``. Returns (v, component_id). Deterministic: min-labels
     are order-independent."""
+    # The edge table is PERSISTED pre-partitioned on the join key, not
+    # localCheckpoint'ed: LogicalRDD (checkpoint) drops outputPartitioning,
+    # which would re-shuffle the (large) edge table on EVERY iteration of
+    # the loop once labels outgrow broadcast; a cached repartition("b")
+    # keeps the partitioning visible to the planner, so each round's
+    # sort-merge join exchanges only the labels side (verified: the
+    # iteration plan carries no ENSURE_REQUIREMENTS exchange on b).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()  # eager: compute the (possibly expensive) edge pipeline once
+        .repartition("b")
+        .persist()
     )
+    sym.count()  # eager: compute the (possibly expensive) edge pipeline once
     labels = (
         sym.select(F.col("a").alias("v")).distinct()
         .select("v", F.col("v").alias("lbl"))
@@ -52,19 +63,26 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["v"])
             .select(F.col("a").alias("v"), "lbl")
         )
-        new_labels = (
-            labels.unionByName(nbr_min)
+        # The convergence flag rides the SAME aggregation that computes
+        # the new labels (own=true tags each vertex's previous label, so
+        # min(lbl) < min(lbl where own) == "this vertex improved") —
+        # one shuffle and one checkpointed action per round, instead of
+        # a separate join-against-old-labels action that re-shuffled
+        # both sides just to count changes.
+        merged = (
+            labels.select("v", "lbl", F.lit(True).alias("own"))
+            .unionByName(nbr_min.select("v", "lbl", F.lit(False).alias("own")))
             .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (F.min("lbl") < F.min(F.when(F.col("own"), F.col("lbl"))))
+                .alias("chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = merged.agg(F.max("chg")).first()[0]
+        labels = merged.select("v", "lbl")
+        if not changed:
             break
+    sym.unpersist()  # labels is checkpointed — safe to drop the edge cache
     return labels.select("v", F.col("lbl").alias("component_id"))

@@ -34,3 +34,44 @@ def test_long_chain_converges(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {100}
     assert len(got) == 12
+
+
+def test_cached_edge_partitioning_survives_into_join(spark):
+    """connected_components persists the edge table pre-partitioned on
+    the join key INSTEAD of localCheckpoint (which drops
+    outputPartitioning). Pin the planner behavior that makes that
+    worthwhile: under sort-merge (the at-scale shape, labels too big to
+    broadcast), the cached side joins with NO new exchange — only the
+    labels side shuffles. If a Spark upgrade stops honoring cached
+    partitioning, this fails and the operator should be rethought."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(100).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        sym = edges.distinct().repartition("b").persist()
+        sym.count()
+        labels = spark.range(100).select(
+            F.col("id").alias("v"), F.col("id").alias("lbl")
+        )
+        j = sym.join(labels, sym["b"] == labels["v"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        ensure = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
+        ]
+        # exactly one requirement-driven exchange: the labels side (v);
+        # the cached edge side must reuse its REPARTITION_BY_COL layout
+        assert len(ensure) == 1 and "v#" in ensure[0], plan
+        sym.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
