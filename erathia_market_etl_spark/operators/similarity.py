@@ -135,12 +135,18 @@ def sign_band_near_pairs(emb, threshold: float = 0.9,
     )
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    # project the raw cosine ONCE, then filter/round on the column — a
+    # filter(cs)+select(round6(cs)) pair would re-evaluate the three
+    # interpreted HOF folds per surviving pair (6 aggregate() nodes in
+    # the plan vs 3; filter and project are separate operators, outside
+    # common-subexpression reach)
     cs = cosine(F.col("ea"), F.col("eb"))
     return (
         cands.join(a, "vec_a")
         .join(b, "vec_b")
-        .filter(cs >= threshold)
-        .select("vec_a", "vec_b", round6(cs).alias("cosine_sim"))
+        .withColumn("_cs", cs)
+        .filter(F.col("_cs") >= threshold)
+        .select("vec_a", "vec_b", round6(F.col("_cs")).alias("cosine_sim"))
     )
 
 

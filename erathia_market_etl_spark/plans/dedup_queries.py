@@ -218,12 +218,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("s"))
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    # evaluate the (array_intersect/array_union) Jaccard ONCE as a
+    # column, then filter/round on it — filter(jc)+select(round6(jc))
+    # would compute the set expression twice per candidate pair
     jc = jaccard(F.col("sa.s"), F.col("sb.s"))
     return (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jc >= 0.5)
-        .select("doc_a", "doc_b", round6(jc).alias("jaccard_3gram"))
+        .withColumn("_jc", jc)
+        .filter(F.col("_jc") >= 0.5)
+        .select("doc_a", "doc_b", round6(F.col("_jc")).alias("jaccard_3gram"))
         .orderBy("doc_a", "doc_b")
     )
 
