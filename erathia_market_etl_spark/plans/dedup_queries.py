@@ -216,7 +216,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates (never all-pairs), thresholded at 0.5. The expensive
     O(n²) stage is bounded by the LSH collision rate."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("s"))
+    # shingles are hashed to int64 BEFORE the join-back: the verify then
+    # shuffles ~8 bytes per shingle instead of the ~3-word string (and
+    # array_intersect compares longs, not strings). Jaccard is a pure
+    # set-cardinality ratio, so each engine may hash with its own
+    # function (DuckDB keeps strings) — the ratio is identical unless
+    # xxhash64 collides within one document pair's shingle sets
+    # (P ≈ n²/2⁶⁵ — negligible, and a collision would only perturb one
+    # pair's ratio).
+    sh = docs.select(
+        "doc_id",
+        F.transform(shingles(F.col("text"), 3), lambda x: F.xxhash64(x)).alias("s"),
+    )
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     # evaluate the (array_intersect/array_union) Jaccard ONCE as a
     # column, then filter/round on it — filter(jc)+select(round6(jc))
