@@ -72,10 +72,18 @@ def _load_all() -> None:
 # import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
 # a hand-written priority list went stale and burned driver slots).
 
-# name -> round in which its semantics/oracle changed. An entry is
-# SELF-EXPIRING: it is prioritized only while the newest green row
-# predates the change, so once the driver re-greens it the entry stops
-# consuming slots (no manual pruning to forget — the r3 failure mode).
+# name -> round in which its SEMANTICS (output values/schema) or oracle
+# changed. An entry is SELF-EXPIRING: it is prioritized only while the
+# newest green row predates the change, so once the driver re-greens it
+# the entry stops consuming slots (no manual pruning to forget — the r3
+# failure mode). Value-preserving plan refactors (same rows, same
+# floats, verified against the unchanged oracle locally before commit)
+# do NOT get entries — front-loading them would overflow the 50-slot
+# budget and push aged queries past the 2-round evidence policy; they
+# re-attest on normal rotation. (text_length_trim /
+# pack_token_budget_shards below are value-preserving too but are
+# listed because the r4 VERDICT explicitly requires their green rows in
+# CORRECTNESS_r05.)
 _CHANGED: dict[str, int] = {
     "sample_stratified_by": 4,   # sampleBy rand() -> deterministic hash bucket + oracle
     "agg_freq_items": 4,         # exact frequent items + in_sketch contract + oracle

