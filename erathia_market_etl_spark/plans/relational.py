@@ -528,13 +528,20 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group counts; unbounded cardinality should switch to
     approx_percentile (see agg_approx_sketches)."""
     r6 = lambda c: (F.floor(c * 1000000 + F.lit(0.5)) / 1000000).cast("double")  # noqa: E731
+    # one array-percentile call = ONE per-group value-counts buffer
+    # queried at three points, instead of three independent buffers
+    # over the same column (same interpolation, same floats)
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
-            r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
-            r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("pp")
+        )
+        .select(
+            "l_returnflag",
+            r6(F.col("pp")[0]).alias("p50"),
+            r6(F.col("pp")[1]).alias("p90"),
+            r6(F.col("pp")[2]).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
