@@ -1,0 +1,84 @@
+"""Registry-wide scale lint: every registered batch query's physical
+plan is checked against the shapes that kill a 100 TB run, not just the
+handful individually pinned in test_plan_shapes.py.
+
+Rules (each a named check so failures read like a lint report):
+
+  R1  no CartesianProduct — an all-pairs join over table-sized inputs
+      is quadratic at any scale. (BroadcastNestedLoopJoin is allowed:
+      the registry uses it only to attach broadcast 1-row/centroid
+      tables, and R2 bounds what may feed a broadcast.)
+  R2  every Exchange SinglePartition is fed by an aggregate before any
+      FileScan below it — i.e. single-partition data is always a
+      pre-aggregated tiny table (distinct-lengths counts, 1-row stats),
+      never a raw corpus/fact scan (the r4 text_length_trim failure
+      shape, generalized).
+  R3  no BatchEvalPython — row-at-a-time Python UDFs are banned
+      repo-wide (SURVEY.md §2.10 policy); Arrow boundaries
+      (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+      FlatMapGroupsInPandasWithState) are the sanctioned exceptions.
+  R4  no rand()/randn() in the plan — sampling and splits must be
+      deterministic hash arithmetic (reproducible under any partition
+      layout; r3 VERDICT on sampleBy).
+
+Streaming entries (stream_*) execute during construction
+(Trigger.AvailableNow into a memory sink), so the returned DataFrame is
+a sink read with no lineage to lint; their plan shapes are covered by
+the batch analogs here plus tests/test_streaming.py.
+
+The lint reads the pre-AQE executedPlan (no execution) at sf0.01 —
+shape rules only, nothing statistics-dependent is asserted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from erathia_market_etl_spark.plans import all_queries
+
+from .conftest import SF_T2
+
+QUERIES = all_queries()
+BATCH = [n for n in QUERIES if not n.startswith("stream_")]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark) -> dict[str, str]:
+    return {name: _plan(QUERIES[name](spark, SF_T2)) for name in BATCH}
+
+
+def test_r1_no_cartesian_product(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_r2_single_partition_only_after_aggregate(plans):
+    bad: list[str] = []
+    for name, plan in plans.items():
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            below = "\n".join(lines[i + 1:])
+            agg_pos = below.find("Aggregate")  # Hash/ObjectHash/Sort
+            scan_pos = below.find("FileScan")
+            if scan_pos == -1:
+                continue  # no scan below: local relation, trivially tiny
+            if not (0 <= agg_pos < scan_pos):
+                bad.append(name)
+                break
+    assert not bad, f"SinglePartition exchange over unaggregated scan in: {bad}"
+
+
+def test_r3_no_row_at_a_time_python_udf(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_r4_no_rand_in_plan(plans):
+    bad = [n for n, p in plans.items() if "rand(" in p or "randn(" in p]
+    assert not bad, f"nondeterministic rand() in: {bad}"
