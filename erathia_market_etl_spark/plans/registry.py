@@ -64,9 +64,13 @@ def _load_all() -> None:
 #   (a) every query whose implementation OR oracle changed since its most
 #       recent green CORRECTNESS row (_CHANGED — the one hand-maintained
 #       input, updated with the commits that change query semantics);
-#   (b) queries with no green row in any CORRECTNESS file yet;
-#   (c) queries whose newest green row is oldest, oldest first (the cap
+#   (b) queries whose newest green row is oldest, oldest first (the cap
 #       makes greens rotate out; evidence must not age past 2 rounds);
+#   (c) queries with no green row in any CORRECTNESS file yet — AFTER
+#       the aged greens: a never-checked registration has no evidence to
+#       go stale, while an aged green losing its slot breaks the 2-round
+#       freshness policy (r5: registering new queries must not push
+#       existing evidence past the window);
 #   (d) flagship canaries, then the remaining fresh greens.
 # (b)-(d) are DERIVED from the committed CORRECTNESS_r*.json files at
 # import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
@@ -154,7 +158,7 @@ def _priority(names: list[str], green: dict[str, int] | None = None) -> list[str
     fresh = sorted(
         n for n in rest if green.get(n) == newest and n not in canaries
     )
-    return changed + never + aged + canaries + fresh
+    return changed + aged + never + canaries + fresh
 
 
 def _ordered(d: dict[str, _T]) -> dict[str, _T]:

@@ -319,10 +319,16 @@ def silver_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["c_custkey"])
 
 
-@query(
-    "dedup_distinct_rows",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
+# Driver slot retired r5 (slot economics: one in, one out for
+# text_repetition_signals/text_pii_scrub — r4 VERDICT "Next round"
+# intro). The plan is a strict subset shape of distinct_projection_sorted
+# (hash-aggregate distinct over a pruned 2-column scan) and the dedup
+# family claim is carried by dedup_exact_hash/silver_dedup_by_key; the
+# oracle still runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+DISTINCT_ROWS_ORACLE = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
 def dedup_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-row dedup over genuinely duplicated data — hash-aggregate
     semantics, deterministic regardless of which physical row survives."""

@@ -40,9 +40,13 @@ def _bucket_sql(col: str, salt: int = 0) -> str:
     return f"(({col} % {_FOLD}) * {_KNUTH} + {salt}) % {_MOD32} % 100"
 
 
-@query(
-    "sample_split_assign",
-    oracle=f"""
+# Driver slot retired r5 (slot economics: one in, one out for
+# text_repetition_signals/text_pii_scrub). The bucket arithmetic is the
+# SAME expression sample_mixture_weighted and sample_stratified_by keep
+# driver-green (and tests/test_sampling.py property-tests); the oracle
+# still runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SPLIT_ASSIGN_ORACLE = f"""
     SELECT doc_id,
            {_bucket_sql('doc_id')} AS bucket,
            CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
@@ -50,8 +54,9 @@ def _bucket_sql(col: str, salt: int = 0) -> str:
                 ELSE 'test' END AS split
     FROM documents
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/validation/test split by hashed
     doc_id. Narrow (no shuffle): the assignment is a map-side expression,

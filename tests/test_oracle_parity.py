@@ -37,3 +37,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "nation_name" in df.columns
+
+
+# Driver slots retired r5 (slot economics — one out per query added):
+# the functions and oracles stay; they just run through the SAME compare
+# here instead of consuming one of the driver's 50 per-round slots.
+_RETIRED = ["dedup_distinct_rows", "sample_split_assign"]
+
+
+@pytest.mark.parametrize("name", _RETIRED)
+def test_retired_queries_still_match(spark, name):
+    from erathia_market_etl_spark.plans.relational import (
+        DISTINCT_ROWS_ORACLE,
+        dedup_distinct_rows,
+    )
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        SPLIT_ASSIGN_ORACLE,
+        sample_split_assign,
+    )
+
+    fn, oracle = {
+        "dedup_distinct_rows": (dedup_distinct_rows, DISTINCT_ROWS_ORACLE),
+        "sample_split_assign": (sample_split_assign, SPLIT_ASSIGN_ORACLE),
+    }[name]
+    result = compare_query(name, fn(spark, SF_SMOKE), oracle, SF_SMOKE)
+    assert result.ok, result

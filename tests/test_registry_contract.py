@@ -61,9 +61,10 @@ def test_rotation_priority_rules():
     green = {"zz_fresh": 3, "aa_fresh": 3, "old_r1": 1, "old_r2": 2,
              "q1_net_revenue_by_nation": 3}
     order = _priority(names, green)
-    # never-green first, then aged greens oldest-first, then canaries,
-    # then fresh greens alphabetically
-    assert order == ["never_seen", "old_r1", "old_r2",
+    # aged greens oldest-first (staleness breaks the 2-round evidence
+    # policy), then never-green (nothing to go stale yet), then
+    # canaries, then fresh greens alphabetically
+    assert order == ["old_r1", "old_r2", "never_seen",
                      "q1_net_revenue_by_nation", "aa_fresh", "zz_fresh"]
     # a _CHANGED entry outranks everything while its green row predates
     # the change, and self-expires once the driver re-greens it

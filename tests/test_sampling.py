@@ -59,8 +59,10 @@ def test_freq_items_superset_guarantee(spark):
 def test_hash_split_is_machine_independent(spark):
     # the production split must not depend on partitioning: recompute
     # with a different partition count, expect identical assignment
-    a = QUERIES["sample_split_assign"](spark, SF_T2).collect()
-    b = (QUERIES["sample_split_assign"](spark, SF_T2)
+    from erathia_market_etl_spark.plans.sampling_queries import sample_split_assign
+
+    a = sample_split_assign(spark, SF_T2).collect()
+    b = (sample_split_assign(spark, SF_T2)
          .repartition(13).orderBy("doc_id").collect())
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
