@@ -1,0 +1,80 @@
+"""Unit pins for the narrow (mapInPandas) winnowing operator.
+
+The rolling-min deque is the only hand-written sequential algorithm in
+the text surface, so it gets a brute-force twin here: fingerprints must
+equal {min of every w-window of k-gram md5s} computed the obvious
+quadratic way, on inputs chosen to stress the deque (monotone runs,
+all-equal grams, docs shorter than the window, docs shorter than k,
+non-ASCII chars where substr-chars != utf-8-bytes offsets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from erathia_market_etl_spark.operators.text import (
+    WINNOW_K,
+    WINNOW_W,
+    winnowing_fingerprints,
+)
+
+CASES = [
+    "abcdefghijklmnopqrstuvwxyz",      # all-distinct grams
+    "aaaaaaaaaaaaaaaa",                # all-equal grams (deque ties)
+    "abababababababab",                # period-2 repetition
+    "short",                           # < k: no grams at all
+    "exactly8",                        # == k: single gram
+    "ninechars",                       # k < len < k+w-1: all-partial windows
+    "zyxwvutsrqponmlkjihgfedcba",      # decreasing hash pressure
+    "née Müller — naïve façade über",  # non-ASCII: chars != bytes
+    "the quick brown fox jumps over the lazy dog " * 4,
+]
+
+
+def brute_force(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set[str]:
+    if len(text) < k:
+        return set()
+    hs = [hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()
+          for i in range(len(text) - k + 1)]
+    return {min(hs[i:i + w]) for i in range(len(hs))}
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id long, text string"
+    )
+    out = winnowing_fingerprints(df, "text", "doc_id").collect()
+    got: dict[int, set[str]] = {}
+    for r in out:
+        got.setdefault(r.doc, set()).add(r.fingerprint)
+    return got
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_matches_brute_force(result, i):
+    assert result.get(i, set()) == brute_force(CASES[i])
+
+
+def test_plan_is_narrow_at_scale(spark):
+    # with input splits >= default parallelism the operator must add NO
+    # exchange: scan -> (project) -> MapInPandas only. (The small-scan
+    # rebalance is exercised by every fixture-backed test above.)
+    n = spark.sparkContext.defaultParallelism
+    df = (
+        spark.range(n * 4)
+        .repartition(n * 2)
+        .select(F.col("id").alias("doc_id"),
+                F.lit("some document text padding").alias("text"))
+    )
+    plan = (
+        winnowing_fingerprints(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    # the pre-existing repartition is the input, not the operator; no
+    # exchange may appear between it and the Arrow boundary
+    assert plan.index("MapInPandas") < plan.index("Exchange")
