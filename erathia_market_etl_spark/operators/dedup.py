@@ -48,17 +48,22 @@ def cap_bucket_members(df: DataFrame, key_cols: list[str], order_col: str,
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles. Guarded: Spark's sequence(1, 0) yields
-    [1, 0] (descending!) where DuckDB's generate_series(1, 0) is empty —
-    short documents must short-circuit to an empty array.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a PRE-PROJECTED token-array column.
+    Callers should materialize ``split(text, ' ')`` as a real column
+    first: the gram lambda references the array 3n+2 times, and an
+    inline ``split`` expression is re-parsed at every reference (the
+    multi-reference case CollapseProject refuses to inline — measured
+    28% of text_fingerprint's runtime). Guarded: Spark's
+    sequence(1, 0) yields [1, 0] (descending!) where DuckDB's
+    generate_series(1, 0) is empty — short documents must
+    short-circuit to an empty array.
     DuckDB twin:
         CASE WHEN len(toks) >= n THEN
           list_transform(generate_series(1, len(toks)-n+1),
                          i -> toks[i] || ' ' || ... )
         ELSE [] END
     """
-    toks = tokens(text)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
@@ -66,6 +71,13 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column — prefer
+    shingles_from_tokens over a projected token array in hot paths
+    (see its docstring)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def rotated(h: Column, j: int) -> Column:
@@ -260,7 +272,11 @@ def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
 
     hashed = (
         fan_out(df)
-        .select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("s"),
+        )
         .select("doc", F.md5(F.concat(F.lit("mh|"), F.col("s"))).alias("h"))
     )
     sig = hashed.groupBy("doc").agg(*minhash_signature_cols())

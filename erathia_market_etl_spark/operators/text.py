@@ -116,10 +116,10 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     shuffle+sort never pays for itself at any scale.)
 
     Small-scan guard: a tiny corpus arrives as one file split, which
-    would serialize the hashing; when the scan has fewer partitions
-    than the cluster's default parallelism, rebalance the RAW text
-    first (1× text bytes — nothing is amplified). At production scale
-    the scan has more splits than cores and the guard never shuffles.
+    would serialize the hashing; fan_out rebalances the RAW text
+    (1× text bytes — nothing is amplified) only when the scan has
+    fewer splits than cores. At production scale the scan has more
+    splits than cores and the guard never shuffles.
 
     Python md5 over the char-slice's UTF-8 bytes is bit-identical to
     Spark's md5(substr(text, i, k)) (string→binary casts are UTF-8),
@@ -129,11 +129,9 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     both engines; digest-bytes order == hex order (hex is a monotone
     encoding), so the deque compares raw digests and hexlifies only
     the selected mins."""
-    spark = df.sparkSession
-    src = df.select(F.col(id_col), F.col(text_col))
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    from ..sources.parquet_io import fan_out
+
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
 
     def gen(batches):
         import hashlib

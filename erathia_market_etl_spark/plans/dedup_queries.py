@@ -22,12 +22,13 @@ from ..operators.dedup import (
     lsh_bucket_stats,
     minhash_band_table,
     minhash_candidate_pairs,
-    shingles,
+    shingles_from_tokens,
     simhash_near_pairs,
     simhash_table,
 )
 from ..operators.similarity import round6
-from ..sources.parquet_io import load_table
+from ..operators.text import tokens
+from ..sources.parquet_io import fan_out, load_table
 from .registry import query
 
 # shared SQL fragments for the oracle twins ---------------------------------
@@ -224,9 +225,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64 collides within one document pair's shingle sets
     # (P ≈ n²/2⁶⁵ — negligible, and a collision would only perturb one
     # pair's ratio).
-    sh = docs.select(
-        "doc_id",
-        F.transform(shingles(F.col("text"), 3), lambda x: F.xxhash64(x)).alias("s"),
+    sh = (
+        fan_out(docs)
+        .withColumn("_toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), 3), lambda x: F.xxhash64(x)
+            ).alias("s"),
+        )
     )
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     # evaluate the (array_intersect/array_union) Jaccard ONCE as a

@@ -163,11 +163,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc BEFORE the explode and rides the shingle rows into the grouping
     key; map-side partial MIN collapses the exchange to one row per
     doc. explode_outer + min-ignores-nulls keeps short documents
-    (< 3 tokens) as '' exactly like the oracle's COALESCE."""
-    from ..operators.dedup import shingles
+    (< 3 tokens) as '' exactly like the oracle's COALESCE.
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(F.col("text"), 3)
+    The shingle build + per-shingle md5 all run BEFORE the group-by's
+    first exchange, so fan_out rebalances small scans (8.3x at sf0.1:
+    4.25 s -> 0.51 s) and the token array is projected once instead of
+    re-splitting text at every lambda reference (shingles_from_tokens
+    docstring)."""
+    from ..operators.dedup import shingles_from_tokens
+    from ..sources.parquet_io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "_toks", TX.tokens(F.col("text"))
+    )
+    sh = shingles_from_tokens(F.col("_toks"), 3)
     exploded = docs.select(
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("content_fingerprint"),
@@ -308,12 +317,19 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with < 2 tokens emit no bigrams and drop out on both
     engines (inner explode, matching the oracle's WHERE len >= 2).
     Thresholds are config; fixed here so the flag is non-vacuous on the
-    fixture (82 of 500 docs flag at sf0.01)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (w, i) -> concat(w, ' ', split(text, ' ')[i + 1]))"
+    fixture (82 of 500 docs flag at sf0.01). The token array is
+    projected once (split re-parses text at every lambda reference
+    otherwise) and fan_out rebalances small scans before the
+    pre-exchange bigram build."""
+    from ..sources.parquet_io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "_toks", TX.tokens(F.col("text"))
+    )
+    toks = F.col("_toks")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda w, i: F.concat(w, F.lit(" "), F.element_at(toks, i + 2)),
     )
     exploded = docs.filter(F.size(toks) >= 2).select(
         "doc_id", F.explode(bigrams).alias("bg")
