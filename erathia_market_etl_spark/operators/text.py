@@ -134,40 +134,51 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
 
     def gen(batches):
-        import hashlib
         from binascii import hexlify
-        from collections import deque
 
         import pandas as pd
 
-        md5 = hashlib.md5
         for pdf in batches:
             docs_out: list = []
             fps_out: list[str] = []
             for doc, text in zip(pdf[id_col].values, pdf[text_col].values):
-                if text is None or len(text) < k:
-                    continue
-                m = len(text) - k + 1
-                hs = [md5(text[i:i + k].encode("utf-8")).digest()
-                      for i in range(m)]
-                sel = set()
-                dq: deque = deque()  # (pos, digest), digests increasing
-                for i, h in enumerate(hs):
-                    while dq and dq[-1][1] >= h:
-                        dq.pop()
-                    dq.append((i, h))
-                    if dq[0][0] <= i - w:
-                        dq.popleft()
-                    if i >= w - 1:
-                        sel.add(dq[0][1])
-                # partial tail windows (starts m-w+1..m-1): suffix mins
-                run = None
-                for i in range(m - 1, max(m - w + 1, 0) - 1, -1):
-                    run = hs[i] if run is None or hs[i] < run else run
-                    sel.add(run)
+                sel = winnow_doc(text, k, w)
                 docs_out.extend([doc] * len(sel))
                 fps_out.extend(hexlify(h).decode() for h in sel)
             yield pd.DataFrame({"doc": pd.array(docs_out, dtype="int64"),
                                 "fingerprint": fps_out})
 
     return src.mapInPandas(gen, "doc long, fingerprint string")
+
+
+def winnow_doc(text: str | None, k: int = WINNOW_K,
+               w: int = WINNOW_W) -> set[bytes]:
+    """Single-document winnowing core (the sequential algorithm inside
+    winnowing_fingerprints' Arrow batches, factored out so the deque is
+    property-testable against the brute-force definition without a
+    SparkSession — tests/test_winnowing.py). Returns the set of raw
+    md5 digests selected as window mins; hexlify preserves order."""
+    import hashlib
+    from collections import deque
+
+    if text is None or len(text) < k:
+        return set()
+    md5 = hashlib.md5
+    m = len(text) - k + 1
+    hs = [md5(text[i:i + k].encode("utf-8")).digest() for i in range(m)]
+    sel: set[bytes] = set()
+    dq: deque = deque()  # (pos, digest), digests increasing
+    for i, h in enumerate(hs):
+        while dq and dq[-1][1] >= h:
+            dq.pop()
+        dq.append((i, h))
+        if dq[0][0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            sel.add(dq[0][1])
+    # partial tail windows (starts m-w+1..m-1): suffix mins
+    run = None
+    for i in range(m - 1, max(m - w + 1, 0) - 1, -1):
+        run = hs[i] if run is None or hs[i] < run else run
+        sel.add(run)
+    return sel

@@ -59,3 +59,19 @@ def test_unclustered_baseline_overlaps(spark, tmp_path):
         1 for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]) if hi_prev > lo_next
     )
     assert overlaps > 0
+
+
+def test_fan_out_rebalances_small_scan(spark):
+    """fan_out's contract: a scan with fewer splits than cores is
+    round-robin rebalanced to defaultParallelism; an input already at or
+    above that parallelism is returned untouched (the production case —
+    no shuffle is added at real split counts)."""
+    from erathia_market_etl_spark.sources.parquet_io import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+    assert fan_out(small).rdd.getNumPartitions() == n
+
+    big = spark.range(100).repartition(n + 3)
+    out = fan_out(big)
+    assert out is big  # identity, not just same partition count

@@ -59,6 +59,33 @@ def test_matches_brute_force(result, i):
     assert result.get(i, set()) == brute_force(CASES[i])
 
 
+def test_winnow_doc_property():
+    # the pure per-document core vs the brute-force definition, over
+    # generated inputs (no SparkSession — winnow_doc is the exact code
+    # the Arrow batches run); small w/k variations included
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.operators.text import winnow_doc
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(min_size=0, max_size=120),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=7),
+    )
+    def check(text, k, w):
+        got = {h.hex() for h in winnow_doc(text, k, w)}
+        if len(text) < k:
+            assert got == set()
+            return
+        hs = [hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()
+              for i in range(len(text) - k + 1)]
+        assert got == {min(hs[i:i + w]) for i in range(len(hs))}
+
+    check()
+
+
 def test_plan_is_narrow_at_scale(spark):
     # with input splits >= default parallelism the operator must add NO
     # exchange: scan -> (project) -> MapInPandas only. (The small-scan
