@@ -190,3 +190,23 @@ def test_lsh_pipelines_minimal_shuffle_inventory(spark):
     # (band_idx, band_key) shared + (vec_a, vec_b) distinct; the verify
     # joins must ride BroadcastExchange, not extra shuffles
     assert len(hash_ex) <= 2, "\n".join(hash_ex)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["topk_per_group", "dedup_minhash_lsh_pairs", "sim_similar_pairs"],
+)
+def test_rank_limits_push_map_side_group_limit(spark, name):
+    """Every rank-limit window in the registry must plan a PARTIAL
+    WindowGroupLimit: each map task keeps only k rows per group BEFORE
+    the window's exchange. This is what makes the two shapes safe at
+    scale — topk_per_group partitions by a 3-value key (without the
+    partial limit, one task per key sorts the whole group), and the
+    LSH bucket caps bound degenerate corpora (an all-identical corpus
+    collapses into one bucket; the partial limit caps it at 256 rows
+    per map task instead of N rows in one sort). Losing the pushdown
+    (e.g. by switching row_number to a non-rank function or adding a
+    second window column) would still pass the value oracles."""
+    plan = plan_of(QUERIES[name](spark, SF_T2))
+    assert re.search(r"WindowGroupLimit .*, Partial", plan), name
+    assert re.search(r"WindowGroupLimit .*, Final", plan), name
