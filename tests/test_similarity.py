@@ -9,6 +9,8 @@ but dissimilar pair must be filtered by the exact verify)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
@@ -221,3 +223,32 @@ def test_sim_topk_lsh_bucket_matches_oracle(spark):
         SF_SMOKE,
     )
     assert r.ok, r
+
+
+def test_ivf_cells_partitioned_write_prunes_probes(spark, clustered_emb, tmp_path):
+    """SCALE.md's IVF claim, demonstrated: cells written partitionBy(cid)
+    turn probe reads into PARTITION PRUNING — a probe of nprobe cells
+    scans only those cells' files, never the full corpus. Pin both the
+    PartitionFilters in the plan and the pruned row count."""
+    from erathia_market_etl_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(clustered_emb, k=3, iters=5)
+    cells = assign_cells(spark, clustered_emb, cents)
+    out = str(tmp_path / "ivf_cells")
+    cells.write.mode("overwrite").partitionBy("cid").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("cid").isin(0, 2))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    # the pruned scan returns exactly the two probed cells' members and
+    # the un-probed cell's files are not read (strict subset of corpus)
+    n_all = spark.read.parquet(out).count()
+    n_probe = probe.count()
+    per_cell = {r["cid"]: r["n"] for r in
+                spark.read.parquet(out).groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n_probe == per_cell[0] + per_cell[2] < n_all
