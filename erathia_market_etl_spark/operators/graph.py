@@ -45,20 +45,39 @@ def connected_components(
     # keeps the partitioning visible to the planner, so each round's
     # sort-merge join exchanges only the labels side (verified: the
     # iteration plan carries no ENSURE_REQUIREMENTS exchange on b).
+    # Symmetrize with ONE pass over the edge pipeline: explode each edge
+    # into both directions instead of union-ing two copies of the (often
+    # expensive — LSH) edge plan, which only dedupes if ReuseExchange
+    # happens to fire. repartition("b") BEFORE dropDuplicates lets the
+    # dedup's final aggregate reuse that exchange (hash(b) satisfies the
+    # (a, b) clustering requirement), so symmetrize+dedup+partition is a
+    # single shuffle of the edge table, not two.
+    both = F.array(
+        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+        F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        edges.select(F.explode(both).alias("e"))
+        .select("e.a", "e.b")
         .repartition("b")
+        .dropDuplicates()
         .persist()
     )
     sym.count()  # eager: compute the (possibly expensive) edge pipeline once
+    # Round 1 is FREE: with identity initial labels, one propagation step
+    # is label(v) = min(v, min over neighbors b) — a single aggregation
+    # over sym, no labels table to join yet. This replaces the
+    # labels-init distinct AND the first join round (each a full shuffle
+    # + checkpoint at any scale). Symmetric edges guarantee round 1
+    # changes some label (every edge's larger endpoint improves), so the
+    # convergence probe starts at round 2.
     labels = (
-        sym.select(F.col("a").alias("v")).distinct()
-        .select("v", F.col("v").alias("lbl"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
+        .select(F.col("a").alias("v"), "lbl")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["v"])
             .select(F.col("a").alias("v"), "lbl")
