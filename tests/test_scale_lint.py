@@ -20,6 +20,13 @@ Rules (each a named check so failures read like a lint report):
   R4  no rand()/randn() in the plan — sampling and splits must be
       deterministic hash arithmetic (reproducible under any partition
       layout; r3 VERDICT on sampleBy).
+  R5  every WindowGroupLimit is two-phase (Partial before the exchange
+      AND Final after) — the map-side phase is what bounds low-
+      cardinality partition keys (topk_per_group) and degenerate LSH
+      buckets (the 256 cap); a half-fired pushdown would silently
+      revert to one task sorting a whole group. Named queries are
+      pinned in test_plan_shapes.py; this catches any FUTURE
+      rank-limit window added to the registry.
 
 Streaming entries (stream_*) execute during construction
 (Trigger.AvailableNow into a memory sink), so the returned DataFrame is
@@ -82,3 +89,17 @@ def test_r3_no_row_at_a_time_python_udf(plans):
 def test_r4_no_rand_in_plan(plans):
     bad = [n for n, p in plans.items() if "rand(" in p or "randn(" in p]
     assert not bad, f"nondeterministic rand() in: {bad}"
+
+
+def test_r5_window_group_limits_are_two_phase(plans):
+    import re
+
+    bad: list[str] = []
+    for name, plan in plans.items():
+        if "WindowGroupLimit" not in plan:
+            continue
+        n_partial = len(re.findall(r"WindowGroupLimit .*, Partial", plan))
+        n_final = len(re.findall(r"WindowGroupLimit .*, Final", plan))
+        if n_partial != n_final or n_partial == 0:
+            bad.append(f"{name} (partial={n_partial}, final={n_final})")
+    assert not bad, f"half-fired WindowGroupLimit pushdown in: {bad}"
