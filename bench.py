@@ -110,7 +110,7 @@ def main() -> None:
         # CONSTRUCTION-INCLUSIVE instead: dedup_corpus_representatives
         # runs its checkpointed component iterations eagerly while the
         # plan is built, so an exec-only timer would report ~0.2 s for
-        # a ~3.5 s pipeline (measured); sim_similar_pairs gets the same
+        # a ~2.5 s pipeline (measured); sim_similar_pairs gets the same
         # treatment so the two new rows share one convention.
         best = float("inf")
         include_construction = name in CONSTRUCTION_TIMED
