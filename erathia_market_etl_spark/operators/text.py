@@ -132,6 +132,9 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     from ..sources.parquet_io import fan_out
 
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # id type passes through (the explode/window predecessor preserved
+    # it too); only the fingerprint column's type is this operator's.
+    id_type = src.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         from binascii import hexlify
@@ -145,10 +148,11 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
                 sel = winnow_doc(text, k, w)
                 docs_out.extend([doc] * len(sel))
                 fps_out.extend(hexlify(h).decode() for h in sel)
-            yield pd.DataFrame({"doc": pd.array(docs_out, dtype="int64"),
-                                "fingerprint": fps_out})
+            yield pd.DataFrame(
+                {"doc": pd.Series(docs_out, dtype=pdf[id_col].dtype),
+                 "fingerprint": fps_out})
 
-    return src.mapInPandas(gen, "doc long, fingerprint string")
+    return src.mapInPandas(gen, f"doc {id_type}, fingerprint string")
 
 
 def winnow_doc(text: str | None, k: int = WINNOW_K,
@@ -157,7 +161,12 @@ def winnow_doc(text: str | None, k: int = WINNOW_K,
     winnowing_fingerprints' Arrow batches, factored out so the deque is
     property-testable against the brute-force definition without a
     SparkSession — tests/test_winnowing.py). Returns the set of raw
-    md5 digests selected as window mins; hexlify preserves order."""
+    md5 digests selected as window mins; hexlify preserves order.
+
+    O(w) memory, not O(len(text)): digests are computed one position at
+    a time and only the monotonic deque plus a (w-1)-slot tail ring
+    survive — a pathological 50 MB concatenation-junk document costs
+    the worker ~50M md5 calls but never a 3 GB digest list."""
     import hashlib
     from collections import deque
 
@@ -165,10 +174,12 @@ def winnow_doc(text: str | None, k: int = WINNOW_K,
         return set()
     md5 = hashlib.md5
     m = len(text) - k + 1
-    hs = [md5(text[i:i + k].encode("utf-8")).digest() for i in range(m)]
     sel: set[bytes] = set()
     dq: deque = deque()  # (pos, digest), digests increasing
-    for i, h in enumerate(hs):
+    tail: deque = deque(maxlen=max(w - 1, 1))  # last w-1 digests
+    for i in range(m):
+        h = md5(text[i:i + k].encode("utf-8")).digest()
+        tail.append(h)
         while dq and dq[-1][1] >= h:
             dq.pop()
         dq.append((i, h))
@@ -176,9 +187,10 @@ def winnow_doc(text: str | None, k: int = WINNOW_K,
             dq.popleft()
         if i >= w - 1:
             sel.add(dq[0][1])
-    # partial tail windows (starts m-w+1..m-1): suffix mins
+    # partial tail windows (starts m-w+1..m-1): suffix mins over the
+    # last min(w-1, m) digests
     run = None
-    for i in range(m - 1, max(m - w + 1, 0) - 1, -1):
-        run = hs[i] if run is None or hs[i] < run else run
+    for h in reversed(tail):
+        run = h if run is None or h < run else run
         sel.add(run)
     return sel

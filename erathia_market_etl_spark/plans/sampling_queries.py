@@ -202,12 +202,23 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "blk",
         F.coalesce(F.sum("blk_tot").over(w_off), F.lit(0)).alias("offset"),
     )
+    # NULL-SAFE join keys: both engines' window PARTITION BY groups
+    # NULL sources into one partition, but a plain equi-join would drop
+    # those rows (NULL != NULL) where the oracle keeps them — <=> keeps
+    # the two sides row-identical on null-bearing data and still plans
+    # a broadcast hash join.
+    joined = local.alias("L").join(
+        F.broadcast(offsets).alias("O"),
+        F.col("L.source").eqNullSafe(F.col("O.source"))
+        & F.col("L.blk").eqNullSafe(F.col("O.blk")),
+    )
     return (
-        local.join(F.broadcast(offsets), ["source", "blk"])
-        .select(
-            "doc_id", "source", "n_tokens",
+        joined.select(
+            F.col("L.doc_id").alias("doc_id"),
+            F.col("L.source").alias("source"),
+            F.col("L.n_tokens").alias("n_tokens"),
             F.floor(
-                (F.col("offset") + F.col("local_cum") - F.col("n_tokens"))
+                (F.col("O.offset") + F.col("L.local_cum") - F.col("L.n_tokens"))
                 .cast("double") / _SHARD_BUDGET
             ).alias("shard_id"),
         )
@@ -222,6 +233,7 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) AS pr
         FROM documents
+        WHERE n_chars IS NOT NULL
     )
     SELECT doc_id, n_chars
     FROM r
@@ -252,9 +264,20 @@ def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = (below + rw - 1)/(n - 1) reproduces percent_rank's float
     bit-for-bit (exact int64 numerator, one double division), so the
-    oracle is unchanged. No SinglePartition exchange touches the
-    corpus — pinned in tests/test_plan_shapes.py."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    oracle's rank arithmetic is untouched. No SinglePartition exchange
+    touches the corpus — pinned in tests/test_plan_shapes.py.
+
+    NULL n_chars is excluded EXPLICITLY on both sides (oracle WHERE +
+    the filter here): engines disagree on where nulls rank
+    (DuckDB percent_rank puts them last, Spark's groupBy would fold
+    them into `below` via NULLS FIRST ordering while the equi-join
+    dropped the rows themselves) — a length trim over docs without a
+    length is undefined, so the contract removes them."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     lengths = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
     w_below = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
     bounds = lengths.select(

@@ -91,3 +91,54 @@ def test_bucket_arithmetic_is_engine_safe():
         assert 0 <= prod % _MOD32 % 100 < 100
 
     check()
+
+
+def test_pack_shards_keeps_null_source_rows(spark, tmp_path):
+    """Null-bearing data contract (r5 review): both engines' window
+    PARTITION BY groups NULL sources into one partition; the offsets
+    join is null-safe (<=>) so those rows survive to the output instead
+    of vanishing through a NULL != NULL equi-join."""
+    import pandas as pd
+
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        pack_token_budget_shards,
+    )
+
+    d = str(tmp_path / "sfnull")
+    import os
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": range(8),
+        "source": ["s0", None, "s0", None, "s0", None, "s0", None],
+        "text": ["one two three"] * 8,
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+    out = pack_token_budget_shards(spark, d).collect()
+    assert len(out) == 8
+    null_rows = [r for r in out if r["source"] is None]
+    assert len(null_rows) == 4
+    # the NULL partition's running sum is its own sequence: 3 tokens per
+    # doc, budget 2048 -> all shard 0
+    assert all(r["shard_id"] == 0 for r in null_rows)
+
+
+def test_length_trim_excludes_null_lengths(spark, tmp_path):
+    """Null-bearing data contract (r5 review): docs with NULL n_chars
+    are excluded on BOTH sides (oracle WHERE + Spark filter) — engines
+    disagree on where nulls rank, so the contract removes them."""
+    import os
+
+    import pandas as pd
+
+    from erathia_market_etl_spark.plans.sampling_queries import text_length_trim
+
+    d = str(tmp_path / "sfnull2")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": range(40),
+        "n_chars": [None if i % 10 == 0 else 100 + i for i in range(40)],
+        "text": ["x" * 50] * 40,
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+    rows = text_length_trim(spark, d).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert not any(i % 10 == 0 for i in ids)  # null-length docs gone
+    assert len(rows) > 0

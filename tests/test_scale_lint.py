@@ -12,7 +12,12 @@ Rules (each a named check so failures read like a lint report):
       FileScan below it — i.e. single-partition data is always a
       pre-aggregated tiny table (distinct-lengths counts, 1-row stats),
       never a raw corpus/fact scan (the r4 text_length_trim failure
-      shape, generalized).
+      shape, generalized). KNOWN LIMIT: the check walks the flattened
+      plan text, not the exchange's subtree — a multi-branch plan
+      whose FIRST branch aggregates a local relation while a SECOND
+      branch is a raw scan would false-negative; the named pins in
+      test_plan_shapes.py stay the authoritative guard for the queries
+      that motivated the rule.
   R3  no BatchEvalPython — row-at-a-time Python UDFs are banned
       repo-wide (SURVEY.md §2.10 policy); Arrow boundaries
       (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
@@ -33,8 +38,13 @@ Streaming entries (stream_*) execute during construction
 a sink read with no lineage to lint; their plan shapes are covered by
 the batch analogs here plus tests/test_streaming.py.
 
-The lint reads the pre-AQE executedPlan (no execution) at sf0.01 —
-shape rules only, nothing statistics-dependent is asserted.
+The lint reads the pre-AQE executedPlan at sf0.01 — shape rules only,
+nothing statistics-dependent is asserted. Caveat: PLAN CONSTRUCTION is
+not free for every query — the eager-construction entries
+(dedup_cluster_components / dedup_corpus_representatives run their
+checkpointed component iterations; sim_ivf_cell_quality its bounded
+k-means collect) execute while the fixture builds, which is the bulk
+of this module's runtime.
 """
 
 from __future__ import annotations

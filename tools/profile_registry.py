@@ -3,7 +3,7 @@ print a sorted table slowest-first. Perf triage for the non-headline
 registry end — bench.py measures the headline set only; this finds the
 next shape worth fixing.
 
-Usage: python tools/profile_registry.py [sf_dir] [min_runs]
+Usage: python tools/profile_registry.py [sf_dir] [runs] [only_query1,query2,...]
 """
 
 from __future__ import annotations
