@@ -146,12 +146,15 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_features(b).tolist() for b in pdf["content"]]
+            # NULL payloads decode like empty ones (zeros histogram,
+            # n_bytes 0) instead of raising len(None) deep in the worker
+            bufs = [b if b is not None else b"" for b in pdf["content"]]
+            feats = [_fake_decode_features(b).tolist() for b in bufs]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "n_bytes": pd.Series([len(b) for b in bufs], dtype="int64"),
                     "features": feats,
                 }
             )
@@ -176,6 +179,10 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, buf, n_frames in zip(
                 pdf["media_id"], pdf["content"], pdf["n_frames"]
             ):
+                # a video row missing its payload or frame count has
+                # nothing to sample — skip rather than crash the batch
+                if buf is None or pd.isna(n_frames):
+                    continue
                 for i in range(0, int(n_frames), every_n):
                     ids.append(mid)
                     idxs.append(i)

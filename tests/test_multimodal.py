@@ -101,3 +101,38 @@ def test_fixture_text_is_ascii_and_nonempty(spark):
         docs = load_table(spark, sf, "documents")
         non_ascii = docs.filter(F.col("text").rlike(r"[^\x00-\x7F]")).count()
         assert non_ascii == 0, f"non-ASCII text in {sf} breaks the ord() oracle"
+
+
+def test_feature_extract_null_payload(spark):
+    """NULL content decodes like empty bytes (zeros histogram, n_bytes
+    0) instead of raising len(None) inside the Arrow worker."""
+    from erathia_market_etl_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image", None), (2, "image", bytearray(b"abc"))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 0
+    assert out[1]["features"] == [0.0] * 8
+    assert out[2]["n_bytes"] == 3
+
+
+def test_sample_frames_null_rows_skipped(spark):
+    """A video row with a NULL payload or NULL n_frames yields no
+    frames (skipped) rather than crashing the whole batch."""
+    from erathia_market_etl_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, (None, None, None, None, None, 30, None)),
+            (2, "video", bytearray(b"xyz"), (None, None, None, None, None, None, None)),
+            (3, "video", bytearray(b"ok"), (None, None, None, None, None, 15, None)),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,channels:int,sample_rate:int,"
+        "duration_ms:int,n_frames:int,codec:string>",
+    )
+    rows = sample_frames(media, every_n=10).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 10]
