@@ -60,8 +60,22 @@ def vectorized_cosine_udf(query_vec: list[float]):
 
     @pandas_udf("double")
     def cos(col: pd.Series) -> pd.Series:
-        m = np.stack(col.to_numpy()).astype(np.float64)
-        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+        # NULL embeddings and zero norms score -inf, NOT NaN: Spark
+        # sorts NaN as the GREATEST double, so a NaN would jump to the
+        # top of every descending top-k (the assign_cells zero-norm
+        # lesson); -inf sorts last, matching how the HOF variants'
+        # NULL scores order. The hot path (no nulls) is unchanged —
+        # one vectorized isna() check.
+        mask = col.isna()
+        scores = np.full(len(col), -np.inf)
+        valid = col[~mask]
+        if len(valid):
+            m = np.stack(valid.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(norms > 0, (m @ q) / norms, -np.inf)
+            scores[~mask.to_numpy()] = s
+        return pd.Series(scores, index=col.index)
 
     return cos
 

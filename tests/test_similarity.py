@@ -252,3 +252,26 @@ def test_ivf_cells_partitioned_write_prunes_probes(spark, clustered_emb, tmp_pat
                 spark.read.parquet(out).groupBy("cid")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert n_probe == per_cell[0] + per_cell[2] < n_all
+
+
+def test_vectorized_scorer_null_and_zero_norm(spark):
+    """NULL embeddings and zero-norm vectors score -inf (sorts LAST in
+    a descending top-k), never NaN (which Spark sorts as the greatest
+    double and would put at the TOP of every ranking)."""
+    from erathia_market_etl_spark.operators.similarity import vectorized_cosine_udf
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scorer = vectorized_cosine_udf([1.0, 0.0])
+    rows = {r["vec_id"]: r["s"] for r in
+            emb.select("vec_id", scorer("embedding").alias("s")).collect()}
+    assert rows[0] == 1.0
+    assert rows[1] == float("-inf") and rows[2] == float("-inf")
+    assert abs(rows[3]) < 1e-12
+    # and the ranking a top-k would see: real vectors first
+    order = [r["vec_id"] for r in
+             emb.select("vec_id", scorer("embedding").alias("s"))
+             .orderBy(F.desc("s"), F.asc("vec_id")).collect()]
+    assert order == [0, 3, 1, 2]
