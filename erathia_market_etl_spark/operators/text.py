@@ -115,6 +115,15 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     (Measured at sf0.1: 0.93 s vs 3.04 s for the window shape — the
     shuffle+sort never pays for itself at any scale.)
 
+    CONTRACT (r5 semantics change vs the window formulation): rows are
+    winnowed independently, so fingerprints are distinct per input ROW,
+    not per id value — the old global (doc, fingerprint) DISTINCT is
+    gone with the shuffle that implemented it. Callers must pass a
+    unique-id input (every registered caller reads the unique-keyed
+    documents table); for non-unique inputs, append
+    ``.dropDuplicates()`` (reintroducing one fingerprint-sized
+    shuffle) or pre-dedup the ids.
+
     Small-scan guard: a tiny corpus arrives as one file split, which
     would serialize the hashing; fan_out rebalances the RAW text
     (1× text bytes — nothing is amplified) only when the scan has

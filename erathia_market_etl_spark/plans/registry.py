@@ -76,18 +76,18 @@ def _load_all() -> None:
 # import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
 # a hand-written priority list went stale and burned driver slots).
 
-# name -> round in which its SEMANTICS (output values/schema) or oracle
-# changed. An entry is SELF-EXPIRING: it is prioritized only while the
-# newest green row predates the change, so once the driver re-greens it
-# the entry stops consuming slots (no manual pruning to forget — the r3
-# failure mode). Value-preserving plan refactors (same rows, same
-# floats, verified against the unchanged oracle locally before commit)
-# do NOT get entries — front-loading them would overflow the 50-slot
-# budget and push aged queries past the 2-round evidence policy; they
-# re-attest on normal rotation. (text_length_trim /
-# pack_token_budget_shards below are value-preserving too but are
-# listed because the r4 VERDICT explicitly requires their green rows in
-# CORRECTNESS_r05.)
+# name -> round in which its IMPLEMENTATION (plan shape / kernel) or
+# oracle changed. An entry is SELF-EXPIRING: it is prioritized only
+# while the newest green row predates the change, so once the driver
+# re-greens it the entry stops consuming slots (no manual pruning to
+# forget — the r3 failure mode). POLICY (tightened per r5 ADVICE):
+# implementation REWRITES get entries even when value-preserving —
+# local unit tests are not the cross-engine evidence the green rows
+# attest, so a green row must never predate the code it vouches for.
+# Only trivial touches (comment/docstring edits, alias-free renames)
+# skip re-attestation. When the slot budget can't absorb every rewrite,
+# rewrites outrank new registrations (an aged attestation is worse than
+# a missing one).
 _CHANGED: dict[str, int] = {
     "sample_stratified_by": 4,   # sampleBy rand() -> deterministic hash bucket + oracle
     "agg_freq_items": 4,         # exact frequent items + in_sketch contract + oracle
@@ -96,11 +96,18 @@ _CHANGED: dict[str, int] = {
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
     "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
-    "dedup_corpus_representatives": 4,  # new — the deduped-corpus output query
     "setop_except": 4,  # non-vacuous: restricted right side, result > 0 rows
     "text_length_trim": 5,  # distributed rank decomposition (r4 VERDICT #1)
     "pack_token_budget_shards": 5,  # hierarchical running sum (r4 VERDICT #2)
     "media_feature_extract": 5,  # oracle hardened: LEFT JOIN + COALESCE (r4 ADVICE)
+    # r5 implementation rewrites whose newest green rows were r4 —
+    # re-attested per the tightened policy above (r5 ADVICE, medium):
+    "text_winnowing_fingerprints": 5,  # window shuffle -> mapInPandas deque
+    "text_fingerprint": 5,             # shingle pipeline reshape (fan_out, project-once)
+    "dedup_ngram_jaccard": 5,          # int64 shingle hashing before verify join
+    "decon_test_train_overlap": 5,     # consumes the rewritten winnowing
+    "dedup_corpus_representatives": 5, # components round-1/symmetrize fusion
+    "sim_topk_vectorized": 5,          # NULL/zero-norm scoring change
 }
 
 _CANARIES: list[str] = [
