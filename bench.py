@@ -73,27 +73,13 @@ def main() -> None:
         "array(cast(id as float), cast(1 as float)) AS v"
     ).select(scorer("v")).write.mode("overwrite").format("noop").save()
 
-    # The two LSH pipelines have the deepest codegen (8-way MIN string
-    # rotations / 48 conditional bit-sums): their first execution pays
-    # multi-second JIT+codegen compilation, so min-of-2 leaves one real
-    # sample and recorded r2->r3 drift (1.9->3.5s) with no code change —
-    # profiled steady-state is ~1.1-1.6s. Three runs restore a stable
-    # minimum (r3 VERDICT item 4). agg_rollup and session_window_stats
-    # showed the same no-code-change round-to-round wobble (r3 verdict
-    # perf table) — same treatment.
-    EXTRA_RUNS = {
-        "dedup_minhash_lsh_pairs",
-        "dedup_simhash_near_pairs",
-        "agg_rollup",
-        "session_window_stats",
-        "dedup_corpus_representatives",
-        "sim_similar_pairs",
-        # one-off 3x wobble observed r5 (0.46s steady vs 1.77s outlier
-        # runs) with no code change — late-run JIT/GC, same signature
-        # as the r3 LSH drift
-        "text_token_stats",
-        "text_language_id",
-    }
+    # Min-of-3 for EVERY headline query (r5 VERDICT item 6). The old
+    # EXTRA_RUNS set grew one query at a time as JIT/GC wobble was
+    # observed per-round (LSH codegen r3, token_stats/language_id r5,
+    # q4 r5 — each a no-code-change 1.3-3x outlier in a min-of-2
+    # sample); uniform 3 runs costs ~20 s of bench time and removes
+    # the per-round judgment call entirely.
+    N_RUNS = 3
 
     registry = all_queries()
     timings: dict[str, float] = {}
@@ -114,7 +100,7 @@ def main() -> None:
         # treatment so the two new rows share one convention.
         best = float("inf")
         include_construction = name in CONSTRUCTION_TIMED
-        for _ in range(3 if name in EXTRA_RUNS else 2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             if not include_construction:
