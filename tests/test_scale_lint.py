@@ -8,16 +8,17 @@ Rules (each a named check so failures read like a lint report):
       is quadratic at any scale. (BroadcastNestedLoopJoin is allowed:
       the registry uses it only to attach broadcast 1-row/centroid
       tables, and R2 bounds what may feed a broadcast.)
-  R2  every Exchange SinglePartition is fed by an aggregate before any
-      FileScan below it — i.e. single-partition data is always a
+  R2  every Exchange SinglePartition is fed by aggregates on ALL of its
+      scan branches — i.e. single-partition data is always a
       pre-aggregated tiny table (distinct-lengths counts, 1-row stats),
       never a raw corpus/fact scan (the r4 text_length_trim failure
-      shape, generalized). KNOWN LIMIT: the check walks the flattened
-      plan text, not the exchange's subtree — a multi-branch plan
-      whose FIRST branch aggregates a local relation while a SECOND
-      branch is a raw scan would false-negative; the named pins in
-      test_plan_shapes.py stay the authoritative guard for the queries
-      that motivated the rule.
+      shape, generalized). Subtree-aware since r6 (r5 VERDICT item 2):
+      the check walks the exchange's indentation-scoped subtree and
+      requires an Aggregate ANCESTOR on the path to every FileScan in
+      it, so a multi-branch plan cannot slip a raw-scan branch past the
+      lint behind an aggregated sibling (the flattened-text
+      false-negative is gone; test_r2_catches_multibranch_raw_scan
+      pins the lint itself against that shape).
   R3  no BatchEvalPython — row-at-a-time Python UDFs are banned
       repo-wide (SURVEY.md §2.10 policy); Arrow boundaries
       (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
@@ -50,6 +51,7 @@ of this module's runtime.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from erathia_market_etl_spark.plans import all_queries
 
@@ -73,22 +75,66 @@ def test_r1_no_cartesian_product(plans):
     assert not bad, f"cartesian product in: {bad}"
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = offset where the operator text starts
+    (after the ' :+-' box-drawing prefix). Operator text never begins
+    with one of those characters ('*(n) ...', letters, '(')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _unaggregated_scans_below_single_partition(plan: str) -> bool:
+    """True iff some Exchange SinglePartition has a FileScan in its
+    subtree with NO Aggregate on the exchange→scan ancestor path."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d0 = _node_depth(ln)
+        # ancestor stack within the subtree: (depth, is_aggregate)
+        stack: list[tuple[int, bool]] = []
+        for sub in lines[i + 1:]:
+            d = _node_depth(sub)
+            if d <= d0:
+                break  # left the exchange's subtree
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            if "FileScan" in sub and not any(is_agg for _, is_agg in stack):
+                return True
+            stack.append((d, "Aggregate" in sub))  # Hash/ObjectHash/Sort
+    return False
+
+
 def test_r2_single_partition_only_after_aggregate(plans):
-    bad: list[str] = []
-    for name, plan in plans.items():
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines):
-            if "Exchange SinglePartition" not in ln:
-                continue
-            below = "\n".join(lines[i + 1:])
-            agg_pos = below.find("Aggregate")  # Hash/ObjectHash/Sort
-            scan_pos = below.find("FileScan")
-            if scan_pos == -1:
-                continue  # no scan below: local relation, trivially tiny
-            if not (0 <= agg_pos < scan_pos):
-                bad.append(name)
-                break
+    bad = [n for n, p in plans.items()
+           if _unaggregated_scans_below_single_partition(p)]
     assert not bad, f"SinglePartition exchange over unaggregated scan in: {bad}"
+
+
+def test_r2_catches_multibranch_raw_scan(spark):
+    # The lint's own pin (r5 VERDICT item 2): a two-branch plan whose
+    # FIRST branch aggregates while the SECOND is a raw corpus scan,
+    # under a global-sort window's SinglePartition exchange. The old
+    # flattened-text rule false-negatived here (first 'Aggregate' index
+    # < first 'FileScan' index); the subtree walk must flag it.
+    from pyspark.sql import Window
+
+    raw = (
+        spark.read.parquet(f"{SF_T2}/documents.parquet")
+        .select(F.col("doc_id").alias("x"))
+    )
+    aggd = raw.groupBy().agg(F.min("x").alias("x"))
+    bad = aggd.unionByName(raw).withColumn(
+        "rn", F.row_number().over(Window.orderBy("x"))
+    )
+    plan = _plan(bad)
+    assert "Exchange SinglePartition" in plan  # shape is as constructed
+    assert _unaggregated_scans_below_single_partition(plan)
+    # and the aggregated-only variant stays clean (no false positive)
+    ok = aggd.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    assert not _unaggregated_scans_below_single_partition(_plan(ok))
 
 
 def test_r3_no_row_at_a_time_python_udf(plans):
