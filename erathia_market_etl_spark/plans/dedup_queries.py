@@ -341,18 +341,20 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH candidate pairs as edges,
-    connected components via iterative min-label propagation
-    (operators/graph.py), component id = canonical (minimum) doc —
-    'keep one per cluster' is then a filter on doc_id == component_id.
-    Oracle computes the same fixpoint with a recursive CTE (transitive
-    closure + per-vertex min). The one iterative algorithm in the
-    surface; each round is one distributed join+agg."""
-    from ..operators.graph import connected_components
+    connected components via the alternating large-star/small-star
+    kernel (operators/graph.py, Kiveris et al. SoCC'14 — r6: replaces
+    min-label propagation so a chain-shaped dup cluster costs O(log² n)
+    rounds instead of O(diameter)), component id = canonical (minimum)
+    doc — 'keep one per cluster' is then a filter on
+    doc_id == component_id. Oracle computes the same fixpoint with a
+    recursive CTE (transitive closure + per-vertex min); labels are
+    kernel-independent, so the oracle is unchanged."""
+    from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     return (
-        connected_components(pairs, "doc_a", "doc_b")
+        connected_components_star(pairs, "doc_a", "doc_b")
         .select(F.col("v").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
@@ -388,18 +390,19 @@ def dedup_corpus_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical label dedup_cluster_components assigns). The other dedup
     queries emit pairs/components/stats for audit; this one emits what a
     training pipeline actually feeds the tokenizer. Shape: LSH pairs →
-    min-label components → filter members ≠ label → LEFT ANTI join back
-    to documents. The anti-join is a sort-merge on doc_id by design —
+    large/small-star components (r6 kernel swap, see
+    dedup_cluster_components) → filter members ≠ label → LEFT ANTI join
+    back to documents. The anti-join is a sort-merge on doc_id by design —
     on a heavily-duplicated corpus (web crawls routinely dedup away
     most of the data) the non-representative side is NOT small, so a
     broadcast hint would be a scale bug; SMJ shuffles only 8-byte keys
     plus the projected columns, never text payloads."""
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     non_reps = (
-        connected_components(pairs, "doc_a", "doc_b")
+        connected_components_star(pairs, "doc_a", "doc_b")
         .filter(F.col("v") != F.col("component_id"))
         .select(F.col("v").alias("doc_id"))
     )

@@ -106,8 +106,10 @@ _CHANGED: dict[str, int] = {
     "text_fingerprint": 5,             # shingle pipeline reshape (fan_out, project-once)
     "dedup_ngram_jaccard": 5,          # int64 shingle hashing before verify join
     "decon_test_train_overlap": 5,     # consumes the rewritten winnowing
-    "dedup_corpus_representatives": 5, # components round-1/symmetrize fusion
+    "dedup_corpus_representatives": 6, # r5: round-1/symmetrize fusion; r6: star kernel
     "sim_topk_vectorized": 5,          # NULL/zero-norm scoring change
+    # r6 kernel swap: connected components -> large-star/small-star
+    "dedup_cluster_components": 6,
 }
 
 _CANARIES: list[str] = [

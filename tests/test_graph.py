@@ -4,28 +4,50 @@ fixture path; this pins the algorithm itself)."""
 
 from __future__ import annotations
 
-from erathia_market_etl_spark.operators.graph import connected_components
+import pytest
+
+from erathia_market_etl_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+KERNELS = [connected_components, connected_components_star]
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, kernel=connected_components, **kw):
     df = spark.createDataFrame(edges, ["src", "dst"])
-    out = connected_components(df, "src", "dst")
-    return {r["v"]: r["component_id"] for r in out.collect()}
+    out = kernel(df, "src", "dst", **kw)
+    rows = out.collect()
+    got = {r["v"]: r["component_id"] for r in rows}
+    assert len(rows) == len(got), "duplicate vertex rows"
+    return got
 
 
-def test_two_components_and_chain(spark):
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_two_components_and_chain(spark, kernel):
     # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds)
     # plus a separate triangle 10-11-12
     edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, kernel)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
-def test_cycle_and_duplicate_edges(spark):
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_cycle_and_duplicate_edges(spark, kernel):
     # cycles and repeated/reversed edges must not loop or double-count
     edges = [(5, 6), (6, 7), (7, 5), (6, 5), (5, 6)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, kernel)
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_self_loops_keep_singletons(spark, kernel):
+    # a vertex with only a self-loop is its own singleton component in
+    # BOTH kernels (the star kernel filters self-edges but must not
+    # drop the vertex)
+    edges = [(1, 2), (9, 9), (2, 2)]
+    got = _cc(spark, edges, kernel)
+    assert got == {1: 1, 2: 1, 9: 9}
 
 
 def test_long_chain_converges(spark):
@@ -34,6 +56,28 @@ def test_long_chain_converges(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {100}
     assert len(got) == 12
+
+
+def test_star_collapses_path_in_log_rounds(spark):
+    """The r5 VERDICT item 1 pin: on a planted 128-vertex path —
+    diameter 127, the adversarial shape for min-label propagation —
+    the alternating-star kernel must converge CORRECTLY within a
+    logarithmic round budget that provably round-bounds min-label
+    (which needs ~one round per hop and hits the same cap with wrong
+    labels still in flight)."""
+    n = 128
+    edges = [(1000 + i, 1000 + i + 1) for i in range(n - 1)]
+    cap = 12  # >> log2(128)=7 rounds of star, << the ~127 min-label needs
+
+    stats: dict = {}
+    got = _cc(spark, edges, connected_components_star, max_iter=cap, stats=stats)
+    assert got == {1000 + i: 1000 for i in range(n)}  # correct at the cap
+    assert stats["rounds"] <= 10, stats
+
+    ml_stats: dict = {}
+    ml = _cc(spark, edges, connected_components, max_iter=cap, stats=ml_stats)
+    assert ml_stats["rounds"] == cap  # cap exhausted, still propagating
+    assert ml != got  # labels not yet converged — the O(diameter) bound
 
 
 def test_cached_edge_partitioning_survives_into_join(spark):
