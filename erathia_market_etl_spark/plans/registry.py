@@ -51,6 +51,7 @@ def _load_all() -> None:
         relational,
         sampling_queries,
         similarity_queries,
+        skew_queries,
         streaming_queries,
         temporal_queries,
         text_queries,
@@ -102,14 +103,15 @@ _CHANGED: dict[str, int] = {
     "media_feature_extract": 5,  # oracle hardened: LEFT JOIN + COALESCE (r4 ADVICE)
     # r5 implementation rewrites whose newest green rows were r4 —
     # re-attested per the tightened policy above (r5 ADVICE, medium):
-    "text_winnowing_fingerprints": 5,  # window shuffle -> mapInPandas deque
+    "text_winnowing_fingerprints": 6,  # r5: narrow rewrite; r6: vectorized poly hash
     "text_fingerprint": 5,             # shingle pipeline reshape (fan_out, project-once)
     "dedup_ngram_jaccard": 5,          # int64 shingle hashing before verify join
-    "decon_test_train_overlap": 5,     # consumes the rewritten winnowing
+    "decon_test_train_overlap": 6,     # r5/r6: consumes the rewritten winnowing
     "dedup_corpus_representatives": 6, # r5: round-1/symmetrize fusion; r6: star kernel
     "sim_topk_vectorized": 5,          # NULL/zero-norm scoring change
     # r6 kernel swap: connected components -> large-star/small-star
     "dedup_cluster_components": 6,
+    "text_token_frequencies": 6,  # fan_out rebalance before the explode
 }
 
 _CANARIES: list[str] = [

@@ -210,3 +210,37 @@ def test_rank_limits_push_map_side_group_limit(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_T2))
     assert re.search(r"WindowGroupLimit .*, Partial", plan), name
     assert re.search(r"WindowGroupLimit .*, Final", plan), name
+
+
+def test_batch_ann_broadcasts_probes_and_limits_window(spark):
+    """sim_topk_batch (r5 VERDICT item 3): the (qid, cid, qvec) probe
+    table must attach to the cell table via BROADCAST (the corpus-wide
+    cell side never shuffles to be scored), and the per-query rank cut
+    must be a two-phase WindowGroupLimit on hash(qid) — the only
+    exchange after IVF assignment, carrying already-rank-limited rows."""
+    plan = plan_of(QUERIES["sim_topk_batch"](spark, SF_T2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"WindowGroupLimit .*, Partial", plan), plan
+    assert re.search(r"WindowGroupLimit .*, Final", plan), plan
+    # after assignment, the only hash exchange is the window's hash(qid)
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1 and "qid" in hash_ex[0], "\n".join(hash_ex)
+
+
+def test_skew_salted_exchanges_carry_the_salt(spark):
+    """skew_salted_type_profile (r5 VERDICT item 4): the salted shapes
+    must actually plan — the two-phase aggregation's first exchange and
+    the fact-side join exchange both hash on (event_type, __salt), and
+    the dim attaches through a SortMergeJoin keyed on the salt (the
+    too-big-to-broadcast regime salting exists for). Salt-invariance of
+    the VALUES is the oracle's job; this pins that the salt spread the
+    hot keys over reducers instead of being optimized away."""
+    plan = plan_of(QUERIES["skew_salted_type_profile"](spark, SF_T2))
+    salted_ex = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(event_type#\d+, __salt#\d+", ln)
+    ]
+    assert len(salted_ex) >= 2, plan  # salted agg phase 1 + join, both sides
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 1 and "__salt" in smj[0], plan
