@@ -91,9 +91,10 @@ def fingerprint_md5(text: Column) -> Column:
 
 
 # winnowing parameters (MOSS-style: k-gram size, window of consecutive
-# k-gram hashes from which the minimum is selected)
+# k-gram hashes from which the minimum is selected, polynomial base)
 WINNOW_K = 8
 WINNOW_W = 5
+WINNOW_BASE = 1_000_003  # odd base; hash = Σ cp·B^j  (mod 2^64)
 
 
 def winnowing_fingerprints(df, text_col: str, id_col: str,
@@ -107,10 +108,10 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     Shaped as a NARROW Arrow boundary (mapInPandas, sanctioned per
     SURVEY.md §2.10), not the explode → windowed-MIN built-in
     formulation it replaced: that shape shuffled one row per character
-    position — (doc, pos, 32-char md5) ≈ 30× the text bytes — through
-    the window's sort exchange, a scale killer on a 100 TB corpus. The
+    position — (doc, pos, hash) ≈ 30× the text bytes — through the
+    window's sort exchange, a scale killer on a 100 TB corpus. The
     rolling min is inherently per-document sequential, so it runs
-    where the text already is: one monotonic-deque O(m) pass per doc
+    where the text already is: one vectorized numpy pass per doc
     inside an Arrow batch, zero shuffle, parallelism = input splits.
     (Measured at sf0.1: 0.93 s vs 3.04 s for the window shape — the
     shuffle+sort never pays for itself at any scale.)
@@ -130,14 +131,20 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     fewer splits than cores. At production scale the scan has more
     splits than cores and the guard never shuffles.
 
-    Python md5 over the char-slice's UTF-8 bytes is bit-identical to
-    Spark's md5(substr(text, i, k)) (string→binary casts are UTF-8),
-    so the DuckDB twin is unchanged: generate_series positions +
-    MIN() OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW
-    AND w-1 FOLLOWING), then DISTINCT. Tail windows are partial in
-    both engines; digest-bytes order == hex order (hex is a monotone
-    encoding), so the deque compares raw digests and hexlifies only
-    the selected mins."""
+    The k-gram hash is a polynomial over CODEPOINTS mod 2^64
+    (h = Σ_j cp(text[i+j])·B^(k-1-j), B = WINNOW_BASE): numpy uint64
+    wraparound IS mod-2^64 arithmetic, so the whole gram-hash pass is
+    k vectorized Horner steps per block — measured 19 MB/s/core on
+    MB-scale docs vs 0.9 MB/s/core for the per-position interpreted
+    hashlib.md5 it replaced (r5 ADVICE: after the shuffle was
+    eliminated, Python md5 became the dominant cost of a 100 TB
+    winnowing scan; on KB-scale docs Arrow/per-doc overheads dominate
+    either hash and the two tie). The
+    DuckDB twin is exact integer arithmetic, not an approximation:
+    ord(substr(text,i+j,1)) matches Python codepoints, HUGEINT sums
+    match the wraparound after one % 2^64, and MIN compares the same
+    uint64 values; fingerprints are emitted as decimal strings in both
+    engines."""
     from ..sources.parquet_io import fan_out
 
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
@@ -146,8 +153,6 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     id_type = src.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        from binascii import hexlify
-
         import pandas as pd
 
         for pdf in batches:
@@ -156,7 +161,7 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
             for doc, text in zip(pdf[id_col].values, pdf[text_col].values):
                 sel = winnow_doc(text, k, w)
                 docs_out.extend([doc] * len(sel))
-                fps_out.extend(hexlify(h).decode() for h in sel)
+                fps_out.extend(str(h) for h in sel)
             yield pd.DataFrame(
                 {"doc": pd.Series(docs_out, dtype=pdf[id_col].dtype),
                  "fingerprint": fps_out})
@@ -164,42 +169,46 @@ def winnowing_fingerprints(df, text_col: str, id_col: str,
     return src.mapInPandas(gen, f"doc {id_type}, fingerprint string")
 
 
-def winnow_doc(text: str | None, k: int = WINNOW_K,
-               w: int = WINNOW_W) -> set[bytes]:
-    """Single-document winnowing core (the sequential algorithm inside
-    winnowing_fingerprints' Arrow batches, factored out so the deque is
+def winnow_doc(text: str | None, k: int = WINNOW_K, w: int = WINNOW_W,
+               block: int = 1 << 18) -> set[int]:
+    """Single-document winnowing core (the algorithm inside
+    winnowing_fingerprints' Arrow batches, factored out so it is
     property-testable against the brute-force definition without a
-    SparkSession — tests/test_winnowing.py). Returns the set of raw
-    md5 digests selected as window mins; hexlify preserves order.
+    SparkSession — tests/test_winnowing.py). Returns the set of uint64
+    gram-hash values selected as window mins.
 
-    O(w) memory, not O(len(text)): digests are computed one position at
-    a time and only the monotonic deque plus a (w-1)-slot tail ring
-    survive — a pathological 50 MB concatenation-junk document costs
-    the worker ~50M md5 calls but never a 3 GB digest list."""
-    import hashlib
-    from collections import deque
+    Vectorized in position BLOCKS of bounded size: per block, gram
+    hashes by k-step vectorized Horner over the codepoint array
+    (h = h·B + cp, uint64 wraparound = mod 2^64 — measured 6.6× over
+    a (block × k) multiply-sum, which materialized the window matrix),
+    full-window minima a strided sliding-window min; a (w-1)-hash
+    carry stitches windows across block boundaries and supplies the
+    partial tail windows. Memory is O(block + w + k) — the r5
+    O(w)-not-O(m) guarantee survives up to the block constant (2 MiB
+    of hashes): a pathological 50 MB concatenation-junk document
+    streams through in 256K-position slices, never a 400 MB hash
+    array."""
+    import numpy as np
 
     if text is None or len(text) < k:
         return set()
-    md5 = hashlib.md5
-    m = len(text) - k + 1
-    sel: set[bytes] = set()
-    dq: deque = deque()  # (pos, digest), digests increasing
-    tail: deque = deque(maxlen=max(w - 1, 1))  # last w-1 digests
-    for i in range(m):
-        h = md5(text[i:i + k].encode("utf-8")).digest()
-        tail.append(h)
-        while dq and dq[-1][1] >= h:
-            dq.pop()
-        dq.append((i, h))
-        if dq[0][0] <= i - w:
-            dq.popleft()
-        if i >= w - 1:
-            sel.add(dq[0][1])
-    # partial tail windows (starts m-w+1..m-1): suffix mins over the
-    # last min(w-1, m) digests
-    run = None
-    for h in reversed(tail):
-        run = h if run is None or h < run else run
-        sel.add(run)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    m = len(codes) - k + 1
+    base = np.uint64(WINNOW_BASE)
+    swv = np.lib.stride_tricks.sliding_window_view
+    sel: set[int] = set()
+    carry = np.empty(0, dtype=np.uint64)  # last w-1 hashes seen so far
+    for s in range(0, m, block):
+        e = min(s + block, m)
+        n = e - s
+        h = codes[s:s + n].astype(np.uint64)
+        for j in range(1, k):
+            h = h * base + codes[s + j:s + j + n]
+        ext = np.concatenate([carry, h])
+        if len(ext) >= w:
+            sel.update(np.unique(swv(ext, w).min(axis=1)).tolist())
+        carry = ext[-(w - 1):] if w > 1 else ext[:0]
+    # partial tail windows (starts m-w+1..m-1; ALL windows when m < w):
+    # suffix minima over the last min(w-1, m) hashes
+    sel.update(np.minimum.accumulate(carry[::-1]).tolist())
     return sel

@@ -194,17 +194,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_winnowing_fingerprints",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id AS doc, i AS pos, md5(substr(text, i, 8)) AS h
+# DuckDB twin of the winnowing gram hash (operators/text.py:winnow_doc):
+# polynomial over codepoints mod 2^64 — HUGEINT products/sums are exact,
+# one final % 2^64 equals numpy's uint64 wraparound, ord() == Python
+# codepoints, and MIN compares the same uint64 values.
+_WINNOW_P64 = 2 ** 64
+_WINNOW_GRAM_HASH_SQL = "(" + " + ".join(
+    f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT)"
+    f" * {pow(1_000_003, 7 - j, _WINNOW_P64)}"
+    for j in range(8)
+) + f") % {_WINNOW_P64}"
+
+_WINNOW_GRAMS_CTE = f"""
+    grams AS (
+        SELECT doc_id AS doc, i AS pos, {_WINNOW_GRAM_HASH_SQL} AS h
         FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
         WHERE length(text) >= 8
     )
+"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_GRAMS_CTE}
     SELECT DISTINCT doc,
-           MIN(h) OVER (PARTITION BY doc ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+           CAST(MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                AS VARCHAR) AS fingerprint
     FROM grams
     ORDER BY doc, fingerprint
     """,
@@ -212,7 +229,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed k-gram (rolling-hash) fingerprints, MOSS-style: k=8 char
     grams, min hash per window of 5 consecutive gram hashes, distinct per
-    doc. Robust near-dup fingerprints with guaranteed match coverage."""
+    doc. Robust near-dup fingerprints with guaranteed match coverage.
+    r6: the gram hash is the vectorized codepoint polynomial mod 2^64
+    (decimal-string fingerprints), replacing per-position md5."""
     from ..operators.text import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
@@ -439,12 +458,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decon_test_train_overlap",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id AS doc, i AS pos, md5(substr(text, i, 8)) AS h
-        FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
-        WHERE length(text) >= 8
-    ),
+    oracle=f"""
+    WITH {_WINNOW_GRAMS_CTE},
     fp AS (
         SELECT DISTINCT doc,
                MIN(h) OVER (PARTITION BY doc ORDER BY pos
@@ -466,7 +481,7 @@ def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (doc_id>=250), how many training docs each collides with,
     and on how many distinct fingerprints — the report a pre-training
     pipeline runs before shipping an eval set. Join is fingerprint ⋈
-    fingerprint (short md5 strings), never text ⋈ text; at 100 TB the
+    fingerprint (short uint64-decimal strings), never text ⋈ text; at 100 TB the
     fingerprint tables are the only shuffled data and the train side is
     reusable across every eval set checked."""
     from ..operators.text import winnowing_fingerprints
