@@ -123,8 +123,15 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans partial map-side aggregation before the shuffle, so the
     exchange carries one row per distinct token per task, not one per
     token occurrence; the top-k is TakeOrderedAndProject, never a
-    global sort. Deterministic tiebreak on the token itself."""
-    docs = load_table(spark, sf_dir, "documents")
+    global sort. Deterministic tiebreak on the token itself. r6: the
+    split+explode+partial-count all run BEFORE the first exchange, so
+    fan_out rebalances small/unsplit scans across cores (projected to
+    the text column first — 1× text bytes, nothing else rides it; a
+    no-op at production split counts), the same treatment the shingle
+    pipelines got in r5."""
+    from ..sources.parquet_io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
