@@ -7,13 +7,20 @@ pruning drops ``content`` unless a stage touches it), and per-modality
 work runs as Arrow-batched ``mapInPandas`` so Python sees zero-copy
 byte buffers, never row-at-a-time objects.
 
-The decode step is STUBBED: this container has no image/audio codecs
-(no PIL/ffmpeg), so ``decode_real`` raises NotImplementedError and the
-feature/resize/frame ops use a clearly-marked deterministic fake
-(byte-level math on the payload). The Spark-side plumbing — schema,
-partitioning, UDF signatures, batch iteration, 1→N frame expansion —
-is real and tested; swapping the fake for PIL/libav is a pure function
-swap inside the pandas loop.
+Decode status (r6): UNCOMPRESSED container formats decode FOR REAL
+with zero codec libraries — WAV/PCM16 via the stdlib ``wave`` parser,
+BMP (24-bit BI_RGB) and PPM (P6) via struct + numpy — and
+``resize_image_real`` is a genuine decode → nearest-neighbor resample
+→ re-encode. ``decode_real`` sniffs the payload magic and dispatches;
+only COMPRESSED codecs (png/jpeg/h264/...) still raise
+NotImplementedError, because this container ships no PIL/ffmpeg —
+wiring them is a pure function swap inside the same pandas loop. The
+synthetic media table's payloads are stand-in text bytes, so the
+feature/frame ops on it keep the clearly-marked deterministic fake;
+the REAL decoders carry driver-checked evidence through
+``media_wav_real_decode`` (synthesized valid WAV payloads, decoded
+stats hash-matched against the DuckDB arithmetic twin) and the
+round-trip pins in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -116,15 +123,141 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, kind: str):
-    """The real decoder hook. STUB: no codec libraries in this
-    container — wire PIL / soundfile / PyAV here in production."""
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Real PCM16 mono WAV encoder (stdlib wave — no codec libs)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM16 mono WAV decoder: (samples int16, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("only PCM16 mono WAV is wired")
+        samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        return samples, w.getframerate()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Real 24-bit uncompressed (BI_RGB) BMP encoder. ``img`` is
+    (h, w, 3) uint8 RGB; rows are bottom-up, BGR, padded to 4 bytes —
+    the classic on-disk layout, built with struct + numpy only."""
+    import struct
+
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    header_size = 14 + 40
+    file_size = header_size + len(body)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real 24-bit BI_RGB BMP decoder -> (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP is wired")
+    stride = (w * 3 + 3) & ~3
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows[::-1] if flip else rows
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Real binary PPM (P6) encoder for (h, w, 3) uint8 RGB."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real binary PPM (P6) decoder -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM is wired")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def resample_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (h, w, 3) -> (height, width, 3): pure
+    integer index arithmetic (src = floor(dst * src_dim / dst_dim)), so
+    an arithmetic oracle can reproduce every output pixel."""
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[np.ix_(ys, xs)]
+
+
+def decode_real(payload: bytes, kind: str | None = None):
+    """Real decoder: sniffs the payload magic and dispatches to the
+    codec-free decoders above. Returns (modality, decoded):
+    ("audio", (samples, rate)) for WAV, ("image", ndarray) for BMP/PPM.
+    COMPRESSED codecs (png/jpeg/h264/...) require PIL/soundfile/PyAV,
+    which this container does not ship — they raise NotImplementedError
+    until wired here (a pure function swap)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio", decode_wav(payload)
+    if payload[:2] == b"BM":
+        return "image", decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return "image", decode_ppm(payload)
     if not HAVE_CODECS:
         raise NotImplementedError(
-            "media decode requires codec libraries (PIL/soundfile/PyAV) "
-            "not present in this environment; use the deterministic fake"
+            "compressed-codec decode requires libraries (PIL/soundfile/"
+            "PyAV) not present in this environment; uncompressed "
+            "WAV/BMP/PPM decode for real above"
         )
-    raise NotImplementedError("real decode path not wired yet")
+    raise NotImplementedError("compressed-codec path not wired yet")
 
 
 def _fake_decode_features(buf: bytes, bins: int = N_FEATURES) -> np.ndarray:
@@ -231,3 +364,103 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
     return flat.mapInPandas(fn, schema)
+
+
+def resize_image_real(images: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize — decode (BMP/PPM, codec-free), nearest-
+    neighbor resample, re-encode BMP — inside the same Arrow-batched
+    shape as resize_stub. Input: (media_id, content) with decodable
+    payloads; undecodable/NULL payloads are dropped (a production
+    pipeline would route them to a quarantine sink). Narrow: payloads
+    never shuffle, parallelism = input splits."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                try:
+                    modality, img = decode_real(bytes(buf))
+                except (NotImplementedError, ValueError):
+                    continue
+                if modality != "image":
+                    continue
+                outs.append(encode_bmp(resample_nearest(img, width, height)))
+                ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(outs, dtype="object"),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return images.select("media_id", "content").mapInPandas(fn, schema)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def wav_decode_stats(wavs: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each WAV payload (stdlib wave — the
+    sample rate and samples come OUT of the container, not from
+    metadata columns) and emit per-clip stats. Exact integer stats
+    (count/sum/peak) plus RMS computed as one IEEE double
+    division+sqrt over exact integer sums, rounded 6dp with the
+    floor-trick — bit-reproducible by an arithmetic oracle. Corrupt or
+    NULL payloads are dropped (quarantine-sink pattern)."""
+    import math
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "sample_rate", "n_samples",
+                     "sum_samples", "peak", "rms")}
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(buf))
+                except Exception:
+                    continue
+                v = samples.astype(np.int64)
+                n = len(v)
+                sumsq = int((v * v).sum()) if n else 0
+                rms = math.sqrt(sumsq / n) if n else 0.0
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["sum_samples"].append(int(v.sum()) if n else 0)
+                rows["peak"].append(int(np.abs(v).max()) if n else 0)
+                rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "sum_samples": pd.Series(rows["sum_samples"], dtype="int64"),
+                    "peak": pd.Series(rows["peak"], dtype="int32"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                }
+            )
+
+    return wavs.select("media_id", "content").mapInPandas(fn, WAV_STATS_SCHEMA)

@@ -79,10 +79,119 @@ def test_resize_stub_rewrites_metadata(media):
     assert out.count() == media.filter("kind='image'").count()
 
 
-def test_decode_real_is_gated():
+def test_decode_real_compressed_is_gated():
+    # unknown/compressed payloads still raise until codec libs exist;
+    # the uncompressed formats below decode for real
     if not HAVE_CODECS:
         with pytest.raises(NotImplementedError):
-            decode_real(b"xx", "image")
+            decode_real(b"\x89PNG\r\n\x1a\nxxxx", "image")
+
+
+def test_wav_roundtrip_real():
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.arange(-32768, 32767, 77, dtype=np.int64)
+    payload = encode_wav(rng, 16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    samples, rate = decode_wav(payload)
+    assert rate == 16000
+    assert (samples.astype(np.int64) == rng).all()
+    modality, (s2, r2) = decode_real(payload)
+    assert modality == "audio" and r2 == 16000 and len(s2) == len(rng)
+
+
+def test_bmp_roundtrip_real():
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # non-multiple-of-4 width exercises row padding; asymmetric pattern
+    # exercises the bottom-up row order and BGR channel swap
+    img = (np.arange(7 * 5 * 3, dtype=np.uint32) * 37 % 256).astype(
+        np.uint8
+    ).reshape(7, 5, 3)
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    out = decode_bmp(payload)
+    assert (out == img).all()
+    modality, img2 = decode_real(payload)
+    assert modality == "image" and (img2 == img).all()
+
+
+def test_ppm_roundtrip_real():
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = (np.arange(4 * 6 * 3, dtype=np.uint32) * 31 % 256).astype(
+        np.uint8
+    ).reshape(4, 6, 3)
+    payload = encode_ppm(img)
+    out = decode_ppm(payload)
+    assert (out == img).all()
+    modality, img2 = decode_real(payload)
+    assert modality == "image" and (img2 == img).all()
+
+
+def test_resample_nearest_arithmetic():
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import resample_nearest
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resample_nearest(img, 4, 2)
+    assert out.shape == (2, 4, 3)
+    # src index = floor(dst * src_dim / dst_dim)
+    for y in range(2):
+        for x in range(4):
+            assert (out[y, x] == img[(y * 8) // 2, (x * 8) // 4]).all()
+
+
+def test_resize_image_real_end_to_end(spark):
+    """Decode -> nearest-neighbor resample -> re-encode through the
+    Arrow boundary: output payloads are valid BMPs of the target size
+    whose pixels equal the numpy-side resample; undecodable and NULL
+    payloads are dropped, audio payloads are routed out."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_wav,
+        resample_nearest,
+        resize_image_real,
+    )
+
+    img1 = (np.arange(16 * 12 * 3, dtype=np.uint32) * 13 % 256).astype(
+        np.uint8
+    ).reshape(16, 12, 3)
+    img2 = np.full((5, 9, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_bmp(img1))),
+        (2, bytearray(encode_bmp(img2))),
+        (3, bytearray(encode_wav(np.zeros(4, dtype=np.int64), 8000))),  # audio
+        (4, bytearray(b"garbage-not-an-image")),
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_image_real(media, 8, 8).collect()}
+    assert set(out) == {1, 2}
+    for mid, img in [(1, img1), (2, img2)]:
+        got = decode_bmp(bytes(out[mid]["content"]))
+        assert got.shape == (8, 8, 3)
+        assert (got == resample_nearest(img, 8, 8)).all()
+        assert out[mid]["width"] == 8 and out[mid]["height"] == 8
 
 
 def test_fixture_text_is_ascii_and_nonempty(spark):
