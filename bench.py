@@ -49,6 +49,11 @@ HEADLINE = [
     # with a bucket filter.)
     "dedup_corpus_representatives",
     "sim_similar_pairs",
+    # r6: the vectorized winnowing core (the text surface's heaviest
+    # per-byte kernel) and the batch multi-query ANN shape carry perf
+    # evidence from r6 on
+    "text_winnowing_fingerprints",
+    "sim_topk_batch",
 ]
 
 # timed from query construction, not just the noop write — see the

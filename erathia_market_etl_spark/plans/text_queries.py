@@ -456,6 +456,116 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BM25_TERMS = ("data", "query", "fast")  # fixture-vocabulary query terms
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_TOP = 20
+
+# fully-parenthesized scoring expression, mirrored token-for-token in
+# the SQL twin; constants are exact binary fractions written as DOUBLE
+# literals (e-notation in DuckDB) so no decimal-literal arithmetic
+# sneaks in. idf is the RATIONAL form (N - df + 0.5)/(df + 0.5) — no
+# ln(): transcendentals are not correctly-rounded and could differ
+# between engines in the last ulp; +,*,/ are IEEE-exact on identical
+# inputs, so the whole score is bit-reproducible.
+_BM25_SQL = " + ".join(
+    f"((((n - df_{t}) + 0.5e0) / (df_{t} + 0.5e0))"
+    f" * (tf_{t} * 2.5e0)"
+    f" / (tf_{t} + 1.5e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))"
+    for t in BM25_TERMS
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(LOWER(text), ' ')) AS dl,
+               {", ".join(
+                   f"len(list_filter(string_split(LOWER(text), ' '), "
+                   f"w -> w = '{t}')) AS tf_{t}" for t in BM25_TERMS)}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) AS avgdl,
+               {", ".join(
+                   f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                   for t in BM25_TERMS)}
+        FROM t
+    )
+    SELECT doc_id, {", ".join(f"CAST(tf_{t} AS INT) AS tf_{t}" for t in BM25_TERMS)},
+           FLOOR(({_BM25_SQL}) * 1000000 + 0.5) / 1000000 AS bm25
+    FROM t, s
+    WHERE {" + ".join(f"tf_{t}" for t in BM25_TERMS)} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring over the corpus for a fixed query
+    ({', '.join(BM25_TERMS)}) — the lexical-retrieval family (r6). The
+    scale shape is deliberately NOT the textbook
+    explode→posting-list→join: per-document term frequencies come from
+    array filters on the ONE projected token array (narrow, zero
+    shuffle), corpus statistics (N, avgdl, per-term document
+    frequencies) fold into a single broadcast row, scoring is pure
+    arithmetic, and the top-{BM25_TOP} is a TakeOrderedAndProject. Two
+    passes over the corpus (stats, then score) are the only cost — at
+    100 TB that is two narrow scans and one 1-row exchange, vs the
+    explode shape's full token-table shuffle. Rational idf keeps every
+    float op IEEE-exact cross-engine (see _BM25_SQL comment);
+    deterministic tiebreak on doc_id."""
+    from ..sources.parquet_io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def tf_col(term: str):
+        # NB: a 2-arg lambda would be called as (element, index) by
+        # F.filter — bind the term via closure, single-arg lambda only
+        return F.size(F.filter(toks, lambda w: w == F.lit(term))).alias(f"tf_{term}")
+
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(term) for term in BM25_TERMS],
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    score = None
+    for term in BM25_TERMS:
+        tf, df = F.col(f"tf_{term}"), F.col(f"df_{term}")
+        part = (
+            (((F.col("n") - df) + F.lit(0.5)) / (df + F.lit(0.5)))
+            * (tf * F.lit(2.5))
+            / (tf + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))))
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for term in BM25_TERMS:
+        any_tf = F.col(f"tf_{term}") if any_tf is None else any_tf + F.col(f"tf_{term}")
+    r6 = (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).cast("double")
+    return (
+        t.crossJoin(F.broadcast(s))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in BM25_TERMS],
+            r6.alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
 @query(
     "decon_test_train_overlap",
     oracle=f"""

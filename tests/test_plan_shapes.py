@@ -244,3 +244,16 @@ def test_skew_salted_exchanges_carry_the_salt(spark):
     assert len(salted_ex) >= 2, plan  # salted agg phase 1 + join, both sides
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert len(smj) == 1 and "__salt" in smj[0], plan
+
+
+def test_bm25_is_two_narrow_scans_no_token_shuffle(spark):
+    """text_bm25_topk (r6): lexical retrieval WITHOUT the textbook
+    explode->posting-list shuffle — per-doc tf from array filters, the
+    corpus stats folded to one broadcast row, top-k a
+    TakeOrderedAndProject. No hash exchange may appear anywhere: the
+    only exchanges are fan_out's round-robin rebalance and the 1-row
+    stats SinglePartition (fed by its partial aggregate, rule R2)."""
+    plan = plan_of(QUERIES["text_bm25_topk"](spark, SF_T2))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
