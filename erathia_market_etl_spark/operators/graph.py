@@ -147,35 +147,53 @@ def connected_components_star(
     any graph (≈log n in practice) — the chain graphs that make
     min-label propagation O(n)-round collapse exponentially here.
 
-    Scale shape per round: edges symmetrize with one explode (no
+    Scale shape: a small-star PREPASS rides the canonicalize+dedup
+    exchange (hash(hi) feeds dedup, group-by, and join alike), doing
+    the bulk of the collapse on dense dup-cluster graphs before the
+    first full round. Per round: edges symmetrize with one union (no
     double-execution of the upstream — often LSH — edge plan past the
-    initial checkpoint), the group-by and its join share one exchange
+    initial persist), the group-by and its join share one exchange
     (repartition on the group key feeds both), dedups are edge-key
     hash aggregations, and convergence is a count + keys-only
     anti-join on checkpointed edge sets (the only extra action; edge
     tables shrink toward |V| as stars form). Lineage is truncated by
     ``localCheckpoint`` every round, as in the min-label kernel."""
-    both = F.array(
-        F.struct(
+    # one pass over the (possibly expensive) upstream edge plan. The
+    # canonicalized set is PERSISTED pre-partitioned on hi (repartition
+    # BEFORE dropDuplicates: hash(hi) satisfies the dedup aggregate's
+    # (hi, lo) clustering requirement, so canonicalize+dedup+partition
+    # is ONE shuffle — the min-label kernel's fusion trick), which lets
+    # the small-star PREPASS below group and join with no exchange.
+    canon = (
+        edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
             F.least(F.col(src), F.col(dst)).alias("lo"),
         )
+        .repartition("hi")
+        .dropDuplicates()
+        .persist()
     )
-    # one pass over the (possibly expensive) upstream edge plan: the
-    # canonicalized set is checkpointed, then split into proper edges
-    # and self-loop-only vertices (kept for min-label output parity)
-    canon = (
-        edges.select(F.explode(both).alias("e"))
-        .select("e.hi", "e.lo")
+    # PREPASS small-star on the canonical orientation (its exact input
+    # shape, riding canon's hash(hi) layout for free): collapses every
+    # hi-group onto its minimum before the first full round — on dense
+    # dup-cluster graphs this does most of the work and typically
+    # saves one full alternation round. The prepass checkpoint is the
+    # first action, so it also materializes canon's cache (no separate
+    # eager count — driver actions, not shuffles, dominate small
+    # graphs; canon stays persisted for the final self-loop probe).
+    e0 = canon.filter(F.col("hi") != F.col("lo"))
+    mins0 = e0.groupBy("hi").agg(F.min("lo").alias("m"))
+    e = (
+        e0.join(mins0, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .unionByName(mins0.select("hi", F.col("m").alias("lo")))
+        .filter(F.col("hi") != F.col("lo"))
         .dropDuplicates()
         .localCheckpoint()
     )
-    e = canon.filter(F.col("hi") != F.col("lo")).localCheckpoint()
-    n_old = e.count()
+    n_old: int | None = None  # lazily learned from round 1's count
     rounds = 0
     for _ in range(max_iter):
-        if n_old == 0:
-            break
         rounds += 1
         # ---- large-star ----
         sym = (
@@ -205,7 +223,7 @@ def connected_components_star(
             .localCheckpoint()
         )
         n_new = small.count()
-        stable = (
+        stable = n_new == 0 or (
             n_new == n_old
             and small.join(e, ["hi", "lo"], "left_anti").isEmpty()
         )
@@ -229,5 +247,7 @@ def connected_components_star(
               .unionByName(e.select(F.col("lo").alias("v"))).distinct(),
               "v", "left_anti")
         .select("v", F.col("v").alias("component_id"))
+        .localCheckpoint()  # tiny; lets canon's cache be released now
     )
+    canon.unpersist()
     return labels.unionByName(roots).unionByName(self_only)

@@ -241,6 +241,60 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+GATE_MIN_TOKENS = 10
+GATE_MAX_TOKENS = 2000
+GATE_MIN_MEAN_LEN = 3.0   # chars per token, inclusive
+GATE_MAX_MEAN_LEN = 15.0
+GATE_MIN_STOPWORD = 0.02
+GATE_MIN_ALPHA = 0.6
+GATE_MAX_DUP_BG = 0.10
+
+TEXT_QUALITY_GATE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               LENGTH(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_tokens >= 2 THEN len(list_distinct(
+                   list_transform(generate_series(1, n_tokens - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])))
+                    ELSE 0 END AS n_distinct_bg,
+               n_tokens - 1 AS n_bg,
+               len(list_filter(toks, w -> w IN ({_SW_SQL}))) AS n_sw,
+               len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, n_tokens,
+               (n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}) AS len_ok,
+               CASE WHEN n_tokens > 0 THEN
+                   FLOOR(CAST(n_chars AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+                       BETWEEN {GATE_MIN_MEAN_LEN} AND {GATE_MAX_MEAN_LEN}
+               ELSE FALSE END AS mean_len_ok,
+               CASE WHEN n_tokens > 0 THEN
+                   FLOOR(CAST(n_sw AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+                       >= {GATE_MIN_STOPWORD}
+               ELSE FALSE END AS stopword_ok,
+               CASE WHEN n_chars > 0 THEN
+                   FLOOR(CAST(n_alpha AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000
+                       >= {GATE_MIN_ALPHA}
+               ELSE FALSE END AS alpha_ok,
+               CASE WHEN n_bg > 0 THEN
+                   FLOOR((1.0e0 - CAST(n_distinct_bg AS DOUBLE) / n_bg) * 1000000 + 0.5)
+                       / 1000000 <= {GATE_MAX_DUP_BG}
+               ELSE TRUE END AS rep_ok
+        FROM s
+    )
+    SELECT doc_id, n_tokens, len_ok, mean_len_ok, stopword_ok, alpha_ok, rep_ok,
+           (len_ok AND mean_len_ok AND stopword_ok AND alpha_ok AND rep_ok) AS keep
+    FROM f
+    ORDER BY doc_id
+    """
+
 
 @query(
     "text_quality_signals",
@@ -454,6 +508,92 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(raw) - F.length(scrubbed)).cast("long").alias("n_chars_redacted"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_quality_gate: C4/Gopher-style composite keep/drop filter.
+# UNREGISTERED until r7 — the r6 driver rotation is exactly full
+# (COVERAGE.md rotation-budget section); oracle parity runs locally in
+# tests/test_oracle_parity.py::test_queued_queries_match until a slot
+# opens, the same holding pattern as the retired queries.
+# ---------------------------------------------------------------------------
+
+# oracle: TEXT_QUALITY_GATE_ORACLE, defined next to _SW_SQL above
+# (GATE_* thresholds live beside STOPWORDS so the oracle f-string can
+# reference them)
+
+
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality filter (C4's length/sentence
+    heuristics + Gopher's repetition and symbol rules, re-expressed
+    over the fixture signals): per document, boolean rules —
+
+      len_ok       {GATE_MIN_TOKENS} ≤ n_tokens ≤ {GATE_MAX_TOKENS}
+      mean_len_ok  mean chars/token in [{GATE_MIN_MEAN_LEN},
+                   {GATE_MAX_MEAN_LEN}] (junk/binary detector)
+      stopword_ok  stopword ratio ≥ {GATE_MIN_STOPWORD} (language-ness)
+      alpha_ok     alphabetic char ratio ≥ {GATE_MIN_ALPHA}
+      rep_ok       duplicate-bigram fraction ≤ {GATE_MAX_DUP_BG}
+
+    and keep = AND of all five. ENTIRELY narrow: every signal is an
+    array/regexp expression over the one projected token array —
+    including the repetition rule, which uses 1 −
+    distinct/total bigrams via array_distinct instead of the grouped
+    top-bigram variant (text_repetition_signals) precisely so the gate
+    adds ZERO shuffles: at 100 TB this is a map-only scan you bolt
+    onto ingestion. All ratio comparisons happen on 6dp-rounded
+    doubles so the booleans are engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(_bigrams(toks))).alias("n_distinct_bg"),
+        (F.size(toks) - 1).alias("n_bg"),
+        F.size(F.filter(toks, lambda w: F.array_contains(
+            F.array(*[F.lit(w2) for w2 in STOPWORDS]), w))).alias("n_sw"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")).alias("n_alpha"),
+    )
+    r6 = lambda c: (F.floor(c * 1000000 + F.lit(0.5)) / 1000000)  # noqa: E731
+    nt = F.col("n_tokens")
+    len_ok = (nt >= GATE_MIN_TOKENS) & (nt <= GATE_MAX_TOKENS)
+    mean_len = r6(F.col("n_chars") / nt.cast("double"))
+    mean_len_ok = F.when(
+        nt > 0, (mean_len >= GATE_MIN_MEAN_LEN) & (mean_len <= GATE_MAX_MEAN_LEN)
+    ).otherwise(F.lit(False))
+    sw_ok = F.when(
+        nt > 0, r6(F.col("n_sw") / nt.cast("double")) >= GATE_MIN_STOPWORD
+    ).otherwise(F.lit(False))
+    alpha_ok = F.when(
+        F.col("n_chars") > 0,
+        r6(F.col("n_alpha") / F.col("n_chars").cast("double")) >= GATE_MIN_ALPHA,
+    ).otherwise(F.lit(False))
+    rep_ok = F.when(
+        F.col("n_bg") > 0,
+        r6(F.lit(1.0) - F.col("n_distinct_bg") / F.col("n_bg").cast("double"))
+        <= GATE_MAX_DUP_BG,
+    ).otherwise(F.lit(True))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        len_ok.alias("len_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        sw_ok.alias("stopword_ok"),
+        alpha_ok.alias("alpha_ok"),
+        rep_ok.alias("rep_ok"),
+        (len_ok & mean_len_ok & sw_ok & alpha_ok & rep_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _bigrams(toks):
+    """whitespace-bigram array: zip_with over two shifted slices."""
+    n = F.size(toks)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
 
 
 BM25_TERMS = ("data", "query", "fast")  # fixture-vocabulary query terms

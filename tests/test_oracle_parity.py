@@ -45,6 +45,28 @@ def test_entry_smoke(spark):
 _RETIRED = ["dedup_distinct_rows", "sample_split_assign"]
 
 
+# Implemented ahead of their driver slot (r6 rotation is exactly full;
+# COVERAGE.md rotation-budget section queues them for r7): same compare,
+# local-only until registered.
+def test_queued_queries_match(spark):
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_QUALITY_GATE_ORACLE,
+        text_quality_gate,
+    )
+
+    result = compare_query(
+        "text_quality_gate",
+        text_quality_gate(spark, SF_SMOKE),
+        TEXT_QUALITY_GATE_ORACLE,
+        SF_SMOKE,
+    )
+    assert result.ok, result
+    # non-vacuous: the gate must split the fixture corpus both ways
+    rows = text_quality_gate(spark, SF_SMOKE).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows), (kept, len(rows))
+
+
 @pytest.mark.parametrize("name", _RETIRED)
 def test_retired_queries_still_match(spark, name):
     from erathia_market_etl_spark.plans.relational import (
