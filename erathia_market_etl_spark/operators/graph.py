@@ -193,6 +193,7 @@ def connected_components_star(
     )
     n_old: int | None = None  # lazily learned from round 1's count
     rounds = 0
+    stable = False
     for _ in range(max_iter):
         rounds += 1
         # ---- large-star ----
@@ -230,6 +231,17 @@ def connected_components_star(
         e, n_old = small, n_new
         if stable:
             break
+    if not stable:
+        # Unlike min-label (which degrades to one consistent unconverged
+        # label per vertex), a non-star-forest edge set would emit
+        # MULTIPLE conflicting (v, component_id) rows — silent
+        # corruption. O(log² n) rounds means max_iter=30 covers any
+        # physical graph; hitting it is a bug or a wrong max_iter, so
+        # fail loudly instead of returning wrong labels.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds ({n_old} edges remaining); raise max_iter"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # fixed point = star forest: hi's are non-minimum members (exactly

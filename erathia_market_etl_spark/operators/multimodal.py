@@ -370,9 +370,13 @@ def resize_image_real(images: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize — decode (BMP/PPM, codec-free), nearest-
     neighbor resample, re-encode BMP — inside the same Arrow-batched
     shape as resize_stub. Input: (media_id, content) with decodable
-    payloads; undecodable/NULL payloads are dropped (a production
-    pipeline would route them to a quarantine sink). Narrow: payloads
-    never shuffle, parallelism = input splits."""
+    payloads; NULL, undecodable, or corrupt payloads are dropped (a
+    production pipeline would route them to a quarantine sink) — the
+    catch is deliberately broad because decoder failure modes span
+    NotImplementedError/ValueError (sniffing), struct.error (truncated
+    BMP headers), wave.Error (corrupt RIFF), and IndexError
+    (degenerate zero-dimension images); none may crash the task.
+    Narrow: payloads never shuffle, parallelism = input splits."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -382,11 +386,12 @@ def resize_image_real(images: DataFrame, width: int, height: int) -> DataFrame:
                     continue
                 try:
                     modality, img = decode_real(bytes(buf))
-                except (NotImplementedError, ValueError):
+                    if modality != "image":
+                        continue
+                    out = encode_bmp(resample_nearest(img, width, height))
+                except Exception:
                     continue
-                if modality != "image":
-                    continue
-                outs.append(encode_bmp(resample_nearest(img, width, height)))
+                outs.append(out)
                 ids.append(mid)
             yield pd.DataFrame(
                 {

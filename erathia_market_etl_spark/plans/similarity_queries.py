@@ -302,9 +302,9 @@ N_BATCH_QUERIES = 8  # deterministic query set: vec_id < 8
     """,
 )
 def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH ANN retrieval — top-{TOP_K} per query over a query SET
-    ({N_BATCH_QUERIES} deterministic query vectors, vec_id <
-    {N_BATCH_QUERIES}) through the IVF cell path. This is the shape
+    """BATCH ANN retrieval — top-k (TOP_K=10) per query over a query
+    SET (N_BATCH_QUERIES=8 deterministic query vectors, vec_id < 8)
+    through the IVF cell path. This is the shape
     real retrieval pipelines run (r5 VERDICT item 3): the single-query
     family never exercises k-PER-GROUP scoring, because its global
     top-k is a TakeOrderedAndProject; here the cut is a rank window

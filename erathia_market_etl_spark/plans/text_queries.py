@@ -197,21 +197,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin of the winnowing gram hash (operators/text.py:winnow_doc):
 # polynomial over codepoints mod 2^64 — HUGEINT products/sums are exact,
 # one final % 2^64 equals numpy's uint64 wraparound, ord() == Python
-# codepoints, and MIN compares the same uint64 values.
+# codepoints, and MIN compares the same uint64 values. Base/k/w come
+# from operators.text (single source of truth) so a parameter change
+# cannot silently fork the oracle; cross-engine equality of the hash
+# itself is pinned in tests/test_winnowing.py.
 _WINNOW_P64 = 2 ** 64
 _WINNOW_GRAM_HASH_SQL = "(" + " + ".join(
     f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT)"
-    f" * {pow(1_000_003, 7 - j, _WINNOW_P64)}"
-    for j in range(8)
+    f" * {pow(TX.WINNOW_BASE, TX.WINNOW_K - 1 - j, _WINNOW_P64)}"
+    for j in range(TX.WINNOW_K)
 ) + f") % {_WINNOW_P64}"
 
 _WINNOW_GRAMS_CTE = f"""
     grams AS (
         SELECT doc_id AS doc, i AS pos, {_WINNOW_GRAM_HASH_SQL} AS h
-        FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
-        WHERE length(text) >= 8
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - {TX.WINNOW_K - 1})) AS u(i)
+        WHERE length(text) >= {TX.WINNOW_K}
     )
 """
+_WINNOW_WIN_SQL = (
+    f"ROWS BETWEEN CURRENT ROW AND {TX.WINNOW_W - 1} FOLLOWING"
+)
 
 
 @query(
@@ -220,7 +227,7 @@ _WINNOW_GRAMS_CTE = f"""
     WITH {_WINNOW_GRAMS_CTE}
     SELECT DISTINCT doc,
            CAST(MIN(h) OVER (PARTITION BY doc ORDER BY pos
-                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                             {_WINNOW_WIN_SQL})
                 AS VARCHAR) AS fingerprint
     FROM grams
     ORDER BY doc, fingerprint
@@ -526,14 +533,15 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pre-training quality filter (C4's length/sentence
     heuristics + Gopher's repetition and symbol rules, re-expressed
-    over the fixture signals): per document, boolean rules —
+    over the fixture signals): per document, boolean rules (thresholds
+    are the GATE_* module constants) —
 
-      len_ok       {GATE_MIN_TOKENS} ≤ n_tokens ≤ {GATE_MAX_TOKENS}
-      mean_len_ok  mean chars/token in [{GATE_MIN_MEAN_LEN},
-                   {GATE_MAX_MEAN_LEN}] (junk/binary detector)
-      stopword_ok  stopword ratio ≥ {GATE_MIN_STOPWORD} (language-ness)
-      alpha_ok     alphabetic char ratio ≥ {GATE_MIN_ALPHA}
-      rep_ok       duplicate-bigram fraction ≤ {GATE_MAX_DUP_BG}
+      len_ok       GATE_MIN_TOKENS ≤ n_tokens ≤ GATE_MAX_TOKENS
+      mean_len_ok  mean chars/token in [GATE_MIN_MEAN_LEN,
+                   GATE_MAX_MEAN_LEN] (junk/binary detector)
+      stopword_ok  stopword ratio ≥ GATE_MIN_STOPWORD (language-ness)
+      alpha_ok     alphabetic char ratio ≥ GATE_MIN_ALPHA
+      rep_ok       duplicate-bigram fraction ≤ GATE_MAX_DUP_BG
 
     and keep = AND of all five. ENTIRELY narrow: every signal is an
     array/regexp expression over the one projected token array —
@@ -551,27 +559,25 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(_bigrams(toks))).alias("n_distinct_bg"),
         (F.size(toks) - 1).alias("n_bg"),
-        F.size(F.filter(toks, lambda w: F.array_contains(
-            F.array(*[F.lit(w2) for w2 in STOPWORDS]), w))).alias("n_sw"),
+        TX.marker_hits(F.col("text"), STOPWORDS).alias("n_sw"),
         F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")).alias("n_alpha"),
     )
-    r6 = lambda c: (F.floor(c * 1000000 + F.lit(0.5)) / 1000000)  # noqa: E731
     nt = F.col("n_tokens")
     len_ok = (nt >= GATE_MIN_TOKENS) & (nt <= GATE_MAX_TOKENS)
-    mean_len = r6(F.col("n_chars") / nt.cast("double"))
+    mean_len = round6(F.col("n_chars") / nt.cast("double"))
     mean_len_ok = F.when(
         nt > 0, (mean_len >= GATE_MIN_MEAN_LEN) & (mean_len <= GATE_MAX_MEAN_LEN)
     ).otherwise(F.lit(False))
     sw_ok = F.when(
-        nt > 0, r6(F.col("n_sw") / nt.cast("double")) >= GATE_MIN_STOPWORD
+        nt > 0, round6(F.col("n_sw") / nt.cast("double")) >= GATE_MIN_STOPWORD
     ).otherwise(F.lit(False))
     alpha_ok = F.when(
         F.col("n_chars") > 0,
-        r6(F.col("n_alpha") / F.col("n_chars").cast("double")) >= GATE_MIN_ALPHA,
+        round6(F.col("n_alpha") / F.col("n_chars").cast("double")) >= GATE_MIN_ALPHA,
     ).otherwise(F.lit(False))
     rep_ok = F.when(
         F.col("n_bg") > 0,
-        r6(F.lit(1.0) - F.col("n_distinct_bg") / F.col("n_bg").cast("double"))
+        round6(F.lit(1.0) - F.col("n_distinct_bg") / F.col("n_bg").cast("double"))
         <= GATE_MAX_DUP_BG,
     ).otherwise(F.lit(True))
     return t.select(
@@ -645,13 +651,13 @@ _BM25_SQL = " + ".join(
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring over the corpus for a fixed query
-    ({', '.join(BM25_TERMS)}) — the lexical-retrieval family (r6). The
-    scale shape is deliberately NOT the textbook
+    (BM25_TERMS: data, query, fast) — the lexical-retrieval family
+    (r6). The scale shape is deliberately NOT the textbook
     explode→posting-list→join: per-document term frequencies come from
     array filters on the ONE projected token array (narrow, zero
     shuffle), corpus statistics (N, avgdl, per-term document
     frequencies) fold into a single broadcast row, scoring is pure
-    arithmetic, and the top-{BM25_TOP} is a TakeOrderedAndProject. Two
+    arithmetic, and the top-20 cut is a TakeOrderedAndProject. Two
     passes over the corpus (stats, then score) are the only cost — at
     100 TB that is two narrow scans and one 1-row exchange, vs the
     explode shape's full token-table shuffle. Rational idf keeps every
@@ -692,14 +698,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     any_tf = None
     for term in BM25_TERMS:
         any_tf = F.col(f"tf_{term}") if any_tf is None else any_tf + F.col(f"tf_{term}")
-    r6 = (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).cast("double")
     return (
         t.crossJoin(F.broadcast(s))
         .filter(any_tf > 0)
         .select(
             "doc_id",
             *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in BM25_TERMS],
-            r6.alias("bm25"),
+            round6(score).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP)
@@ -713,7 +718,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (
         SELECT DISTINCT doc,
                MIN(h) OVER (PARTITION BY doc ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+                            {_WINNOW_WIN_SQL}) AS fingerprint
         FROM grams
     )
     SELECT t.doc AS test_doc,

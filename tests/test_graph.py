@@ -91,6 +91,16 @@ def test_kernels_agree_on_random_graphs(spark):
         assert ml == want, f"min-label kernel wrong for seed {seed}"
 
 
+def test_star_raises_on_exhausted_iterations(spark):
+    # a non-star-forest edge set at loop exit would emit conflicting
+    # labels — the kernel must fail loudly, never silently corrupt
+    # (min-label degrades to one consistent unconverged row instead)
+    edges = [(i, i + 1) for i in range(500, 540)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(df, "src", "dst", max_iter=2).collect()
+
+
 def test_star_collapses_path_in_log_rounds(spark):
     """The r5 VERDICT item 1 pin: on a planted 128-vertex path —
     diameter 127, the adversarial shape for min-label propagation —

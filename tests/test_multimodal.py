@@ -183,6 +183,9 @@ def test_resize_image_real_end_to_end(spark):
         (3, bytearray(encode_wav(np.zeros(4, dtype=np.int64), 8000))),  # audio
         (4, bytearray(b"garbage-not-an-image")),
         (5, None),
+        (6, bytearray(b"BM\x00\x01")),  # truncated BMP header (struct.error)
+        (7, bytearray(b"RIFF\x04\x00\x00\x00WAVEjunk")),  # corrupt RIFF (wave.Error)
+        (8, bytearray(encode_bmp(img1)[:30])),  # header ok, pixel data truncated
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r["media_id"]: r for r in resize_image_real(media, 8, 8).collect()}
