@@ -182,3 +182,60 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "segment")
     out = run_available_now(enriched, output_mode="append")
     return out.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_incremental_new_docs: streaming incremental-ingest dedup.
+# UNREGISTERED — queued behind text_quality_gate for a future driver
+# slot (the r6 rotation is exactly full and r7 has exactly one free
+# slot; COVERAGE.md rotation-budget section). Oracle parity runs
+# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+STREAM_INCREMENTAL_ORACLE = """
+    WITH corpus AS (
+        SELECT DISTINCT md5(trim(lower(text))) AS fp
+        FROM documents WHERE doc_id < 250
+    ),
+    incoming AS (
+        SELECT doc_id, md5(trim(lower(text))) AS fp
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT i.doc_id, i.fp
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
+    ORDER BY i.doc_id
+    """
+
+
+def stream_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of dedup_incremental_new_docs (same oracle): each
+    arriving document micro-batch keeps only documents whose content
+    fingerprint is ABSENT from the static corpus fingerprint table — a
+    stream-static LEFT ANTI join, the don't-retrain-on-what-you-have
+    gate of a continuously-ingesting training pipeline. STATELESS: the
+    dedup state lives in the static fingerprint table (re-planned per
+    micro-batch, so a corpus refresh is picked up without restarting
+    the query), not the state store — contrast stream_dedup_keys,
+    which dedups WITHIN the stream and pays state per key. At scale
+    the static side is a ~64 B/doc fingerprint table; only
+    fingerprints shuffle, never text."""
+    from ..sources.parquet_io import load_table
+    from ..streaming.event_stream import stream_documents
+
+    fp = F.md5(F.trim(F.lower(F.col("text")))).alias("fp")
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(fp)
+        .distinct()
+    )
+    incoming = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") >= 250)
+        .select("doc_id", fp)
+    )
+    out = run_available_now(
+        incoming.join(corpus, "fp", "left_anti"), output_mode="append"
+    )
+    return out.orderBy("doc_id")

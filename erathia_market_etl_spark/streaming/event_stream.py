@@ -102,6 +102,20 @@ def stream_events(
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded DataFrame — same symlink-staged
+    single-file source pattern as stream_events (no timestamp
+    normalization needed; the schema comes straight from the parquet
+    footer via a batch read)."""
+    stage = tempfile.mkdtemp(prefix="documents_stream_")
+    src = os.path.join(sf_dir, "documents.parquet")
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
 def hourly_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of plans/event_windows.tumbling_hourly_stats: the
     identical tumbling groupBy under an event-time watermark. State per

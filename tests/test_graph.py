@@ -123,6 +123,49 @@ def test_star_collapses_path_in_log_rounds(spark):
     assert ml != got  # labels not yet converged — the O(diameter) bound
 
 
+def test_star_prepass_reuses_canon_exchange(spark):
+    """The star kernel's small-star prepass must ride the
+    canonicalize+dedup exchange: with canon persisted pre-partitioned
+    on hi, the prepass groupBy(hi) and join(hi) may add NO new
+    exchange — only the final (hi, lo) dedup shuffles. If a Spark
+    upgrade stops honoring cached REPARTITION_BY_COL layout here, the
+    edge table shuffles twice per invocation and the fusion comment in
+    connected_components_star is a lie."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        canon = (
+            spark.range(200)
+            .select((F.col("id") + 1).alias("hi"), (F.col("id") % 7).alias("lo"))
+            .repartition("hi")
+            .dropDuplicates()
+            .persist()
+        )
+        canon.count()
+        e0 = canon.filter(F.col("hi") != F.col("lo"))
+        mins0 = e0.groupBy("hi").agg(F.min("lo").alias("m"))
+        pre = (
+            e0.join(mins0, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(mins0.select("hi", F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .dropDuplicates()
+        )
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        ensure = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
+        ]
+        # exactly one requirement-driven exchange: the final (hi, lo)
+        # dedup; groupBy(hi) and join(hi) reuse the cached layout
+        assert len(ensure) == 1 and "hi" in ensure[0] and "lo" in ensure[0], plan
+        canon.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_cached_edge_partitioning_survives_into_join(spark):
     """connected_components persists the edge table pre-partitioned on
     the join key INSTEAD of localCheckpoint (which drops

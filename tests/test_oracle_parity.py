@@ -46,22 +46,37 @@ _RETIRED = ["dedup_distinct_rows", "sample_split_assign"]
 
 
 # Implemented ahead of their driver slot (r6 rotation is exactly full;
-# COVERAGE.md rotation-budget section queues them for r7): same compare,
+# COVERAGE.md rotation-budget section queues them): same compare,
 # local-only until registered.
-def test_queued_queries_match(spark):
+def _queued():
+    from erathia_market_etl_spark.plans.streaming_queries import (
+        STREAM_INCREMENTAL_ORACLE,
+        stream_incremental_new_docs,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_QUALITY_GATE_ORACLE,
         text_quality_gate,
     )
 
-    result = compare_query(
-        "text_quality_gate",
-        text_quality_gate(spark, SF_SMOKE),
-        TEXT_QUALITY_GATE_ORACLE,
-        SF_SMOKE,
-    )
+    return {
+        "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
+        "stream_incremental_new_docs": (
+            stream_incremental_new_docs, STREAM_INCREMENTAL_ORACLE,
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_queued()))
+def test_queued_queries_match(spark, name):
+    fn, oracle = _queued()[name]
+    result = compare_query(name, fn(spark, SF_SMOKE), oracle, SF_SMOKE)
     assert result.ok, result
+
+
+def test_quality_gate_splits_corpus(spark):
     # non-vacuous: the gate must split the fixture corpus both ways
+    from erathia_market_etl_spark.plans.text_queries import text_quality_gate
+
     rows = text_quality_gate(spark, SF_SMOKE).collect()
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows), (kept, len(rows))
