@@ -80,6 +80,36 @@ def test_replicate_salts_cardinality(dim):
     assert replicate_salts(dim, 5).count() == dim.count() * 5
 
 
+def test_hash_salt_deterministic_and_spreads(spark, skewed):
+    # salt_from: partition-layout-independent (same row -> same salt
+    # under any repartitioning, unlike F.rand) and still spreads a hot
+    # key over all n_salts buckets when the hashed column varies per row
+    df = spark.range(5_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("row_id")
+    )
+    a = {r["row_id"]: r[SALT_COL]
+         for r in with_salt(df, 8, salt_from=["row_id"]).collect()}
+    b = {r["row_id"]: r[SALT_COL]
+         for r in with_salt(df.repartition(17), 8, salt_from=["row_id"]).collect()}
+    assert a == b  # layout-independent
+    assert set(a.values()) == set(range(8))  # hot key spread over all salts
+
+
+def test_salted_ops_with_hash_salt_match_plain(spark, skewed, dim):
+    keyed = skewed.withColumn("row_id", F.monotonically_increasing_id())
+    plain = skewed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    salted = salted_sum(
+        keyed, ["k"], ["v"], n_salts=8, salt_from=["row_id"]
+    ).select("k", F.col("n_rows").alias("n")).collect()
+    assert sorted((r["k"], r["n"]) for r in plain) == sorted(
+        (r["k"], r["n"]) for r in salted
+    )
+    pj = skewed.join(dim, ["k"]).count()
+    sj = salted_join(keyed, dim, ["k"], n_salts=8, salt_from=["row_id"]).count()
+    assert pj == sj
+
+
 # -- LSH hot-bucket cap (r1 VERDICT "Next round" #5) ------------------------
 # A degenerate corpus (every doc identical) collapses each band into ONE
 # bucket; uncapped that is a C(n,2) single-task pair explosion. The cap
