@@ -200,3 +200,50 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark, staged_dir):
     out = run_available_now(deduped, output_mode="append")
     emitted = sorted(r["event_id"] for r in out.collect())
     assert emitted == [1, 4, 5, 6]
+
+
+def test_stream_static_anti_dedup_multibatch(spark, staged_dir, tmp_path):
+    """stream_incremental_new_docs' join shape over crafted
+    micro-batches: a doc stream LEFT ANTI joins a STATIC corpus
+    fingerprint table; each batch keeps only unseen-content docs.
+    Stateless — a doc whose fingerprint is in the corpus is dropped in
+    EVERY batch (no state store involved), and stream-internal dups
+    pass through (cross-batch dedup is the static side's job)."""
+    from pyspark.sql.types import StructType as St
+
+    doc_schema = (
+        St()
+        .add("doc_id", LongType())
+        .add("text", StringType())
+    )
+
+    def write_docs(rows, path, mtime):
+        df = spark.createDataFrame(rows, doc_schema).coalesce(1)
+        df.write.mode("overwrite").parquet(path + ".tmp")
+        part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(os.path.join(path + ".tmp", part), path)
+        os.utime(path, (mtime, mtime))
+
+    # corpus knows "alpha" and "beta"
+    corpus = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], doc_schema
+    ).select(F.md5(F.trim(F.lower(F.col("text")))).alias("fp")).distinct()
+
+    write_docs([(10, "alpha"), (11, "gamma")], f"{staged_dir}/b0.parquet", 1_000_000)
+    write_docs([(12, "Beta "), (13, "gamma"), (14, "delta")],
+               f"{staged_dir}/b1.parquet", 1_000_100)
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+    fp = F.md5(F.trim(F.lower(F.col("text")))).alias("fp")
+    new_docs = stream.select("doc_id", fp).join(corpus, "fp", "left_anti")
+    out = run_available_now(new_docs, output_mode="append")
+    got = sorted(r["doc_id"] for r in out.collect())
+    # 10 dropped (alpha in corpus), 12 dropped ('Beta ' normalizes to a
+    # corpus fingerprint ACROSS batches), 13 passes even though 11 had
+    # identical content in an earlier batch (stateless by design)
+    assert got == [11, 13, 14]
