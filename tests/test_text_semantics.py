@@ -1,0 +1,84 @@
+"""Semantic pins for the r6 text operators on PLANTED inputs.
+
+Oracle parity (tests/test_oracle_parity.py) proves Spark and DuckDB
+agree; these tests prove the operators mean what they claim: BM25 must
+rank a term-dense document first, and each quality-gate rule must fire
+on a document constructed to violate exactly that rule.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (parity with sibling tests)
+
+GOOD = (
+    "the data pipeline runs a fast query over the table and it is "
+    "a good day to ship clean results of the work in the main branch "
+    "because the team wants it done and the data is ready to go now"
+)
+
+
+def _gate(spark, rows):
+    """Run text_quality_gate against an in-memory documents table by
+    monkey-binding load_table's input through a temp view-compatible
+    fixture: the gate only reads doc_id/text, so a parquet round-trip
+    in a temp dir keeps the real load path."""
+    import os
+    import tempfile
+
+    from erathia_market_etl_spark.plans.text_queries import text_quality_gate
+
+    d = tempfile.mkdtemp(prefix="gate_docs_")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                "source string, n_chars long") \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = text_quality_gate(spark, d)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_quality_gate_rules_fire_individually(spark):
+    rows = [
+        (0, GOOD, "en", "s", len(GOOD)),                      # passes all
+        (1, "too short", "en", "s", 9),                       # len_ok fails
+        (2, " ".join(["supercalifragilistic" * 3] * 20),      # mean_len fails
+         "en", "s", 0),
+        (3, " ".join(f"tok{i}" for i in range(40)),           # no stopwords
+         "en", "s", 0),
+        (4, "£$ %% ^^ " * 8 + "the of to a in is it and the of to a",
+         "en", "s", 0),                                       # alpha_ok fails
+        (5, "the cat sat here " * 30, "en", "s", 0),          # repetitive
+    ]
+    got = _gate(spark, rows)
+    assert got[0]["keep"] is True, got[0]
+    assert got[1]["len_ok"] is False and got[1]["keep"] is False
+    assert got[2]["mean_len_ok"] is False and got[2]["keep"] is False
+    assert got[3]["stopword_ok"] is False and got[3]["keep"] is False
+    assert got[4]["alpha_ok"] is False and got[4]["keep"] is False
+    assert got[5]["rep_ok"] is False and got[5]["keep"] is False
+    # and the violating docs fail ONLY where planted (no rule bleed)
+    assert got[1]["rep_ok"] is True
+    assert got[5]["len_ok"] is True and got[5]["stopword_ok"] is True
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    import os
+    import tempfile
+
+    from erathia_market_etl_spark.plans.text_queries import text_bm25_topk
+
+    filler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, filler, "en", "s", len(filler)) for i in range(20)]
+    # doc 50: saturated with all three query terms; doc 51: one term once
+    rows.append((50, "data query fast " * 6, "en", "s", 0))
+    rows.append((51, filler + " data", "en", "s", 0))
+    d = tempfile.mkdtemp(prefix="bm25_docs_")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                "source string, n_chars long") \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = text_bm25_topk(spark, d).collect()
+    assert out, "no scored docs"
+    assert out[0]["doc_id"] == 50          # term-dense doc wins
+    assert out[0]["bm25"] > out[-1]["bm25"] or len(out) == 1
+    ids = [r["doc_id"] for r in out]
+    assert 51 in ids                       # single-hit doc still retrieved
+    assert all(r["bm25"] > 0 for r in out)
