@@ -275,3 +275,45 @@ def test_vectorized_scorer_null_and_zero_norm(spark):
              emb.select("vec_id", scorer("embedding").alias("s"))
              .orderBy(F.desc("s"), F.asc("vec_id")).collect()]
     assert order == [0, 3, 1, 2]
+
+
+def test_batch_ann_recall_vs_exact(spark):
+    """Quality audit for sim_topk_batch (the sim_ivf_cell_quality
+    pattern applied to the batch shape): for each of the 8 query
+    vectors, the IVF-cell top-10 must recover a sane fraction of the
+    exact brute-force top-10. On the random sf0.001 fixture the
+    nprobe=4/16 path measures ~0.5-0.8 mean recall; pin a 0.2 floor so
+    a broken probe/cell join (e.g. scoring the wrong cells) fails
+    loudly while fixture noise cannot."""
+    from erathia_market_etl_spark.operators.similarity import cosine
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        N_BATCH_QUERIES,
+        TOP_K,
+        sim_topk_batch,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got: dict[int, set[int]] = {}
+    for r in sim_topk_batch(spark, sf).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(got) == set(range(N_BATCH_QUERIES))  # every query answered
+    assert all(len(v) == TOP_K for v in got.values())
+
+    emb = load_table(spark, sf, "embeddings")
+    recalls = []
+    for qid in range(N_BATCH_QUERIES):
+        qvec = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = {
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.lit(qvec).cast("array<float>")).alias("cs"),
+            )
+            .orderBy(F.desc("cs"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .collect()
+        }
+        recalls.append(len(exact & got[qid]) / TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
