@@ -112,6 +112,12 @@ _CHANGED: dict[str, int] = {
     # r6 kernel swap: connected components -> large-star/small-star
     "dedup_cluster_components": 6,
     "text_token_frequencies": 6,  # fan_out rebalance before the explode
+    # r6: state_partitions=8 scoped override for bounded stateful runs
+    "stream_stream_interval_join": 6,
+    "stream_tumbling_hourly": 6,
+    "stream_session_stats": 6,
+    "stream_user_running_totals": 6,
+    "stream_dedup_keys": 6,
 }
 
 _CANARIES: list[str] = [
