@@ -248,3 +248,66 @@ def test_sample_frames_null_rows_skipped(spark):
     rows = sample_frames(media, every_n=10).collect()
     assert {r["media_id"] for r in rows} == {3}
     assert sorted(r["frame_idx"] for r in rows) == [0, 10]
+
+
+def test_decoder_fuzz_roundtrip_and_no_crash():
+    """Hypothesis pins for the codec-free decoders: (a) encode→decode
+    is identity for arbitrary image shapes/contents and arbitrary PCM16
+    sample runs; (b) decode_real on ARBITRARY bytes either returns a
+    decoded payload or raises one of the contracted error types —
+    never an uncontrolled crash class (the quarantine paths in
+    resize_image_real / wav_decode_stats rely on catching Exception,
+    but the decoders themselves must stay inside sane error types)."""
+    import struct
+    import wave
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_real,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2 ** 32 - 1),
+    )
+    def image_roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767),
+                 min_size=0, max_size=300),
+        st.integers(min_value=1, max_value=192_000),
+    )
+    def wav_roundtrip(samples, rate):
+        arr = np.array(samples, dtype=np.int64)
+        got, got_rate = decode_wav(encode_wav(arr, rate))
+        assert got_rate == rate
+        assert (got.astype(np.int64) == arr).all()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def never_uncontrolled(payload):
+        try:
+            decode_real(payload)
+        except (NotImplementedError, ValueError, struct.error, wave.Error,
+                EOFError, IndexError):
+            pass  # contracted failure modes for garbage input
+
+    image_roundtrip()
+    wav_roundtrip()
+    never_uncontrolled()
