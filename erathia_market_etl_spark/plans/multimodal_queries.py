@@ -252,3 +252,118 @@ def media_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(synth, "media_id long, content binary")
     )
     return wav_decode_stats(wavs).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# media_bmp_real_resize: the image twin of media_wav_real_decode.
+# UNREGISTERED — queued with text_quality_gate / stream_incremental_new_docs
+# for a future driver slot (COVERAGE.md rotation-budget section); oracle
+# parity runs locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+BMP_TARGET = 4  # resize target (4x4)
+
+MEDIA_BMP_REAL_RESIZE_ORACLE = f"""
+    WITH img AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 8 AS h,
+               8 + doc_id % 5 AS w
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT media_id,
+               (media_id * 7 + ((y * h) // {BMP_TARGET}) * 13
+                + ((x * w) // {BMP_TARGET}) * 17 + c * 29) % 256 AS v,
+               c
+        FROM img,
+             UNNEST(generate_series(0, {BMP_TARGET - 1})) AS uy(y),
+             UNNEST(generate_series(0, {BMP_TARGET - 1})) AS ux(x),
+             UNNEST(generate_series(0, 2)) AS uc(c)
+    )
+    SELECT media_id,
+           {BMP_TARGET} AS width, {BMP_TARGET} AS height,
+           FLOOR(SUM(CASE WHEN c = 0 THEN v END)
+                 / {BMP_TARGET * BMP_TARGET}.0e0 * 1000000 + 0.5) / 1000000 AS mean_r,
+           FLOOR(SUM(CASE WHEN c = 1 THEN v END)
+                 / {BMP_TARGET * BMP_TARGET}.0e0 * 1000000 + 0.5) / 1000000 AS mean_g,
+           FLOOR(SUM(CASE WHEN c = 2 THEN v END)
+                 / {BMP_TARGET * BMP_TARGET}.0e0 * 1000000 + 0.5) / 1000000 AS mean_b
+    FROM px GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+def media_bmp_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline end-to-end: every image row synthesizes a
+    VALID 24-bit BMP from a pure-arithmetic pixel formula
+    (v(y,x,c) = (id·7 + y·13 + x·17 + c·29) % 256 on an
+    (8+id%8) × (8+id%5) canvas), resize_image_real decodes it, nearest-
+    neighbor resamples to 4×4 (src = floor(dst·src_dim/target) — exact
+    integer arithmetic), re-encodes BMP, and a final Arrow stage
+    RE-DECODES the output payload to report per-channel means — so the
+    oracle (the same formula evaluated at the sampled coordinates)
+    hash-checks the full encode → decode → resample → encode → decode
+    cycle byte-for-byte. Channel sums are exact integers; the mean is
+    one IEEE division, 6dp floor-rounded. All stages narrow
+    mapInPandas; payloads never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_image_real,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            outs = []
+            for mid in pdf["media_id"]:
+                h, w = 8 + mid % 8, 8 + mid % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
+                outs.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "content": pd.Series(outs, dtype="object")}
+            )
+
+    def stats(batches):
+        import math
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, buf, w, h in zip(pdf["media_id"], pdf["content"],
+                                      pdf["width"], pdf["height"]):
+                img = decode_bmp(bytes(buf)).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for key, ch in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                    mean = int(img[:, :, ch].sum()) / n
+                    rows[key].append(math.floor(mean * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bmps = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    resized = resize_image_real(bmps, BMP_TARGET, BMP_TARGET)
+    return resized.mapInPandas(
+        stats,
+        "media_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    ).orderBy("media_id")

@@ -49,6 +49,10 @@ _RETIRED = ["dedup_distinct_rows", "sample_split_assign"]
 # COVERAGE.md rotation-budget section queues them): same compare,
 # local-only until registered.
 def _queued():
+    from erathia_market_etl_spark.plans.multimodal_queries import (
+        MEDIA_BMP_REAL_RESIZE_ORACLE,
+        media_bmp_real_resize,
+    )
     from erathia_market_etl_spark.plans.streaming_queries import (
         STREAM_INCREMENTAL_ORACLE,
         stream_incremental_new_docs,
@@ -62,6 +66,9 @@ def _queued():
         "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "stream_incremental_new_docs": (
             stream_incremental_new_docs, STREAM_INCREMENTAL_ORACLE,
+        ),
+        "media_bmp_real_resize": (
+            media_bmp_real_resize, MEDIA_BMP_REAL_RESIZE_ORACLE,
         ),
     }
 
