@@ -711,6 +711,57 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk_postings(docs: DataFrame, terms: DataFrame,
+                       top: int = BM25_TOP) -> DataFrame:
+    """BM25 top-k for an ARBITRARY query-term TABLE — the posting-list
+    shape that complements text_bm25_topk's narrow fixed-term shape.
+    Choose by |Q|: a handful of terms pivot into per-term columns
+    (zero shuffle); a large term set (query expansion, multi-query
+    batches) can't, so this shape explodes tokens, SEMI-JOINs the
+    broadcast term table immediately (the exchange carries only
+    query-term hits — the posting lists — never the full token
+    stream), aggregates per-(doc, term) tf, attaches per-term df and
+    the 1-row corpus stats by broadcast, and sums per-doc scores.
+    Same rational-idf scoring as text_bm25_topk; per-doc score
+    summation order is engine/partition-dependent here (float sum over
+    terms), which is why the FIXED-query registered twin keeps the
+    column-pivot form for exact oracle hashing and this shape is
+    pinned by tolerance-equality against it
+    (tests/test_text_semantics.py)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = docs.select("doc_id", F.explode(toks).alias("term"),
+                    F.size(toks).alias("dl"))
+    hits = t.join(F.broadcast(terms.select("term")), "term")
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                (((F.col("n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (F.col("tf") + F.lit(BM25_K1)
+                   * (F.lit(1.0 - BM25_B)
+                      + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))))
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
+        .select("doc_id", round6(F.col("score")).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
 @query(
     "decon_test_train_overlap",
     oracle=f"""

