@@ -731,7 +731,9 @@ def bm25_topk_postings(docs: DataFrame, terms: DataFrame,
     toks = F.split(F.lower(F.col("text")), " ")
     t = docs.select("doc_id", F.explode(toks).alias("term"),
                     F.size(toks).alias("dl"))
-    hits = t.join(F.broadcast(terms.select("term")), "term")
+    # distinct: a real query-expansion term table carries duplicates,
+    # and a dup term row would double every hit row -> inflated tf
+    hits = t.join(F.broadcast(terms.select("term").distinct()), "term")
     tf = hits.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )

@@ -86,11 +86,7 @@ def stream_events(
     TIMESTAMP under the UTC session tz — identical to the batch reader
     (sources/events.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    src = os.path.join(sf_dir, "events.parquet")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    src, stage = _stage_single_file(sf_dir, "events.parquet")
     raw_schema = _events_raw_schema(src)
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
@@ -107,13 +103,25 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file source pattern as stream_events (no timestamp
     normalization needed; the schema comes straight from the parquet
     footer via a batch read)."""
-    stage = tempfile.mkdtemp(prefix="documents_stream_")
-    src = os.path.join(sf_dir, "documents.parquet")
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    src, stage = _stage_single_file(sf_dir, "documents.parquet")
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(stage)
+
+
+# one staged symlink dir per (sf_dir, table) per process — the file
+# source needs a DIRECTORY and the fixtures are single files; caching
+# avoids leaking a fresh /tmp dir on every stream construction
+_stage_cache: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _stage_single_file(sf_dir: str, name: str) -> tuple[str, str]:
+    key = (sf_dir, name)
+    if key not in _stage_cache:
+        stage = tempfile.mkdtemp(prefix=f"{name.split('.')[0]}_stream_")
+        src = os.path.join(sf_dir, name)
+        os.symlink(src, os.path.join(stage, name))
+        _stage_cache[key] = (src, stage)
+    return _stage_cache[key]
 
 
 def hourly_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -267,7 +275,15 @@ def run_available_now(
     dominate small bounded runs: 32 → 8 partitions is ~3× on the
     interval join at sf0.1 with identical output. State-partition
     count is a deliberate per-stream throughput choice, not an
-    inherited SQL shuffle default — at production volume it goes UP."""
+    inherited SQL shuffle default — at production volume it goes UP.
+
+    CONCURRENCY CONSTRAINT: the scope is a set/restore on the SHARED
+    session conf, safe only because every caller (driver compare,
+    bench, tests) executes queries sequentially on the session. A
+    concurrently-executing query would observe the temporary value.
+    For concurrent use, build the stream on ``spark.newSession()``
+    (own SQLConf, shared SparkContext) instead of widening this
+    helper."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

@@ -135,6 +135,7 @@ def test_star_prepass_reuses_canon_exchange(spark):
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    canon = None
     try:
         canon = (
             spark.range(200)
@@ -161,8 +162,9 @@ def test_star_prepass_reuses_canon_exchange(spark):
         # exactly one requirement-driven exchange: the final (hi, lo)
         # dedup; groupBy(hi) and join(hi) reuse the cached layout
         assert len(ensure) == 1 and "hi" in ensure[0] and "lo" in ensure[0], plan
-        canon.unpersist()
     finally:
+        if canon is not None:
+            canon.unpersist()  # even on assert failure: no cache leak
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 

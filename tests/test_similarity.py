@@ -293,7 +293,7 @@ def test_batch_ann_recall_vs_exact(spark):
     )
     from erathia_market_etl_spark.sources.parquet_io import load_table
 
-    sf = "/root/testdata/sf0.001"
+    from .conftest import SF_SMOKE as sf
     got: dict[int, set[int]] = {}
     for r in sim_topk_batch(spark, sf).collect():
         got.setdefault(r["qid"], set()).add(r["vec_id"])

@@ -80,7 +80,7 @@ def test_replicate_salts_cardinality(dim):
     assert replicate_salts(dim, 5).count() == dim.count() * 5
 
 
-def test_hash_salt_deterministic_and_spreads(spark, skewed):
+def test_hash_salt_deterministic_and_spreads(spark):
     # salt_from: partition-layout-independent (same row -> same salt
     # under any repartitioning, unlike F.rand) and still spreads a hot
     # key over all n_salts buckets when the hashed column varies per row

@@ -36,8 +36,8 @@ TS_SCHEMA = StructType(
 )
 
 
-def _write_batch_file(spark, rows, path, mtime):
-    df = spark.createDataFrame(rows, TS_SCHEMA).coalesce(1)
+def _write_batch_file(spark, rows, path, mtime, schema=None):
+    df = spark.createDataFrame(rows, schema or TS_SCHEMA).coalesce(1)
     df.write.mode("overwrite").parquet(path + ".tmp")
     part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -202,7 +202,7 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark, staged_dir):
     assert emitted == [1, 4, 5, 6]
 
 
-def test_stream_static_anti_dedup_multibatch(spark, staged_dir, tmp_path):
+def test_stream_static_anti_dedup_multibatch(spark, staged_dir):
     """stream_incremental_new_docs' join shape over crafted
     micro-batches: a doc stream LEFT ANTI joins a STATIC corpus
     fingerprint table; each batch keeps only unseen-content docs.
@@ -217,22 +217,15 @@ def test_stream_static_anti_dedup_multibatch(spark, staged_dir, tmp_path):
         .add("text", StringType())
     )
 
-    def write_docs(rows, path, mtime):
-        df = spark.createDataFrame(rows, doc_schema).coalesce(1)
-        df.write.mode("overwrite").parquet(path + ".tmp")
-        part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(os.path.join(path + ".tmp", part), path)
-        os.utime(path, (mtime, mtime))
-
     # corpus knows "alpha" and "beta"
     corpus = spark.createDataFrame(
         [(0, "alpha"), (1, "beta")], doc_schema
     ).select(F.md5(F.trim(F.lower(F.col("text")))).alias("fp")).distinct()
 
-    write_docs([(10, "alpha"), (11, "gamma")], f"{staged_dir}/b0.parquet", 1_000_000)
-    write_docs([(12, "Beta "), (13, "gamma"), (14, "delta")],
-               f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, [(10, "alpha"), (11, "gamma")],
+                      f"{staged_dir}/b0.parquet", 1_000_000, schema=doc_schema)
+    _write_batch_file(spark, [(12, "Beta "), (13, "gamma"), (14, "delta")],
+                      f"{staged_dir}/b1.parquet", 1_000_100, schema=doc_schema)
 
     stream = (
         spark.readStream.schema(doc_schema)

@@ -8,8 +8,9 @@ on a document constructed to violate exactly that rule.
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F  # noqa: F401  (parity with sibling tests)
+import os
+
+from .conftest import SF_SMOKE
 
 GOOD = (
     "the data pipeline runs a fast query over the table and it is "
@@ -18,25 +19,24 @@ GOOD = (
 )
 
 
-def _gate(spark, rows):
-    """Run text_quality_gate against an in-memory documents table by
-    monkey-binding load_table's input through a temp view-compatible
-    fixture: the gate only reads doc_id/text, so a parquet round-trip
-    in a temp dir keeps the real load path."""
-    import os
-    import tempfile
-
-    from erathia_market_etl_spark.plans.text_queries import text_quality_gate
-
-    d = tempfile.mkdtemp(prefix="gate_docs_")
+def _write_docs(spark, rows, d):
+    """Stage a planted documents table as parquet under ``d`` so the
+    query under test exercises its REAL load path (load_table over an
+    sf_dir); pytest's tmp_path owns and reaps the directory."""
     spark.createDataFrame(rows, "doc_id long, text string, lang string, "
                                 "source string, n_chars long") \
         .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    out = text_quality_gate(spark, d)
+    return d
+
+
+def _gate(spark, rows, d):
+    from erathia_market_etl_spark.plans.text_queries import text_quality_gate
+
+    out = text_quality_gate(spark, _write_docs(spark, rows, d))
     return {r["doc_id"]: r.asDict() for r in out.collect()}
 
 
-def test_quality_gate_rules_fire_individually(spark):
+def test_quality_gate_rules_fire_individually(spark, tmp_path):
     rows = [
         (0, GOOD, "en", "s", len(GOOD)),                      # passes all
         (1, "too short", "en", "s", 9),                       # len_ok fails
@@ -48,7 +48,7 @@ def test_quality_gate_rules_fire_individually(spark):
          "en", "s", 0),                                       # alpha_ok fails
         (5, "the cat sat here " * 30, "en", "s", 0),          # repetitive
     ]
-    got = _gate(spark, rows)
+    got = _gate(spark, rows, str(tmp_path))
     assert got[0]["keep"] is True, got[0]
     assert got[1]["len_ok"] is False and got[1]["keep"] is False
     assert got[2]["mean_len_ok"] is False and got[2]["keep"] is False
@@ -60,10 +60,7 @@ def test_quality_gate_rules_fire_individually(spark):
     assert got[5]["len_ok"] is True and got[5]["stopword_ok"] is True
 
 
-def test_bm25_ranks_term_dense_doc_first(spark):
-    import os
-    import tempfile
-
+def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
     from erathia_market_etl_spark.plans.text_queries import text_bm25_topk
 
     filler = "the quick brown fox jumps over the lazy dog again and again"
@@ -71,11 +68,7 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     # doc 50: saturated with all three query terms; doc 51: one term once
     rows.append((50, "data query fast " * 6, "en", "s", 0))
     rows.append((51, filler + " data", "en", "s", 0))
-    d = tempfile.mkdtemp(prefix="bm25_docs_")
-    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
-                                "source string, n_chars long") \
-        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    out = text_bm25_topk(spark, d).collect()
+    out = text_bm25_topk(spark, _write_docs(spark, rows, str(tmp_path))).collect()
     assert out, "no scored docs"
     assert out[0]["doc_id"] == 50          # term-dense doc wins
     assert out[0]["bm25"] > out[-1]["bm25"] or len(out) == 1
@@ -87,9 +80,14 @@ def test_bm25_ranks_term_dense_doc_first(spark):
 def test_bm25_posting_shape_matches_narrow_shape(spark):
     """The posting-list BM25 (arbitrary term table, shuffle shape) must
     agree with the registered narrow column-pivot shape on the same
-    fixed query: identical 6dp-rounded scores for every retrieved doc
-    and the identical top-20 selection. Also sanity: extra non-query
-    terms in the table change nothing for docs that lack them."""
+    fixed query. The postings shape's per-doc float sum is partition-
+    order-dependent, so after 6dp rounding a boundary-straddling score
+    could legitimately differ by one quantum and shift the #20 cut:
+    the pin therefore allows one rounding quantum per score and up to
+    two boundary docs at the cut, which still fails loudly for any
+    real shape bug (wrong tf/df/dl join) while not flaking on
+    parallelism changes. Duplicate term rows must be harmless (the
+    query-expansion contract: tf must not inflate)."""
     from erathia_market_etl_spark.plans.text_queries import (
         BM25_TERMS,
         bm25_topk_postings,
@@ -97,13 +95,15 @@ def test_bm25_posting_shape_matches_narrow_shape(spark):
     )
     from erathia_market_etl_spark.sources.parquet_io import load_table
 
-    sf = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS + BM25_TERMS], ["term"]  # dups on purpose
+    )
     posting = {r["doc_id"]: r["bm25"]
                for r in bm25_topk_postings(docs, terms).collect()}
     narrow = {r["doc_id"]: r["bm25"]
-              for r in text_bm25_topk(spark, sf).collect()}
-    assert set(posting) == set(narrow)
-    for d in narrow:
-        assert abs(posting[d] - narrow[d]) < 1e-6, (d, posting[d], narrow[d])
+              for r in text_bm25_topk(spark, SF_SMOKE).collect()}
+    common = set(posting) & set(narrow)
+    assert len(common) >= len(narrow) - 2, (sorted(posting), sorted(narrow))
+    for d in common:
+        assert abs(posting[d] - narrow[d]) <= 2e-6, (d, posting[d], narrow[d])
