@@ -1,12 +1,15 @@
 """Multimodal queries over the synthetic media table (extension surface).
 
-All four are oracle-checked (r4): the catalog projection is plain SQL;
-the decode-dependent ops (feature extraction, frame sampling, resize)
-run the real mapInPandas plumbing with the deterministic fake decoder,
-whose byte-level outputs the DuckDB twins reproduce — the payload is
-ASCII text, so the byte histogram is an ord() histogram, the frame
-fingerprint is md5(text||'|'||idx), and the resize pass-through is
-md5-pinned.
+All registered entries are oracle-checked: the catalog projection is
+plain SQL; the fake-decoder ops (feature extraction, frame sampling,
+resize pass-through) run the real mapInPandas plumbing with byte-level
+outputs the DuckDB twins reproduce (ASCII payload ⇒ ord() histogram,
+md5(text||'|'||idx) frame fingerprints, md5-pinned resize
+round-trip). Since r6 the REAL codec-free decoders carry evidence too:
+media_wav_real_decode (registered) parses synthesized valid WAV
+containers, and media_bmp_real_resize (queued for a free slot) runs
+the full BMP encode→decode→resample→encode→decode cycle — both
+hash-matched against pure-arithmetic oracles.
 """
 
 from __future__ import annotations

@@ -1,6 +1,8 @@
 """Similarity-search queries over the embeddings table (extension
-surface): brute-force cosine top-k (baseline), sign-bit-LSH bucketed
-top-k (scale path), and embedding-cosine near-dup pairs.
+surface): brute-force cosine top-k (baseline, HOF and Arrow-vectorized
+forms), IVF cell-probed top-k (single-query, batch multi-query, and
+the production k-means path's quality contract), banded sign-LSH
+near-dup pairs with recall/overflow audits.
 """
 
 from __future__ import annotations

@@ -1,8 +1,12 @@
 """Text-analysis queries over the documents table (extension surface).
 
-Each query is pure built-in expressions (operators/text.py) with an
-exact DuckDB twin — the text pipeline a 100 TB pre-training corpus run
-needs: token statistics, language-ID, quality scoring, fingerprinting.
+The text pipeline a 100 TB pre-training corpus run needs: token
+statistics, language-ID, quality scoring/gating, repetition and PII
+signals, fingerprinting (whole-doc, min-shingle, winnowed k-gram),
+decontamination, and BM25 lexical retrieval. Everything is built-in
+Catalyst expressions (operators/text.py) except the winnowing core —
+a sanctioned narrow Arrow boundary — and every query carries an exact
+DuckDB twin.
 """
 
 from __future__ import annotations
