@@ -1,0 +1,58 @@
+"""Measure the scaling DERIVATIVE of the headline bench: run bench.py
+at two scale factors and print per-query time ratios for the 10× data
+step. A linear-scan query should come out ≤10×; anything superlinear
+betrays a hidden quadratic (cartesian/all-pairs) shape that the
+plan-shape lint can only catch structurally. Produces the SCALE.md
+"Measured scaling" table.
+
+Usage: python tools/scaling_check.py [small_sf_dir] [big_sf_dir]
+       (defaults: /root/testdata/sf0.01  /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    a, b = run_bench(small), run_bench(big)
+    rows = []
+    for name, t_small in a["queries"].items():
+        t_big = b["queries"].get(name)
+        if t_big is None or t_small <= 0:
+            continue
+        rows.append((name, t_small, t_big, t_big / t_small))
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':40s} {small.split('/')[-1]:>8s} {big.split('/')[-1]:>8s} ratio")
+    for name, ts, tb, r in rows:
+        flag = "  <-- SUPERLINEAR" if r > 10 else ""
+        print(f"{name:40s} {ts:8.3f} {tb:8.3f} {r:5.1f}x{flag}")
+    geo = 1.0
+    for _, _, _, r in rows:
+        geo *= r
+    geo **= 1.0 / len(rows)
+    print(f"\ngeometric mean ratio: {geo:.2f}x over {len(rows)} queries "
+          f"({big} has ~10x the rows of {small})")
+    bad = [n for n, _, _, r in rows if r > 10]
+    print(json.dumps({"geo_mean_ratio": round(geo, 3),
+                      "superlinear": bad}))
+
+
+if __name__ == "__main__":
+    main()
