@@ -54,3 +54,36 @@ def test_csv_schema_inference_vs_explicit(spark, dim, tmp_path):
     inferred = spark.read.option("header", True).option("inferSchema", True).csv(path)
     assert inferred.columns == dim.columns
     assert inferred.count() == dim.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on an accreting corpus (the 100 TB reality:
+    month 2 adds a quality_score column to new partitions): reading
+    the whole dataset with mergeSchema=true must union the schemas,
+    null-filling the old partitions' missing column, and the evolved
+    column must still filter/prune normally. Also pins the default:
+    WITHOUT mergeSchema, the footer Spark happens to sample wins —
+    readers of evolving datasets must opt in explicitly."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    ).write.mode("overwrite").parquet(path + "/batch=1")
+    spark.range(10, 20).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("text"),
+        (F.col("id") * 0.1).alias("quality_score"),
+    ).write.mode("overwrite").parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "quality_score", "batch"}
+    assert merged.count() == 20
+    # old partitions read as NULL; the evolved column is filterable
+    assert merged.filter(F.col("quality_score").isNull()).count() == 10
+    assert merged.filter(F.col("quality_score") > 1.0).count() == 9
+    # and partition pruning still applies over the evolved read
+    plan = (
+        merged.filter(F.col("batch") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(batch" in plan.replace("#", "#")
