@@ -178,9 +178,8 @@ def connected_components_star(
     # hi-group onto its minimum before the first full round — on dense
     # dup-cluster graphs this does most of the work and typically
     # saves one full alternation round. The prepass checkpoint is the
-    # first action, so it also materializes canon's cache (no separate
-    # eager count — driver actions, not shuffles, dominate small
-    # graphs; canon stays persisted for the final self-loop probe).
+    # first action and materializes canon's cache as a side effect;
+    # canon stays persisted for the final self-loop probe.
     e0 = canon.filter(F.col("hi") != F.col("lo"))
     mins0 = e0.groupBy("hi").agg(F.min("lo").alias("m"))
     e = (
@@ -191,10 +190,16 @@ def connected_components_star(
         .dropDuplicates()
         .localCheckpoint()
     )
-    n_old: int | None = None  # lazily learned from round 1's count
+    # counting the checkpointed prepass output is one ~cached-scan job;
+    # skipping it would cost a FULL confirmation round whenever the
+    # prepass alone already reached the fixed point (round 1 could not
+    # conclude set-equality without |e|)
+    n_old = e.count()
     rounds = 0
-    stable = False
+    stable = n_old == 0  # nothing to collapse: the empty set is final
     for _ in range(max_iter):
+        if stable:
+            break
         rounds += 1
         # ---- large-star ----
         sym = (
