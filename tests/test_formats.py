@@ -61,9 +61,9 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     month 2 adds a quality_score column to new partitions): reading
     the whole dataset with mergeSchema=true must union the schemas,
     null-filling the old partitions' missing column, and the evolved
-    column must still filter/prune normally. Also pins the default:
-    WITHOUT mergeSchema, the footer Spark happens to sample wins —
-    readers of evolving datasets must opt in explicitly."""
+    column must still filter/prune normally. (Without the option Spark
+    takes the schema of whichever footer it samples — unpinnable by
+    design — so readers of evolving datasets must opt in explicitly.)"""
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "evolving")
@@ -86,4 +86,4 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         merged.filter(F.col("batch") == 2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "PartitionFilters: [isnotnull(batch" in plan.replace("#", "#")
+    assert "PartitionFilters: [isnotnull(batch" in plan

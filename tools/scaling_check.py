@@ -23,8 +23,11 @@ def run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
+        env=env, capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr)
+        raise SystemExit(f"bench.py failed at {sf_dir} (see stderr above)")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -32,26 +35,35 @@ def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     a, b = run_bench(small), run_bench(big)
-    rows = []
+    # the data step between the two SFs IS the superlinearity threshold
+    factor = a["sf"] and b["sf"] / a["sf"]
+    if not factor or factor <= 1:
+        raise SystemExit(f"big sf ({b['sf']}) must exceed small sf ({a['sf']})")
+    rows, dropped = [], []
     for name, t_small in a["queries"].items():
         t_big = b["queries"].get(name)
         if t_big is None or t_small <= 0:
-            continue
+            dropped.append(name)  # a query that only fails at scale must
+            continue              # not silently vanish from the report
         rows.append((name, t_small, t_big, t_big / t_small))
+    if not rows:
+        raise SystemExit("no query appears in both bench runs — nothing to compare")
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':40s} {small.split('/')[-1]:>8s} {big.split('/')[-1]:>8s} ratio")
     for name, ts, tb, r in rows:
-        flag = "  <-- SUPERLINEAR" if r > 10 else ""
+        flag = "  <-- SUPERLINEAR" if r > factor else ""
         print(f"{name:40s} {ts:8.3f} {tb:8.3f} {r:5.1f}x{flag}")
     geo = 1.0
     for _, _, _, r in rows:
         geo *= r
     geo **= 1.0 / len(rows)
     print(f"\ngeometric mean ratio: {geo:.2f}x over {len(rows)} queries "
-          f"({big} has ~10x the rows of {small})")
-    bad = [n for n, _, _, r in rows if r > 10]
+          f"({big} has ~{factor:g}x the rows of {small})")
+    if dropped:
+        print(f"WARNING: missing from one run (investigate!): {dropped}")
+    bad = [n for n, _, _, r in rows if r > factor]
     print(json.dumps({"geo_mean_ratio": round(geo, 3),
-                      "superlinear": bad}))
+                      "superlinear": bad, "missing": dropped}))
 
 
 if __name__ == "__main__":
