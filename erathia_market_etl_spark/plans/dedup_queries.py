@@ -341,20 +341,23 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH candidate pairs as edges,
-    connected components via the alternating large-star/small-star
-    kernel (operators/graph.py, Kiveris et al. SoCC'14 — r6: replaces
-    min-label propagation so a chain-shaped dup cluster costs O(log² n)
-    rounds instead of O(diameter)), component id = canonical (minimum)
+    connected components via the kernel-selecting auto operator
+    (operators/graph.py, r7): the shared small-star prepass collapses
+    dense dup clusters, a chained-edge probe then finishes with the
+    cheap min-label sweep on near-star graphs (this corpus: chain_frac
+    0, 2 rounds) while chain-shaped graphs keep the r6 alternating
+    large-star/small-star path (Kiveris et al. SoCC'14, O(log² n)
+    rounds regardless of diameter). Component id = canonical (minimum)
     doc — 'keep one per cluster' is then a filter on
     doc_id == component_id. Oracle computes the same fixpoint with a
     recursive CTE (transitive closure + per-vertex min); labels are
     kernel-independent, so the oracle is unchanged."""
-    from ..operators.graph import connected_components_star
+    from ..operators.graph import connected_components_auto
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     return (
-        connected_components_star(pairs, "doc_a", "doc_b")
+        connected_components_auto(pairs, "doc_a", "doc_b")
         .select(F.col("v").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
@@ -390,19 +393,19 @@ def dedup_corpus_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical label dedup_cluster_components assigns). The other dedup
     queries emit pairs/components/stats for audit; this one emits what a
     training pipeline actually feeds the tokenizer. Shape: LSH pairs →
-    large/small-star components (r6 kernel swap, see
+    kernel-selecting connected components (r7, see
     dedup_cluster_components) → filter members ≠ label → LEFT ANTI join
     back to documents. The anti-join is a sort-merge on doc_id by design —
     on a heavily-duplicated corpus (web crawls routinely dedup away
     most of the data) the non-representative side is NOT small, so a
     broadcast hint would be a scale bug; SMJ shuffles only 8-byte keys
     plus the projected columns, never text payloads."""
-    from ..operators.graph import connected_components_star
+    from ..operators.graph import connected_components_auto
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", "doc_id")
     non_reps = (
-        connected_components_star(pairs, "doc_a", "doc_b")
+        connected_components_auto(pairs, "doc_a", "doc_b")
         .filter(F.col("v") != F.col("component_id"))
         .select(F.col("v").alias("doc_id"))
     )

@@ -107,10 +107,11 @@ _CHANGED: dict[str, int] = {
     "text_fingerprint": 5,             # shingle pipeline reshape (fan_out, project-once)
     "dedup_ngram_jaccard": 5,          # int64 shingle hashing before verify join
     "decon_test_train_overlap": 6,     # r5/r6: consumes the rewritten winnowing
-    "dedup_corpus_representatives": 6, # r5: round-1/symmetrize fusion; r6: star kernel
+    "dedup_corpus_representatives": 7,  # r6: star kernel; r7: auto kernel selection
     "sim_topk_vectorized": 5,          # NULL/zero-norm scoring change
-    # r6 kernel swap: connected components -> large-star/small-star
-    "dedup_cluster_components": 6,
+    # r6 star kernel; r7: kernel-selecting auto (min-label finish on
+    # dense graphs after the shared small-star prepass)
+    "dedup_cluster_components": 7,
     "text_token_frequencies": 6,  # fan_out rebalance before the explode
     # r6: state_partitions=8 scoped override for bounded stateful runs
     "stream_stream_interval_join": 6,

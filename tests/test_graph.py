@@ -8,10 +8,15 @@ import pytest
 
 from erathia_market_etl_spark.operators.graph import (
     connected_components,
+    connected_components_auto,
     connected_components_star,
 )
 
-KERNELS = [connected_components, connected_components_star]
+KERNELS = [
+    connected_components,
+    connected_components_star,
+    connected_components_auto,
+]
 
 
 def _cc(spark, edges, kernel=connected_components, **kw):
@@ -87,8 +92,10 @@ def test_kernels_agree_on_random_graphs(spark):
 
         star = _cc(spark, edges, connected_components_star)
         ml = _cc(spark, edges, connected_components)
+        auto = _cc(spark, edges, connected_components_auto)
         assert star == want, f"star kernel wrong for seed {seed}"
         assert ml == want, f"min-label kernel wrong for seed {seed}"
+        assert auto == want, f"auto kernel wrong for seed {seed}"
 
 
 def test_star_raises_on_exhausted_iterations(spark):
@@ -123,6 +130,43 @@ def test_star_collapses_path_in_log_rounds(spark):
     assert ml != got  # labels not yet converged — the O(diameter) bound
 
 
+def test_auto_kernel_stays_minlabel_on_dense(spark):
+    """Kernel escalation (r6 VERDICT item 1), dense half: on dup-cluster
+    graphs — here three planted cliques, the near-clique shape LSH
+    candidate pairs produce — min-label converges inside the escalation
+    budget, so the auto kernel must finish WITHOUT ever invoking the
+    star kernel (its whole cost = the cheap labels-only rounds), with
+    labels exact."""
+    edges = []
+    for base in (100, 300, 500):
+        members = [base + i for i in range(8)]
+        edges += [(a, b) for a in members for b in members if a < b]
+    stats: dict = {}
+    got = _cc(spark, edges, connected_components_auto, stats=stats)
+    want = {base + i: base for base in (100, 300, 500) for i in range(8)}
+    assert got == want
+    assert stats["kernel"] == "minlabel", stats
+    assert stats["star_rounds"] == 0, stats
+    assert stats["rounds"] <= 4, stats
+
+
+def test_auto_kernel_escalates_chain_to_star(spark):
+    """The other half: a planted 128-vertex path (diameter 127) blows
+    the min-label escalation budget, so the auto kernel MUST hand the
+    contracted graph to the alternating-star kernel — the r5
+    diameter-robustness guarantee survives kernel selection — and
+    still converge correctly within escalate_after + O(log² n) total
+    rounds (min-label alone would need ~127)."""
+    n = 128
+    edges = [(2000 + i, 2000 + i + 1) for i in range(n - 1)]
+    stats: dict = {}
+    got = _cc(spark, edges, connected_components_auto, max_iter=12, stats=stats)
+    assert got == {2000 + i: 2000 for i in range(n)}
+    assert stats["kernel"] == "minlabel+star", stats
+    assert stats["star_rounds"] >= 1, stats
+    assert stats["rounds"] <= 16, stats
+
+
 def test_star_prepass_reuses_canon_exchange(spark):
     """The star kernel's small-star prepass must ride the
     canonicalize+dedup exchange: with canon persisted pre-partitioned
@@ -130,30 +174,29 @@ def test_star_prepass_reuses_canon_exchange(spark):
     exchange — only the final (hi, lo) dedup shuffles. If a Spark
     upgrade stops honoring cached REPARTITION_BY_COL layout here, the
     edge table shuffles twice per invocation and the fusion comment in
-    connected_components_star is a lie."""
+    connected_components_star is a lie. The plan is built through the
+    KERNEL'S OWN builders (_canonicalize + _small_star_plan, r6
+    ADVICE) so the pin cannot drift from the shipped prepass shape."""
     from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.graph import (
+        _canonicalize,
+        _small_star_plan,
+    )
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     canon = None
     try:
-        canon = (
-            spark.range(200)
-            .select((F.col("id") + 1).alias("hi"), (F.col("id") % 7).alias("lo"))
-            .repartition("hi")
-            .dropDuplicates()
-            .persist()
+        canon = _canonicalize(
+            spark.range(200).select(
+                (F.col("id") + 1).alias("src"), (F.col("id") % 7).alias("dst")
+            ),
+            "src",
+            "dst",
         )
         canon.count()
-        e0 = canon.filter(F.col("hi") != F.col("lo"))
-        mins0 = e0.groupBy("hi").agg(F.min("lo").alias("m"))
-        pre = (
-            e0.join(mins0, "hi")
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-            .unionByName(mins0.select("hi", F.col("m").alias("lo")))
-            .filter(F.col("hi") != F.col("lo"))
-            .dropDuplicates()
-        )
+        pre = _small_star_plan(canon)
         plan = pre._jdf.queryExecution().executedPlan().toString()
         ensure = [
             ln for ln in plan.splitlines()
