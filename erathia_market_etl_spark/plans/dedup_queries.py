@@ -149,13 +149,18 @@ _SIMHASH_CTE = f"""
 """
 
 
-@query(
-    "dedup_simhash_fingerprint",
-    oracle=f"""
+# Driver slot retired r7 (one-in-one-out; see the r7 note in
+# plans/relational.py): the fingerprint table is a strict subset of
+# dedup_simhash_near_pairs' plan — near_pairs computes these exact
+# fingerprints (its oracle embeds the same fp CTE) and then blocks,
+# caps, and hamming-verifies on top. Oracle keeps running locally in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SIMHASH_FINGERPRINT_ORACLE = f"""
     WITH {_SIMHASH_CTE}
     SELECT doc, fingerprint FROM fp ORDER BY doc
-    """,
-)
+    """
+
+
 def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit TF-weighted SimHash per document: token -> 48-bit md5-prefix
     hash -> per-bit ±1 sums -> sign fingerprint. One explode + one

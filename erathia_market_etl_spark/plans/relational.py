@@ -926,30 +926,37 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations (SURVEY §2.7 — absent in reference, engine surface)
 # ---------------------------------------------------------------------------
 
-@query(
-    "setop_union_distinct",
-    oracle="""
+# Driver slots retired r7 (slot economics: one out per query added —
+# paid for the text_quality_gate / bm25_topk_postings registrations and
+# the r7 kernel-selection re-attestations). Each is a strict-subset
+# plan shape of a staying driver-green sibling: union+distinct ⊂
+# setop_union_by_name_missing's evolution-union + the distinct
+# aggregate of distinct_projection_sorted; INTERSECT (set) ⊂
+# setop_intersect_all_bag (the bag variant adds multiplicity
+# arithmetic over the same left-semi shape). Oracles keep running in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SETOP_UNION_DISTINCT_ORACLE = """
     SELECT c_nationkey AS nationkey FROM customer
     UNION
     SELECT s_nationkey AS nationkey FROM supplier
     ORDER BY nationkey
-    """,
-)
+    """
+
+
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct().orderBy("nationkey")
 
 
-@query(
-    "setop_intersect",
-    oracle="""
+SETOP_INTERSECT_ORACLE = """
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT s_nationkey AS nationkey FROM supplier
     ORDER BY nationkey
-    """,
-)
+    """
+
+
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))

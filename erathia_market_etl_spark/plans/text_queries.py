@@ -523,10 +523,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # text_quality_gate: C4/Gopher-style composite keep/drop filter.
-# UNREGISTERED until r7 — the r6 driver rotation is exactly full
-# (COVERAGE.md rotation-budget section); oracle parity runs locally in
-# tests/test_oracle_parity.py::test_queued_queries_match until a slot
-# opens, the same holding pattern as the retired queries.
+# Registered r7 (the round's one free rotation slot, r6 VERDICT item 2)
+# after a round queued with local-only oracle parity.
 # ---------------------------------------------------------------------------
 
 # oracle: TEXT_QUALITY_GATE_ORACLE, defined next to _SW_SQL above
@@ -534,6 +532,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference them)
 
 
+@query("text_quality_gate", oracle=TEXT_QUALITY_GATE_ORACLE)
 def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pre-training quality filter (C4's length/sentence
     heuristics + Gopher's repetition and symbol rules, re-expressed
@@ -724,14 +723,26 @@ def bm25_topk_postings(docs: DataFrame, terms: DataFrame,
     batches) can't, so this shape explodes tokens, SEMI-JOINs the
     broadcast term table immediately (the exchange carries only
     query-term hits — the posting lists — never the full token
-    stream), aggregates per-(doc, term) tf, attaches per-term df and
-    the 1-row corpus stats by broadcast, and sums per-doc scores.
-    Same rational-idf scoring as text_bm25_topk; per-doc score
-    summation order is engine/partition-dependent here (float sum over
-    terms), which is why the FIXED-query registered twin keeps the
-    column-pivot form for exact oracle hashing and this shape is
-    pinned by tolerance-equality against it
-    (tests/test_text_semantics.py)."""
+    stream; plan-pinned in tests/test_plan_shapes.py), aggregates
+    per-(doc, term) tf, attaches per-term df as a window count over
+    the SAME tf subtree (one corpus explode total — see the inline
+    comment) and the 1-row corpus stats by broadcast, and sums
+    per-doc scores.
+
+    Same rational-idf per-term score as text_bm25_topk (IEEE-exact
+    cross-engine on identical int inputs), but the per-doc sum runs
+    over MICRO-INTEGER scores: each term part is rounded once to
+    integer micro-units (floor(s·10⁶ + ½) — exact, engines agree
+    bit-for-bit), and longs sum associatively, so the total is
+    partition-order-independent and hash-exact against the DuckDB twin
+    — float summation order was the one nondeterminism that kept this
+    shape tolerance-pinned-only before r7. The registered
+    ``bm25_topk_postings`` query runs this over a fixed 10-term table;
+    cross-shape tolerance vs text_bm25_topk stays pinned in
+    tests/test_text_semantics.py (micro-rounding perturbs each 3-term
+    score by < 1.5e-6)."""
+    from pyspark.sql import Window
+
     toks = F.split(F.lower(F.col("text")), " ")
     t = docs.select("doc_id", F.explode(toks).alias("term"),
                     F.size(toks).alias("dl"))
@@ -741,31 +752,120 @@ def bm25_topk_postings(docs: DataFrame, terms: DataFrame,
     tf = hits.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # per-term document frequency as a WINDOW over tf (rows are distinct
+    # (doc, term), so COUNT(*) per term IS df) — NOT a groupBy(term) +
+    # join back: tf is not materialized, so a second consumer re-plans
+    # the whole explode subtree and the corpus gets tokenized TWICE
+    # (observed in the r7 plan before this shape); the window keeps one
+    # lineage — a single explode — at the cost of one tf-sized exchange
+    # on term, which the posting list needs anyway
+    tf_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     stats = docs.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+        tf_df.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            (
-                (((F.col("n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
-                / (F.col("tf") + F.lit(BM25_K1)
-                   * (F.lit(1.0 - BM25_B)
-                      + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))))
-            ).alias("s"),
+            F.floor(
+                (
+                    (((F.col("n") - F.col("df")) + F.lit(0.5))
+                     / (F.col("df") + F.lit(0.5)))
+                    * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (F.col("tf") + F.lit(BM25_K1)
+                       * (F.lit(1.0 - BM25_B)
+                          + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))))
+                ) * F.lit(1000000.0) + F.lit(0.5)
+            ).alias("micro"),
         )
     )
     return (
-        scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
-        .select("doc_id", round6(F.col("score")).alias("bm25"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("micro").alias("micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            (F.col("micro_sum").cast("double") / F.lit(1000000.0)).alias("bm25"),
+        )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(top)
     )
+
+
+# The registered posting-shape query's fixed term table: ten distinct
+# corpus-vocabulary terms spanning the df range (including the rare
+# 'dup' so idf variance is non-trivial) plus a deliberate duplicate —
+# a real query-expansion table carries dups, and the operator's
+# distinct guard (and the oracle's) must absorb them.
+BM25_POSTING_TERMS = (
+    "join", "hash", "scan", "filter", "merge",
+    "vector", "stream", "window", "sort", "dup", "join",
+)
+
+_POSTING_VALUES = ", ".join(f"('{t}')" for t in BM25_POSTING_TERMS)
+
+
+@query(
+    "bm25_topk_postings",
+    oracle=f"""
+    WITH q(term) AS (VALUES {_POSTING_VALUES}),
+    qd AS (SELECT DISTINCT term FROM q),
+    tok AS (
+        SELECT doc_id, len(string_split(LOWER(text), ' ')) AS dl,
+               unnest(string_split(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT t.doc_id, t.term, COUNT(*) AS tf, MIN(t.dl) AS dl
+        FROM tok t JOIN qd USING (term)
+        GROUP BY t.doc_id, t.term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(len(string_split(LOWER(text), ' '))) AS DOUBLE)
+                   / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   (((st.n - dft.df) + 0.5e0) / (dft.df + 0.5e0))
+                   * (tf.tf * 2.5e0)
+                   / (tf.tf + 1.5e0 * (0.25e0 + 0.75e0 * (tf.dl / st.avgdl)))
+                   * 1000000 + 0.5e0) AS BIGINT) AS micro
+        FROM tf JOIN dft USING (term), st
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_hit,
+           CAST(SUM(micro) AS DOUBLE) / 1000000 AS bm25
+    FROM sc
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def bm25_topk_postings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing run of the posting-list BM25 shape (r6 VERDICT
+    item 4): the BM25 plan that actually shuffles — explode → immediate
+    broadcast semi-join (only query-term hits ride the exchange) →
+    per-(doc, term) tf agg → broadcast df/stats → exact micro-integer
+    per-doc sum → top-k. Fixed 10-term query table (BM25_POSTING_TERMS,
+    duplicate included on purpose); the DuckDB twin scores the same
+    VALUES term table through the same rational-idf micro arithmetic,
+    so the compare is hash-exact, not tolerance-based."""
+    from ..sources.parquet_io import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_POSTING_TERMS], "term string"
+    )
+    return bm25_topk_postings(docs, terms)
 
 
 @query(

@@ -116,11 +116,19 @@ _stage_cache: dict[tuple[str, str], tuple[str, str]] = {}
 
 def _stage_single_file(sf_dir: str, name: str) -> tuple[str, str]:
     key = (sf_dir, name)
-    if key not in _stage_cache:
-        stage = tempfile.mkdtemp(prefix=f"{name.split('.')[0]}_stream_")
-        src = os.path.join(sf_dir, name)
-        os.symlink(src, os.path.join(stage, name))
-        _stage_cache[key] = (src, stage)
+    if key in _stage_cache:
+        # validate the cached symlink still exists — a long-lived
+        # process can outlive external /tmp cleanup, and a dangling
+        # stage dir fails later with an opaque empty-stream error
+        # (r6 ADVICE); re-stage instead
+        _, stage = _stage_cache[key]
+        if os.path.islink(os.path.join(stage, name)):
+            return _stage_cache[key]
+        del _stage_cache[key]
+    stage = tempfile.mkdtemp(prefix=f"{name.split('.')[0]}_stream_")
+    src = os.path.join(sf_dir, name)
+    os.symlink(src, os.path.join(stage, name))
+    _stage_cache[key] = (src, stage)
     return _stage_cache[key]
 
 

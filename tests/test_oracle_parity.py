@@ -39,10 +39,16 @@ def test_entry_smoke(spark):
     assert "nation_name" in df.columns
 
 
-# Driver slots retired r5 (slot economics — one out per query added):
+# Driver slots retired r5/r7 (slot economics — one out per query added):
 # the functions and oracles stay; they just run through the SAME compare
 # here instead of consuming one of the driver's 50 per-round slots.
-_RETIRED = ["dedup_distinct_rows", "sample_split_assign"]
+_RETIRED = [
+    "dedup_distinct_rows",
+    "sample_split_assign",
+    "setop_union_distinct",
+    "setop_intersect",
+    "dedup_simhash_fingerprint",
+]
 
 
 # Implemented ahead of their driver slot (r6 rotation is exactly full;
@@ -57,13 +63,9 @@ def _queued():
         STREAM_INCREMENTAL_ORACLE,
         stream_incremental_new_docs,
     )
-    from erathia_market_etl_spark.plans.text_queries import (
-        TEXT_QUALITY_GATE_ORACLE,
-        text_quality_gate,
-    )
 
+    # text_quality_gate graduated to a driver slot in r7
     return {
-        "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_ORACLE),
         "stream_incremental_new_docs": (
             stream_incremental_new_docs, STREAM_INCREMENTAL_ORACLE,
         ),
@@ -91,9 +93,17 @@ def test_quality_gate_splits_corpus(spark):
 
 @pytest.mark.parametrize("name", _RETIRED)
 def test_retired_queries_still_match(spark, name):
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        SIMHASH_FINGERPRINT_ORACLE,
+        dedup_simhash_fingerprint,
+    )
     from erathia_market_etl_spark.plans.relational import (
         DISTINCT_ROWS_ORACLE,
+        SETOP_INTERSECT_ORACLE,
+        SETOP_UNION_DISTINCT_ORACLE,
         dedup_distinct_rows,
+        setop_intersect,
+        setop_union_distinct,
     )
     from erathia_market_etl_spark.plans.sampling_queries import (
         SPLIT_ASSIGN_ORACLE,
@@ -103,6 +113,11 @@ def test_retired_queries_still_match(spark, name):
     fn, oracle = {
         "dedup_distinct_rows": (dedup_distinct_rows, DISTINCT_ROWS_ORACLE),
         "sample_split_assign": (sample_split_assign, SPLIT_ASSIGN_ORACLE),
+        "setop_union_distinct": (setop_union_distinct, SETOP_UNION_DISTINCT_ORACLE),
+        "setop_intersect": (setop_intersect, SETOP_INTERSECT_ORACLE),
+        "dedup_simhash_fingerprint": (
+            dedup_simhash_fingerprint, SIMHASH_FINGERPRINT_ORACLE,
+        ),
     }[name]
     result = compare_query(name, fn(spark, SF_SMOKE), oracle, SF_SMOKE)
     assert result.ok, result

@@ -257,3 +257,28 @@ def test_bm25_is_two_narrow_scans_no_token_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bm25_postings_explode_feeds_broadcast_join_once(spark):
+    """bm25_topk_postings (r7): the posting-list BM25 shape's scale
+    contract — (1) the corpus is exploded exactly ONCE (per-term df is
+    a window over the same tf subtree; a groupBy+join-back df would
+    silently re-plan the explode and tokenize the corpus twice), and
+    (2) the explode feeds the broadcast term join DIRECTLY — no
+    exchange may sit between them, so only query-term hits (the
+    posting lists) ever ride a wide exchange, never the full token
+    stream. Top-k stays a TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["bm25_topk_postings"](spark, SF_T2))
+    lines = plan.splitlines()
+    assert plan.count("Generate explode") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    i_gen = next(i for i, ln in enumerate(lines) if "Generate explode" in ln)
+    # the explode's consumer side: the nearest BroadcastHashJoin printed
+    # above it is its join parent (the streamed child prints directly
+    # under its join); nothing between them may be a shuffle
+    i_bhj = max(
+        i for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln and i < i_gen
+    )
+    between = lines[i_bhj + 1:i_gen]
+    assert not any("Exchange hashpartitioning" in ln for ln in between), plan

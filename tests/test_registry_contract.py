@@ -88,3 +88,32 @@ def test_rotation_front_slots_hold_all_changed_queries():
     for name, rnd in _CHANGED.items():
         if green.get(name, -1) < rnd:
             assert order.index(name) < 50, name
+
+
+def test_rotation_budget_not_overcommitted():
+    """The 2-round freshness policy is only satisfiable if every query
+    that MUST run this round — aged greens (newest green older than the
+    last round), never-green registrations, and pending _CHANGED
+    re-attestations — fits the driver's 50-slot cap together. If a
+    round's registrations/rewrites overcommit the budget, an aged green
+    silently falls past the freshness window; fail HERE instead, at
+    registration time (r7: this is the arithmetic that forced the
+    three one-in-one-out retirements)."""
+    from erathia_market_etl_spark.plans.registry import (
+        _CHANGED,
+        _last_green_rounds,
+    )
+
+    green = _last_green_rounds()
+    order = list(QUERIES)
+    newest = max(green.values(), default=0)
+    must_run = [
+        n for n in order
+        if green.get(n, -1) < newest or _CHANGED.get(n, -1) > green.get(n, -1)
+    ]
+    assert len(must_run) <= 50, (
+        f"{len(must_run)} queries need a slot this round; retire or defer: "
+        f"{must_run}"
+    )
+    for n in must_run:
+        assert order.index(n) < 50, n

@@ -28,16 +28,24 @@ def run_bench(sf_dir: str) -> dict:
     if out.returncode != 0:
         sys.stderr.write(out.stderr)
         raise SystemExit(f"bench.py failed at {sf_dir} (see stderr above)")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # the JSON line is normally last, but scan in reverse for the first
+    # parseable line so stray post-JSON stdout (py4j/Spark shutdown
+    # warnings, a future print) can't break the tool opaquely (r6 ADVICE)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise SystemExit(f"bench.py at {sf_dir} printed no JSON line")
 
 
-def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    a, b = run_bench(small), run_bench(big)
+def compare(a: dict, b: dict, small: str, big: str) -> dict:
+    """Pairwise scaling table between two bench results (small, big)."""
+    if not (isinstance(a.get("sf"), float) and a["sf"] > 0):
+        raise SystemExit(f"small run has no positive sf: {a.get('sf')!r}")
     # the data step between the two SFs IS the superlinearity threshold
-    factor = a["sf"] and b["sf"] / a["sf"]
-    if not factor or factor <= 1:
+    factor = b["sf"] / a["sf"]
+    if factor <= 1:
         raise SystemExit(f"big sf ({b['sf']}) must exceed small sf ({a['sf']})")
     rows, dropped = [], []
     for name, t_small in a["queries"].items():
@@ -62,8 +70,23 @@ def main() -> None:
     if dropped:
         print(f"WARNING: missing from one run (investigate!): {dropped}")
     bad = [n for n, _, _, r in rows if r > factor]
-    print(json.dumps({"geo_mean_ratio": round(geo, 3),
-                      "superlinear": bad, "missing": dropped}))
+    return {"step": f"{small.split('/')[-1]}->{big.split('/')[-1]}",
+            "geo_mean_ratio": round(geo, 3),
+            "superlinear": bad, "missing": dropped}
+
+
+def main() -> None:
+    # any number of SF dirs, ascending; each adjacent pair is compared,
+    # so three dirs give the two-decade trend (r6 VERDICT item 6)
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    if len(dirs) < 2:
+        raise SystemExit("need at least two sf dirs (ascending)")
+    results = [run_bench(d) for d in dirs]
+    summaries = []
+    for (da, a), (db, b) in zip(zip(dirs, results), zip(dirs[1:], results[1:])):
+        summaries.append(compare(a, b, da, db))
+        print()
+    print(json.dumps(summaries if len(summaries) > 1 else summaries[0]))
 
 
 if __name__ == "__main__":
