@@ -76,6 +76,21 @@ def test_q3_filter_pushed_through_join(spark):
     assert any("EqualTo(c_mktsegment,BUILDING)" in p for p in pushed), plan
 
 
+def test_q3_join_chain_is_all_broadcast_topk(spark):
+    """q3's intended shape, pinned after its r6 bench drift was
+    root-caused to cross-round timing noise (r7: two back-to-back
+    idle-machine bench runs moved UNTOUCHED queries ±30-65%, and the
+    fixtures are regenerated every round) rather than a plan change:
+    this test makes any FUTURE genuine plan regression — an AQE
+    threshold flip to sort-merge on the lineitem⋈orders side, a lost
+    TakeOrderedAndProject — fail loudly instead of reading as more
+    wobble."""
+    plan = plan_of(QUERIES["q3_top_customers"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_whole_stage_codegen_covers_relational_path(spark):
     df = QUERIES["q1_net_revenue_by_nation"](spark, SF_T2)
     plan = final_plan_of(df)
