@@ -144,6 +144,110 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARD_BUDGET = 2048  # whitespace tokens per shard
 _PACK_BLOCK = 16  # doc_ids per hierarchical block (production: ~1e6)
+_CONTEXT_LEN = 512  # tokens per fixed training context window
+
+
+# ---------------------------------------------------------------------------
+# pack_context_windows: fixed-length context-window packing accounting.
+# UNREGISTERED (r7-implemented, queued behind stream_incremental_new_docs
+# and media_bmp_real_resize — registration requires a one-in-one-out
+# retirement once those take r8's two free slots); oracle parity runs
+# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT_WINDOWS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               -- window SUM(BIGINT) is HUGEINT in DuckDB; BIGINT holds
+               -- any physical corpus (2^63 tokens) and matches Spark
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    - n_tokens AS BIGINT) AS off
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, off,
+               unnest(generate_series(off // {_CONTEXT_LEN},
+                                      (off + n_tokens - 1) // {_CONTEXT_LEN}))
+                   AS chunk_id
+        FROM o
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           CAST(LEAST((chunk_id + 1) * {_CONTEXT_LEN}, off + n_tokens)
+                - GREATEST(chunk_id * {_CONTEXT_LEN}, off) AS BIGINT)
+               AS tokens_in_window,
+           (off < chunk_id * {_CONTEXT_LEN}
+            OR off + n_tokens > (chunk_id + 1) * {_CONTEXT_LEN}) AS is_split
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length context-window packing accounting: concatenate the
+    corpus in stable doc_id order and cut it into training sequences of
+    exactly {C} tokens — per document, emit one row per context window
+    it lands in, with the token count contributed to that window and
+    whether the document is SPLIT across a window boundary. This is the
+    bookkeeping a sequence-packing data loader needs (which documents
+    feed sequence k; how much cross-document attention masking each
+    window needs) and the batch twin of every 'pack to context length'
+    step in LLM training pipelines.
+
+    Scale shape: the global start offset per doc is the HIERARCHICAL
+    running sum (same decomposition as pack_token_budget_shards —
+    block-local window + tiny per-block offset table broadcast back,
+    parallelism = #blocks, never one task for the whole corpus); window
+    membership is then a narrow F.sequence(first, last) explode — at
+    most (n_tokens // C) + 1 rows per doc, map-side, no further
+    shuffle. All offset arithmetic is exact int64 (`div`, not double
+    FLOOR — a double quotient loses exactness past 2^53 total tokens,
+    which a 100 TB corpus EXCEEDS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    blk = F.floor(F.col("doc_id") / _PACK_BLOCK).cast("long")
+    t = docs.select("doc_id", n_tok.alias("n_tokens"), blk.alias("blk"))
+    w_local = Window.partitionBy("blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    blk_tot = local.groupBy("blk").agg(F.max("local_cum").alias("blk_tot"))
+    w_off = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blk_tot.select(
+        "blk", F.coalesce(F.sum("blk_tot").over(w_off), F.lit(0)).alias("offset")
+    )
+    c = F.lit(_CONTEXT_LEN)
+    off = F.col("offset") + F.col("local_cum") - F.col("n_tokens")
+    withoff = (
+        local.join(F.broadcast(offsets), "blk")
+        .select("doc_id", "n_tokens", off.alias("off"))
+    )
+    first = F.expr(f"off DIV {_CONTEXT_LEN}")
+    last = F.expr(f"(off + n_tokens - 1) DIV {_CONTEXT_LEN}")
+    exploded = withoff.select(
+        "doc_id", "n_tokens", "off",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            (
+                F.least((F.col("chunk_id") + 1) * c, F.col("off") + F.col("n_tokens"))
+                - F.greatest(F.col("chunk_id") * c, F.col("off"))
+            ).cast("long").alias("tokens_in_window"),
+            (
+                (F.col("off") < F.col("chunk_id") * c)
+                | (F.col("off") + F.col("n_tokens") > (F.col("chunk_id") + 1) * c)
+            ).alias("is_split"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
 @query(

@@ -644,3 +644,74 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(
         sign_band_table(emb), ["band_idx", "band_key"], MAX_SIGN_BUCKET
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_label_centroids: distributed per-group embedding centroids.
+# UNREGISTERED (r7-implemented, queued behind the r8 slot takers —
+# registration requires a one-in-one-out retirement); oracle parity runs
+# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64  # fixture embedding dimensionality
+
+EMB_LABEL_CENTROIDS_ORACLE = f"""
+    WITH e AS (
+        SELECT label, u.i - 1 AS pos,
+               CAST(embedding[u.i] AS DOUBLE) AS val
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) u
+        WHERE len(embedding) = {EMB_DIM}
+    ),
+    m AS (
+        SELECT label, pos,
+               CAST(SIGN(val) * FLOOR(ABS(val) * 1000000 + 0.5e0) AS BIGINT)
+                   AS micro
+        FROM e
+    )
+    SELECT label, pos,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1000000 AS centroid
+    FROM m
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the distributed vector-mean every embedding pipeline needs (IVF /
+    k-means initialization from real group structure, per-source corpus
+    drift monitoring, class prototypes). Shape: posexplode the
+    embedding (narrow, 64 rows/vector), quantize each element ONCE to
+    exact micro-integers (sign-aware floor(|x|·10⁶ + ½) on the
+    float→double widened value — engines agree bit-for-bit), then ONE
+    hash aggregation on (label, pos): partial aggregation collapses
+    each partition to ≤ #labels × 64 rows before the exchange, so the
+    shuffle is group-count-sized regardless of corpus size, and long
+    sums are associative — the mean is partition-order-independent and
+    hash-exact against the DuckDB twin (same trick as
+    bm25_topk_postings; a raw double SUM would be last-ulp
+    nondeterministic). Output stays scalar-columned (label, pos,
+    n_vectors, centroid) per the registry's no-complex-top-level
+    contract; consumers needing array centroids re-assemble with
+    array_agg over pos."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    val = F.col("val").cast("double")
+    micro = (
+        F.signum(val) * F.floor(F.abs(val) * F.lit(1000000.0) + F.lit(0.5))
+    ).cast("long")
+    e = (
+        emb.filter(F.size("embedding") == EMB_DIM)
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", "pos", micro.alias("micro"))
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("micro").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0))
+            .alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -59,18 +59,34 @@ def _queued():
         MEDIA_BMP_REAL_RESIZE_ORACLE,
         media_bmp_real_resize,
     )
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        PACK_CONTEXT_WINDOWS_ORACLE,
+        pack_context_windows,
+    )
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        EMB_LABEL_CENTROIDS_ORACLE,
+        emb_label_centroids,
+    )
     from erathia_market_etl_spark.plans.streaming_queries import (
         STREAM_INCREMENTAL_ORACLE,
         stream_incremental_new_docs,
     )
 
-    # text_quality_gate graduated to a driver slot in r7
+    # text_quality_gate graduated to a driver slot in r7; the first two
+    # below take r8's two free slots, the r7 additions queue behind them
+    # (registration then requires one-in-one-out retirements)
     return {
         "stream_incremental_new_docs": (
             stream_incremental_new_docs, STREAM_INCREMENTAL_ORACLE,
         ),
         "media_bmp_real_resize": (
             media_bmp_real_resize, MEDIA_BMP_REAL_RESIZE_ORACLE,
+        ),
+        "pack_context_windows": (
+            pack_context_windows, PACK_CONTEXT_WINDOWS_ORACLE,
+        ),
+        "emb_label_centroids": (
+            emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
         ),
     }
 

@@ -142,3 +142,66 @@ def test_length_trim_excludes_null_lengths(spark, tmp_path):
     ids = {r["doc_id"] for r in rows}
     assert not any(i % 10 == 0 for i in ids)  # null-length docs gone
     assert len(rows) > 0
+
+
+def test_pack_context_windows_conservation_and_splits(spark):
+    """Queued r7 operator: window packing must CONSERVE tokens (each
+    doc's tokens_in_window sums to n_tokens), cover every window
+    position exactly once (each chunk sums to the context length,
+    except the final partial window), and be non-vacuous — the fixture
+    corpus must produce split docs and multi-window docs."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        _CONTEXT_LEN,
+        pack_context_windows,
+    )
+
+    rows = pack_context_windows(spark, SF_T2).collect()
+    per_doc: dict = {}
+    per_chunk: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        per_chunk[r["chunk_id"]] = (
+            per_chunk.get(r["chunk_id"], 0) + r["tokens_in_window"]
+        )
+    # conservation per doc
+    for doc, rs in per_doc.items():
+        assert sum(x["tokens_in_window"] for x in rs) == rs[0]["n_tokens"], doc
+    # every window except the last is exactly full
+    last = max(per_chunk)
+    for cid, tot in per_chunk.items():
+        if cid != last:
+            assert tot == _CONTEXT_LEN, (cid, tot)
+    assert per_chunk[last] <= _CONTEXT_LEN
+    # non-vacuous: splits exist and single-window docs exist
+    assert any(r["is_split"] for r in rows)
+    assert any(not r["is_split"] for r in rows)
+
+
+def test_emb_label_centroids_matches_numpy(spark):
+    """Queued r7 operator: the distributed micro-integer centroid must
+    equal a driver-side numpy mean of the same quantized values, for
+    every (label, pos)."""
+    import numpy as np
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        EMB_DIM,
+        emb_label_centroids,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    got = {(r["label"], r["pos"]): (r["n_vectors"], r["centroid"])
+           for r in emb_label_centroids(spark, SF_T2).collect()}
+    emb = load_table(spark, SF_T2, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        if len(r["embedding"]) == EMB_DIM:
+            by_label.setdefault(r["label"], []).append(r["embedding"])
+    assert len(by_label) > 1  # non-vacuous grouping
+    for label, vecs in by_label.items():
+        arr = np.array(vecs, dtype=np.float64)
+        micro = np.sign(arr) * np.floor(np.abs(arr) * 1e6 + 0.5)
+        mean = micro.sum(axis=0) / len(vecs) / 1e6
+        for pos in range(EMB_DIM):
+            n, c = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(c - mean[pos]) < 1e-12, (label, pos, c, mean[pos])
