@@ -251,6 +251,17 @@ def _star_rounds(
             .localCheckpoint()
         )
         n_new = small.count()
+        # Convergence probe: count + (only when counts tie) a keys-only
+        # anti-join second action. The r6-suggested alternative — riding
+        # an own/new flag through the small-star dedup aggregation, as
+        # the min-label kernel does — was evaluated and REJECTED in r7:
+        # it would union the previous edge set into every round's dedup
+        # shuffle (doubling that exchange's input on EVERY round) to
+        # save one keys-only action that fires on the terminal round
+        # only. Since r7's kernel escalation, the star rounds also only
+        # ever run on contracted chain-shaped graphs (small edge sets,
+        # few rounds), so both costs are marginal — but the trade still
+        # favors the anti-join at scale.
         stable = n_new == 0 or (
             n_new == n_old
             and small.join(e, ["hi", "lo"], "left_anti").isEmpty()
