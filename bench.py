@@ -67,6 +67,11 @@ HEADLINE = [
     # evidence from r6 on
     "text_winnowing_fingerprints",
     "sim_topk_batch",
+    # r7: the round's two registrations — the composite quality gate
+    # (map-only C4/Gopher filter) and the posting-list BM25 shape (the
+    # BM25 plan that actually shuffles) — carry perf evidence from r7 on
+    "text_quality_gate",
+    "bm25_topk_postings",
 ]
 
 # timed from query construction, not just the noop write — see the
