@@ -250,3 +250,47 @@ def test_cached_edge_partitioning_survives_into_join(spark):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_auto_kernel_property_random_graphs(spark):
+    """Hypothesis property: on arbitrary random graphs — spanning the
+    sparse/forest, dense/clustered, and chain-heavy regimes, self-loops
+    and duplicate/reversed edges included — the escalating auto kernel
+    must always equal a pure-Python union-find, regardless of which
+    escalation path it takes. Complements the fixed-seed three-kernel
+    pin with generative coverage of the routing boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=2, max_value=40))
+        m = data.draw(st.integers(min_value=1, max_value=70))
+        edges = [
+            (data.draw(st.integers(0, n - 1)), data.draw(st.integers(0, n - 1)))
+            for _ in range(m)
+        ]
+        # sometimes append a planted chain so escalation actually fires
+        if data.draw(st.booleans()):
+            base = n + 10
+            edges += [(base + i, base + i + 1) for i in range(25)]
+        parent = list(range(max(max(a, b) for a, b in edges) + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in touched}
+        got = _cc(spark, edges, connected_components_auto, escalate_after=3)
+        assert got == want
+
+    run()
