@@ -195,6 +195,15 @@ def kmeans_centroids(emb, k: int = 16, iters: int = 10,
     Returns a list of k python float lists (centroids), deterministic
     for a given (data, k, iters, sample_n, seed).
     """
+    X = _kmeans_sample(emb, sample_n, seed, id_col, vec_col)
+    return [c.tolist() for c in _lloyd(X, k, iters)]
+
+
+def _kmeans_sample(emb, sample_n: int, seed: int,
+                   id_col: str, vec_col: str) -> np.ndarray:
+    """ONE bounded, deterministic, partition-layout-independent sample
+    collect (hash-ordered by id) — the shared sanctioned collect behind
+    kmeans_centroids and pq_codebooks."""
     sample = (
         emb.select(id_col, vec_col)
         .orderBy(F.md5(F.concat(F.lit(f"kms{seed}|"), F.col(id_col).cast("string"))))
@@ -202,12 +211,16 @@ def kmeans_centroids(emb, k: int = 16, iters: int = 10,
         .collect()
     )
     if not sample:
-        raise ValueError("kmeans_centroids: empty embeddings input")
-    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+        raise ValueError("empty embeddings input for k-means sampling")
+    return np.array([r[vec_col] for r in sample], dtype=np.float64)
+
+
+def _lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Driver-side Lloyd iterations on an already-bounded sample.
+    k-means++ style spread is overkill for coarse cells; take k
+    deterministic spread seeds from the hash-shuffled sample instead."""
     n = len(X)
     k = min(k, n)
-    # k-means++ style spread is overkill for coarse IVF cells; take k
-    # deterministic spread seeds from the hash-shuffled sample instead
     C = X[np.linspace(0, n - 1, k, dtype=int)].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -216,7 +229,7 @@ def kmeans_centroids(emb, k: int = 16, iters: int = 10,
             members = X[assign == j]
             if len(members):
                 C[j] = members.mean(axis=0)
-    return [c.tolist() for c in C]
+    return C
 
 
 def assign_cells(spark, emb, centroids: list[list[float]],
@@ -263,4 +276,131 @@ def assign_cells(spark, emb, centroids: list[list[float]],
         .withColumn("_enorm", norm(F.col(vec_col)))
         .withColumn("cid", (-F.array_max(scores)["negcid"]).cast("int"))
         .drop("cents", "_enorm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7): the standard ANN compression path at scale —
+# vectors become n_sub 4-bit codes (64 dims -> 4 bytes here), searches
+# score codes against a per-query lookup table (ADC) and only a small
+# re-rank shortlist ever touches raw vectors.
+# ---------------------------------------------------------------------------
+
+N_PQ_SUB = 8       # subspaces
+N_PQ_CODES = 16    # codebook entries per subspace (4-bit codes)
+
+
+def pq_codebooks(emb, n_sub: int = N_PQ_SUB, k: int = N_PQ_CODES,
+                 iters: int = 10, sample_n: int = 2048, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train PQ codebooks: per subspace, sampled Lloyd k-means on the
+    subvector slices (same ONE bounded deterministic collect as
+    kmeans_centroids — the codebooks are O(n_sub * k * sub_dim) driver
+    floats regardless of corpus size). Returns n_sub lists of k
+    sub_dim-float centroid lists; sub_dim = dim // n_sub (dim must
+    divide evenly)."""
+    X = _kmeans_sample(emb, sample_n, seed, id_col, vec_col)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    return [
+        [c.tolist() for c in _lloyd(X[:, s * d:(s + 1) * d], k, iters)]
+        for s in range(n_sub)
+    ]
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² as a sequential double left-fold (zip_with+aggregate,
+    JVM-side)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_assign(spark, emb, books, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """PQ encoding as a NARROW map stage: the codebooks fold into ONE
+    broadcast row (n_sub sorted arrays of (cid, cvec) structs); each
+    vector computes, per subspace, the argmin squared-L2 centroid of
+    its slice inside transform()/array_max HOFs (the assign_cells
+    argmin shape, L2 metric), and the n_sub 4-bit codes PACK INTO ONE
+    LONG (code_s in bits [4s, 4s+4)) — 8 bytes per vector on the wire
+    instead of the raw embedding, which is the entire point of PQ at
+    100 TB. No shuffle, no Python. Output: input columns + ``pq_code``
+    (long). Ties break to the lowest cid (array_max on (negd, negcid)
+    structs), so codes are deterministic."""
+    n_sub, k = len(books), len(books[0])
+    d = len(books[0][0])
+    rows = [
+        (s, i, [float(x) for x in c])
+        for s, book in enumerate(books) for i, c in enumerate(book)
+    ]
+    book_df = (
+        spark.createDataFrame(rows, "s INT, cid INT, cvec ARRAY<DOUBLE>")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("book"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("s", "book"))).alias("pqbooks"))
+    )
+
+    def sub_code(s: int) -> Column:
+        sub = F.slice(F.col(vec_col), s * d + 1, d)
+        scored = F.transform(
+            F.col("pqbooks")[s]["book"],
+            lambda c: F.struct(
+                (-_sq_l2(sub, c["cvec"])).alias("negd"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        return (-F.array_max(scored)["negcid"]).cast("long")
+
+    code = None
+    for s in range(n_sub):
+        part = sub_code(s) * F.lit(1 << (4 * s))
+        code = part if code is None else code + part
+    return (
+        emb.crossJoin(F.broadcast(book_df))
+        .withColumn("pq_code", code)
+        .drop("pqbooks")
+    )
+
+
+def pq_adc_topk(codes, query_vec, books, top: int = 10,
+                id_col: str = "vec_id", code_col: str = "pq_code"):
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    an n_sub × k lookup table of squared-L2 distances to every codebook
+    entry DRIVER-SIDE (tiny), each code row sums n_sub table lookups —
+    nibble-extract (code >> 4s) & 15 into a literal array — and the
+    smallest estimated distances win through a TakeOrderedAndProject.
+    The scan touches ONLY (id, 8-byte code); raw vectors are never
+    read — re-rank the returned shortlist against exact distances when
+    precision matters (sim_pq_quality pins that production shape's
+    recall). Returns (id_col, adc_distance) rows, deterministic
+    tiebreak on id."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    n_sub, k = len(books), len(books[0])
+    d = len(books[0][0])
+    luts = [
+        [float(((q[s * d:(s + 1) * d] - np.asarray(c)) ** 2).sum())
+         for c in books[s]]
+        for s in range(n_sub)
+    ]
+    score = None
+    for s in range(n_sub):
+        lut = F.array(*[F.lit(v) for v in luts[s]])
+        nib = (F.col(code_col).bitwiseAND(F.lit(15 << (4 * s)))
+               / F.lit(1 << (4 * s))).cast("int")
+        part = F.element_at(lut, nib + 1)
+        score = part if score is None else score + part
+    return (
+        codes.select(id_col, score.alias("adc_distance"))
+        .orderBy(F.asc("adc_distance"), F.asc(id_col))
+        .limit(top)
     )

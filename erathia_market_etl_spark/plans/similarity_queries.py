@@ -715,3 +715,125 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_quality: product-quantization quality contract.
+# UNREGISTERED (r7-implemented, queued with pack_context_windows /
+# emb_label_centroids); oracle parity runs locally in
+# tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+PQ_SHORTLIST = 100       # ADC shortlist size fed to exact re-rank
+PQ_RECALL_FLOOR = 0.5    # re-ranked recall@10 (measured 0.6-0.9)
+PQ_DISTORTION_CEIL = 0.8  # quantization MSE / sample variance (measured ~0.55)
+PQ_CODES_FLOOR = 0.5     # distinct codes / n (measured 1.0)
+
+SIM_PQ_QUALITY_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           8 AS n_sub, 16 AS k,
+           TRUE AS codes_ok,
+           TRUE AS distortion_ok,
+           TRUE AS recall_ok
+    FROM embeddings
+    """
+
+
+def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract for the product-quantization ANN path
+    (operators/similarity.py: pq_codebooks + pq_assign + pq_adc_topk)
+    in the sim_ivf_cell_quality style — PQ state (codebooks, codes) is
+    not SQL-reproducible, so the oracle pins the path's CONTRACT:
+
+      * n_vectors — encoding preserves cardinality, hash-checked
+        against the exact DuckDB COUNT(*) (pq_assign is a 1:1 narrow
+        map);
+      * codes_ok — the quantizer actually discriminates: distinct
+        8-nibble codes ≥ {PQ_CODES_FLOOR:.0%} of the corpus (measured:
+        every fixture vector gets a unique code);
+      * distortion_ok — mean squared reconstruction error ≤
+        {PQ_DISTORTION_CEIL} × the sample-estimated data variance
+        (measured ≈ 0.55 — 8×16 codebooks halve the energy of 64-dim
+        vectors while compressing 32× to 8 bytes);
+      * recall_ok — the PRODUCTION retrieval shape (ADC shortlist of
+        {PQ_SHORTLIST} over codes only, exact re-rank of the shortlist)
+        recovers ≥ {PQ_RECALL_FLOOR:.0%} of the exact L2 top-10 for the
+        standard query vector (measured 0.6-0.9).
+
+    Determinism: codebooks come from the hash-ordered bounded sample
+    (partition-layout-independent), Lloyd is driver numpy, ADC LUTs
+    are driver floats — the booleans are identical every run. Scale:
+    the corpus-wide stages are the narrow encode, one small aggregate
+    over (8-byte) codes, and the shortlist re-rank joins; raw vectors
+    are only read by the encode scan and the |shortlist|-sized
+    re-rank."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        _kmeans_sample,
+        _sq_l2,
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    n_sub, k = len(books), len(books[0])
+    d = len(books[0][0])
+    codes = pq_assign(spark, emb, books).select(
+        "vec_id", "embedding", "pq_code"
+    )
+
+    # sample-estimated variance bound (deterministic, driver-side)
+    S = _kmeans_sample(emb, 2048, 11, "vec_id", "embedding")
+    var_bound = float(((S - S.mean(axis=0)) ** 2).sum(axis=1).mean())
+
+    # per-row reconstruction MSE from the code nibbles
+    recon_err = None
+    for s in range(n_sub):
+        book_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in books[s]
+        ])
+        nib = (F.col("pq_code").bitwiseAND(F.lit(15 << (4 * s)))
+               / F.lit(1 << (4 * s))).cast("int")
+        sub = F.slice(F.col("embedding"), s * d + 1, d)
+        part = _sq_l2(sub, F.element_at(book_lit, nib + 1))
+        recon_err = part if recon_err is None else recon_err + part
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("pq_code").alias("n_codes"),
+        F.avg(recon_err).alias("mse"),
+    )
+
+    # production retrieval: ADC shortlist over codes -> exact re-rank
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    others = codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+    short = pq_adc_topk(others, q, books, top=PQ_SHORTLIST)
+    rerank = (
+        others.join(short.select("vec_id"), "vec_id", "left_semi")
+        .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = rerank.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+    return stats.crossJoin(hits).select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.lit(n_sub).alias("n_sub"),
+        F.lit(k).alias("k"),
+        ((F.col("n_codes") / F.col("n_vectors")) >= PQ_CODES_FLOOR)
+        .alias("codes_ok"),
+        (F.col("mse") <= F.lit(PQ_DISTORTION_CEIL * var_bound))
+        .alias("distortion_ok"),
+        ((F.col("n_hits") / TOP_K) >= PQ_RECALL_FLOOR).alias("recall_ok"),
+    )

@@ -65,7 +65,9 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         EMB_LABEL_CENTROIDS_ORACLE,
+        SIM_PQ_QUALITY_ORACLE,
         emb_label_centroids,
+        sim_pq_quality,
     )
     from erathia_market_etl_spark.plans.streaming_queries import (
         STREAM_INCREMENTAL_ORACLE,
@@ -88,6 +90,7 @@ def _queued():
         "emb_label_centroids": (
             emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
         ),
+        "sim_pq_quality": (sim_pq_quality, SIM_PQ_QUALITY_ORACLE),
     }
 
 

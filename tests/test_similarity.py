@@ -317,3 +317,47 @@ def test_batch_ann_recall_vs_exact(spark):
         }
         recalls.append(len(exact & got[qid]) / TOP_K)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_pq_roundtrip_codes_and_planted_retrieval(spark):
+    """PQ operators (r7): codes must be valid packed nibbles, encoding
+    must preserve cardinality 1:1, and on a planted corpus — clusters
+    of near-identical vectors — the ADC shortlist must put the query's
+    own cluster first, before any re-ranking."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.similarity import (
+        N_PQ_CODES,
+        N_PQ_SUB,
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(5)]
+    for i in range(60):
+        c = centers[i % 5]
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    books = pq_codebooks(emb, sample_n=60)
+    assert len(books) == N_PQ_SUB and len(books[0]) == N_PQ_CODES
+    codes = pq_assign(spark, emb, books)
+    got = codes.select("vec_id", "pq_code").collect()
+    assert len(got) == 60 and len({r["vec_id"] for r in got}) == 60
+    for r in got:
+        assert 0 <= r["pq_code"] < (1 << (4 * N_PQ_SUB))
+
+    # query = member of cluster 0; its 11 other cluster members must
+    # dominate the ADC shortlist head (codes of same-cluster vectors
+    # quantize identically or near-identically)
+    qvec = rows[0][1]
+    top = pq_adc_topk(
+        codes.filter(F.col("vec_id") != 0), qvec, books, top=11
+    ).collect()
+    cluster0 = {i for i in range(60) if i % 5 == 0} - {0}
+    assert {r["vec_id"] for r in top} == cluster0, top
