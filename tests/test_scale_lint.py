@@ -159,3 +159,35 @@ def test_r5_window_group_limits_are_two_phase(plans):
         if n_partial != n_final or n_partial == 0:
             bad.append(f"{name} (partial={n_partial}, final={n_final})")
     assert not bad, f"half-fired WindowGroupLimit pushdown in: {bad}"
+
+
+def test_no_unbounded_driver_collects_in_package():
+    """R4 (source-level, r7): driver materialization in the engine
+    package must stay BOUNDED — the scale story's "one sanctioned
+    collect" claim, enforced. Allowed: ``.first()`` (one row by
+    construction: query vectors, convergence flags) and ``.collect()``
+    within three lines after a ``.limit(`` (the bounded k-means/PQ
+    sample). ``app.py`` is whitelisted wholesale — it is the
+    reference's interactive report viewer, driver-side display by
+    design (SURVEY §3.3), and so is ``testing.py`` — it deliberately
+    mirrors the round driver's own toPandas comparison at driver SFs.
+    Elsewhere ``.toPandas()`` is banned outright (it materializes
+    unboundedly AND forgets Arrow batching limits). Any new collect
+    site must either be provably bounded in this shape or consciously
+    added here with a reason."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "erathia_market_etl_spark"
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        if p.name in ("app.py", "testing.py"):
+            continue
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".toPandas()" in ln:
+                offenders.append(f"{p.name}:{i+1} toPandas")
+            if ".collect()" in ln:
+                window = "\n".join(lines[max(0, i - 3):i + 1])
+                if ".limit(" not in window:
+                    offenders.append(f"{p.name}:{i+1} unbounded collect")
+    assert not offenders, offenders
