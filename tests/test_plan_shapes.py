@@ -297,3 +297,47 @@ def test_bm25_postings_explode_feeds_broadcast_join_once(spark):
     )
     between = lines[i_bhj + 1:i_gen]
     assert not any("Exchange hashpartitioning" in ln for ln in between), plan
+
+
+def test_pq_adc_scan_is_narrow_topk(spark):
+    """PQ ADC retrieval (r7): the scoring scan must be a pure
+    projection over the 8-byte code column feeding a
+    TakeOrderedAndProject — the streamed side carries NO hash exchange
+    (the one hashpartitioning in the plan belongs to the tiny codebook
+    build under its BroadcastExchange). If scoring ever grows a
+    shuffle, PQ's whole point — scans that never touch raw vectors —
+    is gone."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    emb = load_table(spark, SF_T2, "embeddings")
+    books = pq_codebooks(emb)
+    codes = pq_assign(spark, emb, books)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    plan = plan_of(pq_adc_topk(codes.filter(F.col("vec_id") != 0), q, books))
+    lines = plan.splitlines()
+    assert "TakeOrderedAndProject" in plan, plan
+    i_bc = next(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    streamed = lines[:i_bc]
+    assert not any("Exchange hashpartitioning" in ln for ln in streamed), plan
+
+
+def test_emb_centroids_single_group_sized_exchange(spark):
+    """emb_label_centroids (r7, queued): ONE hashpartitioning exchange
+    — the (label, pos) aggregate — fed by a map-side partial aggregate,
+    so the shuffle carries at most #labels × 64 rows per partition
+    regardless of corpus size. (The rangepartitioning above it is the
+    presentation orderBy.)"""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        emb_label_centroids,
+    )
+
+    plan = plan_of(emb_label_centroids(spark, SF_T2))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
