@@ -292,14 +292,19 @@ N_PQ_CODES = 16    # codebook entries per subspace (4-bit codes)
 
 def pq_codebooks(emb, n_sub: int = N_PQ_SUB, k: int = N_PQ_CODES,
                  iters: int = 10, sample_n: int = 2048, seed: int = 11,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 sample: np.ndarray | None = None):
     """Train PQ codebooks: per subspace, sampled Lloyd k-means on the
     subvector slices (same ONE bounded deterministic collect as
     kmeans_centroids — the codebooks are O(n_sub * k * sub_dim) driver
     floats regardless of corpus size). Returns n_sub lists of k
     sub_dim-float centroid lists; sub_dim = dim // n_sub (dim must
-    divide evenly)."""
-    X = _kmeans_sample(emb, sample_n, seed, id_col, vec_col)
+    divide evenly). Pass an already-collected ``sample`` (the
+    _kmeans_sample array) to reuse one collect across consumers that
+    also need sample statistics (sim_pq_quality's variance bound)."""
+    X = sample if sample is not None else _kmeans_sample(
+        emb, sample_n, seed, id_col, vec_col
+    )
     dim = X.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -336,7 +341,7 @@ def pq_assign(spark, emb, books, id_col: str = "vec_id",
     100 TB. No shuffle, no Python. Output: input columns + ``pq_code``
     (long). Ties break to the lowest cid (array_max on (negd, negcid)
     structs), so codes are deterministic."""
-    n_sub, k = len(books), len(books[0])
+    n_sub = len(books)
     d = len(books[0][0])
     rows = [
         (s, i, [float(x) for x in c])
@@ -372,6 +377,16 @@ def pq_assign(spark, emb, books, id_col: str = "vec_id",
     )
 
 
+def pq_nibble(code: Column, s: int) -> Column:
+    """Code for subspace ``s`` out of a packed pq_code long — the ONE
+    place the nibble layout (code_s in bits [4s, 4s+4)) is decoded, so
+    pq_assign's packing and every consumer (ADC scoring, the
+    sim_pq_quality reconstruction audit) cannot drift apart."""
+    return (
+        code.bitwiseAND(F.lit(15 << (4 * s))) / F.lit(1 << (4 * s))
+    ).cast("int")
+
+
 def pq_adc_topk(codes, query_vec, books, top: int = 10,
                 id_col: str = "vec_id", code_col: str = "pq_code"):
     """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
@@ -385,7 +400,7 @@ def pq_adc_topk(codes, query_vec, books, top: int = 10,
     recall). Returns (id_col, adc_distance) rows, deterministic
     tiebreak on id."""
     q = np.asarray(query_vec, dtype=np.float64)
-    n_sub, k = len(books), len(books[0])
+    n_sub = len(books)
     d = len(books[0][0])
     luts = [
         [float(((q[s * d:(s + 1) * d] - np.asarray(c)) ** 2).sum())
@@ -395,9 +410,7 @@ def pq_adc_topk(codes, query_vec, books, top: int = 10,
     score = None
     for s in range(n_sub):
         lut = F.array(*[F.lit(v) for v in luts[s]])
-        nib = (F.col(code_col).bitwiseAND(F.lit(15 << (4 * s)))
-               / F.lit(1 << (4 * s))).cast("int")
-        part = F.element_at(lut, nib + 1)
+        part = F.element_at(lut, pq_nibble(F.col(code_col), s) + 1)
         score = part if score is None else score + part
     return (
         codes.select(id_col, score.alias("adc_distance"))

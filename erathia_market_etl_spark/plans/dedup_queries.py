@@ -346,17 +346,19 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH candidate pairs as edges,
-    connected components via the kernel-selecting auto operator
-    (operators/graph.py, r7): the shared small-star prepass collapses
-    dense dup clusters, a chained-edge probe then finishes with the
-    cheap min-label sweep on near-star graphs (this corpus: chain_frac
-    0, 2 rounds) while chain-shaped graphs keep the r6 alternating
-    large-star/small-star path (Kiveris et al. SoCC'14, O(log² n)
-    rounds regardless of diameter). Component id = canonical (minimum)
-    doc — 'keep one per cluster' is then a filter on
-    doc_id == component_id. Oracle computes the same fixpoint with a
-    recursive CTE (transitive closure + per-vertex min); labels are
-    kernel-independent, so the oracle is unchanged."""
+    connected components via the kernel-ESCALATING auto operator
+    (operators/graph.py, r7): min-label propagation runs first and on
+    dense dup-cluster graphs (this corpus: 4 rounds at every SF) is
+    the entire cost — one labels-sized shuffle + one action per round,
+    zero selection overhead; only if its round budget exhausts
+    (chain-shaped structure) the graph is contracted through the
+    partial labels and handed to the r6 alternating
+    large-star/small-star kernel (Kiveris et al. SoCC'14), keeping
+    total rounds ≤ budget + O(log² n) regardless of diameter.
+    Component id = canonical (minimum) doc — 'keep one per cluster' is
+    then a filter on doc_id == component_id. Oracle computes the same
+    fixpoint with a recursive CTE (transitive closure + per-vertex
+    min); labels are kernel-independent, so the oracle is unchanged."""
     from ..operators.graph import connected_components_auto
 
     docs = load_table(spark, sf_dir, "documents")

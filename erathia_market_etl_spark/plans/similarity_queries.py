@@ -767,18 +767,21 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (8-byte) codes, and the shortlist re-rank joins; raw vectors
     are only read by the encode scan and the |shortlist|-sized
     re-rank."""
-    import numpy as np
-
     from ..operators.similarity import (
         _kmeans_sample,
         _sq_l2,
         pq_adc_topk,
         pq_assign,
         pq_codebooks,
+        pq_nibble,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb)
+    # ONE bounded collect shared by codebook training and the variance
+    # bound (pq_codebooks would otherwise re-run the identical
+    # hash-ordered sample job)
+    S = _kmeans_sample(emb, 2048, 11, "vec_id", "embedding")
+    books = pq_codebooks(emb, sample=S)
     n_sub, k = len(books), len(books[0])
     d = len(books[0][0])
     codes = pq_assign(spark, emb, books).select(
@@ -786,7 +789,6 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # sample-estimated variance bound (deterministic, driver-side)
-    S = _kmeans_sample(emb, 2048, 11, "vec_id", "embedding")
     var_bound = float(((S - S.mean(axis=0)) ** 2).sum(axis=1).mean())
 
     # per-row reconstruction MSE from the code nibbles
@@ -795,10 +797,10 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         book_lit = F.array(*[
             F.array(*[F.lit(float(x)) for x in c]) for c in books[s]
         ])
-        nib = (F.col("pq_code").bitwiseAND(F.lit(15 << (4 * s)))
-               / F.lit(1 << (4 * s))).cast("int")
         sub = F.slice(F.col("embedding"), s * d + 1, d)
-        part = _sq_l2(sub, F.element_at(book_lit, nib + 1))
+        part = _sq_l2(
+            sub, F.element_at(book_lit, pq_nibble(F.col("pq_code"), s) + 1)
+        )
         recon_err = part if recon_err is None else recon_err + part
     stats = codes.agg(
         F.count(F.lit(1)).alias("n_vectors"),

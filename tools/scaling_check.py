@@ -1,12 +1,15 @@
 """Measure the scaling DERIVATIVE of the headline bench: run bench.py
-at two scale factors and print per-query time ratios for the 10× data
-step. A linear-scan query should come out ≤10×; anything superlinear
-betrays a hidden quadratic (cartesian/all-pairs) shape that the
-plan-shape lint can only catch structurally. Produces the SCALE.md
-"Measured scaling" table.
+at N ascending scale factors and print per-query time ratios for each
+adjacent 10× data step. A linear-scan query should come out ≤10× per
+step; anything superlinear betrays a hidden quadratic
+(cartesian/all-pairs) shape that the plan-shape lint can only catch
+structurally. Produces the SCALE.md "Measured scaling" table.
 
-Usage: python tools/scaling_check.py [small_sf_dir] [big_sf_dir]
-       (defaults: /root/testdata/sf0.01  /root/testdata/sf0.1)
+Usage: python tools/scaling_check.py [sf_dir ...]   (ascending; two or
+       more dirs — three gives the two-decade trend SCALE.md records;
+       defaults: /root/testdata/sf0.01  /root/testdata/sf0.1)
+Final JSON line: one summary object for a single pair, a LIST of
+per-step objects when more than two dirs are given.
 """
 
 from __future__ import annotations
@@ -29,20 +32,25 @@ def run_bench(sf_dir: str) -> dict:
         sys.stderr.write(out.stderr)
         raise SystemExit(f"bench.py failed at {sf_dir} (see stderr above)")
     # the JSON line is normally last, but scan in reverse for the first
-    # parseable line so stray post-JSON stdout (py4j/Spark shutdown
-    # warnings, a future print) can't break the tool opaquely (r6 ADVICE)
+    # parseable RESULT OBJECT so stray post-JSON stdout (py4j/Spark
+    # shutdown warnings, a future print — including lines that parse as
+    # bare JSON scalars like '0' or 'null') can't break the tool
+    # opaquely (r6 ADVICE)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
         except ValueError:
             continue
-    raise SystemExit(f"bench.py at {sf_dir} printed no JSON line")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return parsed
+    raise SystemExit(f"bench.py at {sf_dir} printed no result-JSON line")
 
 
 def compare(a: dict, b: dict, small: str, big: str) -> dict:
     """Pairwise scaling table between two bench results (small, big)."""
-    if not (isinstance(a.get("sf"), float) and a["sf"] > 0):
-        raise SystemExit(f"small run has no positive sf: {a.get('sf')!r}")
+    for side, run in (("small", a), ("big", b)):
+        if not (isinstance(run.get("sf"), (int, float)) and run["sf"] > 0):
+            raise SystemExit(f"{side} run has no positive sf: {run.get('sf')!r}")
     # the data step between the two SFs IS the superlinearity threshold
     factor = b["sf"] / a["sf"]
     if factor <= 1:
