@@ -294,3 +294,28 @@ def test_auto_kernel_property_random_graphs(spark):
         assert got == want
 
     run()
+
+
+def test_fixture_lsh_graph_routes_minlabel(spark):
+    """The bench-reclaim property (r6 VERDICT item 1), pinned on the
+    REAL pipeline input: the fixture corpus's MinHash-LSH candidate
+    graph is dense dup clusters, so the registered dedup pipelines'
+    auto kernel must finish inside the min-label budget — never paying
+    a star round. If LSH parameters or the corpus shape ever change
+    this, the kernel still returns exact labels (the oracle stays
+    green) but dedup_corpus_representatives' bench cost jumps; fail
+    HERE first with the routing stats in hand."""
+    from erathia_market_etl_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    stats: dict = {}
+    out = connected_components_auto(pairs, "doc_a", "doc_b", stats=stats)
+    assert out.count() > 0
+    assert stats["kernel"] == "minlabel", stats
+    assert stats["rounds"] <= 6, stats
