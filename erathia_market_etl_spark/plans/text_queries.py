@@ -260,16 +260,18 @@ GATE_MIN_STOPWORD = 0.02
 GATE_MIN_ALPHA = 0.6
 GATE_MAX_DUP_BG = 0.10
 
-TEXT_QUALITY_GATE_ORACLE = f"""
-    WITH t AS (
-        SELECT doc_id, text,
+# gate-rule CTE chain carrying (doc_id, source, text) through so both
+# the gate oracle and the funnel oracle share one rule definition
+_GATE_SQL_CTE = f"""
+    t AS (
+        SELECT doc_id, source, text,
                LENGTH(text) AS n_chars,
                len(string_split(text, ' ')) AS n_tokens,
                string_split(text, ' ') AS toks
         FROM documents
     ),
     s AS (
-        SELECT doc_id, n_chars, n_tokens,
+        SELECT doc_id, source, text, n_chars, n_tokens,
                CASE WHEN n_tokens >= 2 THEN len(list_distinct(
                    list_transform(generate_series(1, n_tokens - 1),
                                   i -> toks[i] || ' ' || toks[i + 1])))
@@ -280,7 +282,7 @@ TEXT_QUALITY_GATE_ORACLE = f"""
         FROM t
     ),
     f AS (
-        SELECT doc_id, n_tokens,
+        SELECT doc_id, source, text, n_tokens,
                (n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}) AS len_ok,
                CASE WHEN n_tokens > 0 THEN
                    FLOOR(CAST(n_chars AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
@@ -299,10 +301,21 @@ TEXT_QUALITY_GATE_ORACLE = f"""
                        / 1000000 <= {GATE_MAX_DUP_BG}
                ELSE TRUE END AS rep_ok
         FROM s
+    ),
+    gated AS (
+        SELECT doc_id, source, text, n_tokens,
+               len_ok, mean_len_ok, stopword_ok, alpha_ok, rep_ok,
+               (len_ok AND mean_len_ok AND stopword_ok AND alpha_ok AND rep_ok)
+                   AS keep
+        FROM f
     )
+"""
+
+TEXT_QUALITY_GATE_ORACLE = f"""
+    WITH {_GATE_SQL_CTE}
     SELECT doc_id, n_tokens, len_ok, mean_len_ok, stopword_ok, alpha_ok, rep_ok,
-           (len_ok AND mean_len_ok AND stopword_ok AND alpha_ok AND rep_ok) AS keep
-    FROM f
+           keep
+    FROM gated
     ORDER BY doc_id
     """
 
@@ -532,32 +545,18 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference them)
 
 
-@query("text_quality_gate", oracle=TEXT_QUALITY_GATE_ORACLE)
-def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite pre-training quality filter (C4's length/sentence
-    heuristics + Gopher's repetition and symbol rules, re-expressed
-    over the fixture signals): per document, boolean rules (thresholds
-    are the GATE_* module constants) —
-
-      len_ok       GATE_MIN_TOKENS ≤ n_tokens ≤ GATE_MAX_TOKENS
-      mean_len_ok  mean chars/token in [GATE_MIN_MEAN_LEN,
-                   GATE_MAX_MEAN_LEN] (junk/binary detector)
-      stopword_ok  stopword ratio ≥ GATE_MIN_STOPWORD (language-ness)
-      alpha_ok     alphabetic char ratio ≥ GATE_MIN_ALPHA
-      rep_ok       duplicate-bigram fraction ≤ GATE_MAX_DUP_BG
-
-    and keep = AND of all five. ENTIRELY narrow: every signal is an
-    array/regexp expression over the one projected token array —
-    including the repetition rule, which uses 1 −
-    distinct/total bigrams via array_distinct instead of the grouped
-    top-bigram variant (text_repetition_signals) precisely so the gate
-    adds ZERO shuffles: at 100 TB this is a map-only scan you bolt
-    onto ingestion. All ratio comparisons happen on 6dp-rounded
-    doubles so the booleans are engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+def _gate_frame(docs: DataFrame) -> DataFrame:
+    """The quality-gate rule frame shared by text_quality_gate and
+    pipeline_training_funnel: (doc_id, source, text, n_tokens, five
+    rule booleans, keep) — entirely narrow expressions over one
+    projected token array; consumers project what they need and
+    Catalyst prunes the rest (the registered gate's plan carries no
+    source/text columns)."""
     toks = TX.tokens(F.col("text"))
     t = docs.select(
         "doc_id",
+        "source",
+        "text",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(_bigrams(toks))).alias("n_distinct_bg"),
@@ -585,6 +584,8 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(True))
     return t.select(
         "doc_id",
+        "source",
+        "text",
         "n_tokens",
         len_ok.alias("len_ok"),
         mean_len_ok.alias("mean_len_ok"),
@@ -592,6 +593,42 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         rep_ok.alias("rep_ok"),
         (len_ok & mean_len_ok & sw_ok & alpha_ok & rep_ok).alias("keep"),
+    )
+
+
+@query("text_quality_gate", oracle=TEXT_QUALITY_GATE_ORACLE)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality filter (C4's length/sentence
+    heuristics + Gopher's repetition and symbol rules, re-expressed
+    over the fixture signals): per document, boolean rules (thresholds
+    are the GATE_* module constants) —
+
+      len_ok       GATE_MIN_TOKENS ≤ n_tokens ≤ GATE_MAX_TOKENS
+      mean_len_ok  mean chars/token in [GATE_MIN_MEAN_LEN,
+                   GATE_MAX_MEAN_LEN] (junk/binary detector)
+      stopword_ok  stopword ratio ≥ GATE_MIN_STOPWORD (language-ness)
+      alpha_ok     alphabetic char ratio ≥ GATE_MIN_ALPHA
+      rep_ok       duplicate-bigram fraction ≤ GATE_MAX_DUP_BG
+
+    and keep = AND of all five (rule expressions in _gate_frame, shared
+    with pipeline_training_funnel). ENTIRELY narrow: every signal is an
+    array/regexp expression over the one projected token array —
+    including the repetition rule, which uses 1 −
+    distinct/total bigrams via array_distinct instead of the grouped
+    top-bigram variant (text_repetition_signals) precisely so the gate
+    adds ZERO shuffles: at 100 TB this is a map-only scan you bolt
+    onto ingestion. All ratio comparisons happen on 6dp-rounded
+    doubles so the booleans are engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _gate_frame(docs).select(
+        "doc_id",
+        "n_tokens",
+        "len_ok",
+        "mean_len_ok",
+        "stopword_ok",
+        "alpha_ok",
+        "rep_ok",
+        "keep",
     ).orderBy("doc_id")
 
 
@@ -914,4 +951,139 @@ def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fingerprint").alias("n_shared_fingerprints"),
         )
         .orderBy("test_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_funnel: end-to-end composition of the training-data
+# surface — quality gate -> exact dedup -> context-window accounting.
+# UNREGISTERED (r7-implemented, queued); oracle parity runs locally in
+# tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+FUNNEL_CONTEXT_LEN = 512  # tokens per training context window
+
+# the corpus-wide LSH candidate-pair CTE the dedup family publishes —
+# imported so the funnel's edges are IDENTICAL (same bands, same
+# bucket caps) to dedup_minhash_lsh_pairs' on both engines
+from .dedup_queries import _CANDIDATES_CTE  # noqa: E402
+
+PIPELINE_TRAINING_FUNNEL_ORACLE = f"""
+    WITH RECURSIVE {_CANDIDATES_CTE},
+    {_GATE_SQL_CTE},
+    ge AS (SELECT doc_id, source, n_tokens FROM gated WHERE keep),
+    ed AS (
+        SELECT p.doc_a AS a, p.doc_b AS b
+        FROM pairs p
+        JOIN ge g1 ON g1.doc_id = p.doc_a
+        JOIN ge g2 ON g2.doc_id = p.doc_b
+    ),
+    sym AS (
+        SELECT a, b FROM ed
+        UNION
+        SELECT b AS a, a AS b FROM ed
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+    ),
+    non_reps AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a),
+    kept AS (
+        SELECT * FROM ge
+        WHERE doc_id NOT IN (SELECT doc_id FROM non_reps)
+    ),
+    agg_raw AS (
+        SELECT source, COUNT(*) AS n_raw,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_gated
+        FROM gated GROUP BY source
+    ),
+    agg_kept AS (
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok
+        FROM kept GROUP BY source
+    )
+    SELECT agg_raw.source,
+           CAST(agg_raw.n_raw AS BIGINT) AS n_raw,
+           CAST(agg_raw.n_gated AS BIGINT) AS n_gated,
+           CAST(COALESCE(agg_kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(agg_kept.tok, 0) AS BIGINT) AS n_tokens,
+           (COALESCE(agg_kept.tok, 0) + {FUNNEL_CONTEXT_LEN - 1})
+               // {FUNNEL_CONTEXT_LEN} AS n_windows
+    FROM agg_raw LEFT JOIN agg_kept USING (source)
+    ORDER BY agg_raw.source
+    """
+
+
+def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end TRAINING-CORPUS FUNNEL, per source: raw documents
+    -> C4/Gopher quality gate (the _gate_frame rules text_quality_gate
+    registers) -> NEAR-dup dedup among the gated survivors (the
+    corpus-wide MinHash-LSH candidate pairs the dedup family publishes,
+    restricted to edges whose BOTH endpoints survived the gate, then
+    connected components via the kernel-escalating auto operator;
+    representative = component-minimum doc_id — exact content dedup
+    would be vacuous here: the fixture corpus carries zero byte-equal
+    duplicates, only near-dups) -> token totals and the number of
+    {FUNNEL_CONTEXT_LEN}-token context windows each source fills when
+    packed separately (exact integer ceil-division). One row per
+    source: n_raw, n_gated, n_kept, n_tokens, n_windows — the report a
+    data team reads before every training run, and the composition
+    evidence that the gate, LSH, component, and packing operators
+    agree on one corpus.
+
+    Contract note: edges are computed corpus-wide (identical bucket
+    caps to dedup_minhash_lsh_pairs) and THEN restricted to the
+    gated-induced subgraph — a chain through a gate-dropped document
+    splits into separate clusters, on both engines alike (the
+    recursive-CTE oracle computes the same induced-subgraph fixpoint).
+
+    Scale shape: the gate is the narrow map-only frame; the edge
+    restriction is two keys-only semi-joins; components run on the
+    (small) candidate-pair set; the final stages are two
+    group-count-sized aggregates meeting in a tiny per-source join. No
+    stage shuffles document text."""
+    from pyspark.sql import Window  # noqa: F401  (kept: future per-source variants)
+
+    from ..operators.dedup import minhash_candidate_pairs
+    from ..operators.graph import connected_components_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = _gate_frame(docs)
+    ge = g.filter(F.col("keep")).select("doc_id", "source", "n_tokens")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    ga = ge.select(F.col("doc_id").alias("doc_a"))
+    gb = ge.select(F.col("doc_id").alias("doc_b"))
+    ed = (
+        pairs.join(ga, "doc_a", "left_semi")
+        .join(gb, "doc_b", "left_semi")
+    )
+    non_reps = (
+        connected_components_auto(ed, "doc_a", "doc_b")
+        .filter(F.col("v") != F.col("component_id"))
+        .select(F.col("v").alias("doc_id"))
+    )
+    kept = ge.join(non_reps, "doc_id", "left_anti")
+    a = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_gated"),
+    )
+    b = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    return (
+        a.join(b, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.col("n_gated").cast("long").alias("n_gated"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.expr(
+                f"(coalesce(tok, 0) + {FUNNEL_CONTEXT_LEN - 1})"
+                f" DIV {FUNNEL_CONTEXT_LEN}"
+            ).alias("n_windows"),
+        )
+        .orderBy("source")
     )

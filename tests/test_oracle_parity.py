@@ -73,6 +73,10 @@ def _queued():
         STREAM_INCREMENTAL_ORACLE,
         stream_incremental_new_docs,
     )
+    from erathia_market_etl_spark.plans.text_queries import (
+        PIPELINE_TRAINING_FUNNEL_ORACLE,
+        pipeline_training_funnel,
+    )
 
     # text_quality_gate graduated to a driver slot in r7; the first two
     # below take r8's two free slots, the r7 additions queue behind them
@@ -91,6 +95,9 @@ def _queued():
             emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
         ),
         "sim_pq_quality": (sim_pq_quality, SIM_PQ_QUALITY_ORACLE),
+        "pipeline_training_funnel": (
+            pipeline_training_funnel, PIPELINE_TRAINING_FUNNEL_ORACLE,
+        ),
     }
 
 

@@ -107,3 +107,30 @@ def test_bm25_posting_shape_matches_narrow_shape(spark):
     assert len(common) >= len(narrow) - 2, (sorted(posting), sorted(narrow))
     for d in common:
         assert abs(posting[d] - narrow[d]) <= 2e-6, (d, posting[d], narrow[d])
+
+
+def test_training_funnel_stage_invariants(spark):
+    """Queued r7 composition query: every funnel stage can only shrink
+    (n_kept <= n_gated <= n_raw per source), the window count is the
+    exact ceil of the kept token total, and the funnel is non-vacuous
+    on the fixtures — the gate drops documents somewhere AND the
+    near-dup component stage removes at least one gated cluster member
+    somewhere (the fixture corpus has zero byte-equal duplicates, so an
+    exact-dedup stage here would be vacuously green — measured before
+    choosing the LSH stage)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        FUNNEL_CONTEXT_LEN,
+        pipeline_training_funnel,
+    )
+
+    rows = pipeline_training_funnel(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_gated"] <= r["n_raw"], r
+        want_windows = (
+            r["n_tokens"] + FUNNEL_CONTEXT_LEN - 1
+        ) // FUNNEL_CONTEXT_LEN
+        assert r["n_windows"] == want_windows, r
+        assert (r["n_tokens"] > 0) == (r["n_kept"] > 0), r
+    assert any(r["n_gated"] < r["n_raw"] for r in rows), "gate dropped nothing"
+    assert any(r["n_kept"] < r["n_gated"] for r in rows), "dedup removed nothing"
