@@ -1043,8 +1043,6 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) candidate-pair set; the final stages are two
     group-count-sized aggregates meeting in a tiny per-source join. No
     stage shuffles document text."""
-    from pyspark.sql import Window  # noqa: F401  (kept: future per-source variants)
-
     from ..operators.dedup import minhash_candidate_pairs
     from ..operators.graph import connected_components_auto
 
