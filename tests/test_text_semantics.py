@@ -80,14 +80,17 @@ def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
 def test_bm25_posting_shape_matches_narrow_shape(spark):
     """The posting-list BM25 (arbitrary term table, shuffle shape) must
     agree with the registered narrow column-pivot shape on the same
-    fixed query. The postings shape's per-doc float sum is partition-
-    order-dependent, so after 6dp rounding a boundary-straddling score
-    could legitimately differ by one quantum and shift the #20 cut:
-    the pin therefore allows one rounding quantum per score and up to
-    two boundary docs at the cut, which still fails loudly for any
-    real shape bug (wrong tf/df/dl join) while not flaking on
-    parallelism changes. Duplicate term rows must be harmless (the
-    query-expansion contract: tf must not inflate)."""
+    fixed query. Since the r7 micro-integer accumulation the postings
+    shape is partition-order-EXACT (pinned in
+    test_bm25_postings_partition_order_independent); the remaining
+    cross-SHAPE difference is deliberate semantics: each per-term part
+    is rounded to 1e-6 before summing (≤ 1.5e-6 total for 3 terms) vs
+    the narrow shape's one final rounding, so a boundary-straddling
+    score can differ by a quantum and shift the #20 cut. The pin
+    allows exactly that — ≤ 2e-6 per score, ≤ 2 boundary docs — and
+    still fails loudly for any real shape bug (wrong tf/df/dl join).
+    Duplicate term rows must be harmless (the query-expansion
+    contract: tf must not inflate)."""
     from erathia_market_etl_spark.plans.text_queries import (
         BM25_TERMS,
         bm25_topk_postings,
@@ -134,3 +137,33 @@ def test_training_funnel_stage_invariants(spark):
         assert (r["n_tokens"] > 0) == (r["n_kept"] > 0), r
     assert any(r["n_gated"] < r["n_raw"] for r in rows), "gate dropped nothing"
     assert any(r["n_kept"] < r["n_gated"] for r in rows), "dedup removed nothing"
+
+
+def test_bm25_postings_partition_order_independent(spark):
+    """The micro-integer accumulation claim, tested directly: the
+    posting-shape BM25 result must be EXACTLY equal (not tolerance-
+    equal) under adversarially different partitionings of the corpus —
+    long sums are associative, so partial-aggregation order cannot
+    move a score by even one ulp."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.plans.text_queries import (
+        BM25_POSTING_TERMS,
+        bm25_topk_postings,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_POSTING_TERMS], "term string"
+    )
+
+    def run(df):
+        return [
+            (r["doc_id"], r["n_terms_hit"], r["bm25"])
+            for r in bm25_topk_postings(df, terms).collect()
+        ]
+
+    one = run(docs.repartition(1))
+    many = run(docs.repartition(13, F.col("doc_id") % 7))
+    assert one == many
