@@ -108,9 +108,16 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
-@query(
-    "window_moving_frame",
-    oracle="""
+# Driver slot retired r8 (slot economics: freed one of the two r9
+# slots for pack_context_windows / emb_label_centroids — the judge's
+# documented retirement candidate since r7). Strict-subset rationale:
+# the bounded rowsBetween frame is the same WindowExec machinery the
+# staying family pins from both ends — window_running_total (unbounded
+# frame over identical partition/order keys and the same exact-cents
+# sum) and window_distribution_family (full-partition two-sided
+# frames); the oracle still runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+WINDOW_MOVING_FRAME_ORACLE = """
     SELECT user_id, event_id,
            ROUND(SUM(CAST(value AS DECIMAL(38,12)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -121,8 +128,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_max
     FROM events
     ORDER BY user_id, event_id
-    """,
-)
+    """
+
+
 def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded sliding frame (3 PRECEDING..CURRENT ROW): moving sum/min/max."""
     events = load_events(spark, sf_dir)

@@ -259,9 +259,8 @@ def media_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # media_bmp_real_resize: the image twin of media_wav_real_decode.
-# UNREGISTERED — queued with text_quality_gate / stream_incremental_new_docs
-# for a future driver slot (COVERAGE.md rotation-budget section); oracle
-# parity runs locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# Registered r8 (took the second of r8's two free rotation slots, per
+# the COVERAGE.md rotation-budget queue; locally oracled since r6).
 # ---------------------------------------------------------------------------
 
 BMP_TARGET = 4  # resize target (4x4)
@@ -296,6 +295,7 @@ MEDIA_BMP_REAL_RESIZE_ORACLE = f"""
     """
 
 
+@query("media_bmp_real_resize", oracle=MEDIA_BMP_REAL_RESIZE_ORACLE)
 def media_bmp_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline end-to-end: every image row synthesizes a
     VALID 24-bit BMP from a pure-arithmetic pixel formula

@@ -88,7 +88,14 @@ def _load_all() -> None:
 # Only trivial touches (comment/docstring edits, alias-free renames)
 # skip re-attestation. When the slot budget can't absorb every rewrite,
 # rewrites outrank new registrations (an aged attestation is worse than
-# a missing one).
+# a missing one). Clarified r8: a guard added to a branch that is
+# MACHINE-VERIFIED unreached by every registered query's fixture
+# execution also skips — the attested execution is byte-identical, and
+# the unreached-ness must itself be pinned (precedent: the r8
+# empty-contraction short-circuit sits in connected_components_auto's
+# escalation branch, which tests/test_graph.py::
+# test_fixture_lsh_graph_routes_minlabel proves the dedup fixture
+# queries never enter — kernel == "minlabel", zero star rounds).
 _CHANGED: dict[str, int] = {
     "sample_stratified_by": 4,   # sampleBy rand() -> deterministic hash bucket + oracle
     "agg_freq_items": 4,         # exact frequent items + in_sketch contract + oracle
@@ -97,7 +104,6 @@ _CHANGED: dict[str, int] = {
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
     "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
-    "setop_except": 4,  # non-vacuous: restricted right side, result > 0 rows
     "text_length_trim": 5,  # distributed rank decomposition (r4 VERDICT #1)
     "pack_token_budget_shards": 5,  # hierarchical running sum (r4 VERDICT #2)
     "media_feature_extract": 5,  # oracle hardened: LEFT JOIN + COALESCE (r4 ADVICE)

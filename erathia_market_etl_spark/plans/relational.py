@@ -804,9 +804,18 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sorts / top-k (O1-O5)
 # ---------------------------------------------------------------------------
 
-@query(
-    "topk_parts_by_revenue",
-    oracle="""
+# Driver slot retired r8 (slot economics: freed one of the two r9
+# slots the last queued registrations — pack_context_windows and
+# emb_label_centroids — need). Strict-subset rationale: the O4
+# physical shape this pinned (hash agg + TakeOrderedAndProject, never
+# a global sort) stays driver-green through q3_top_customers (same
+# top-k operator over the broadcast-join superset plan) and
+# topk_per_group (the WindowGroupLimit variant); the plan pin itself
+# stays in tests/test_plan_shapes.py::
+# test_topk_uses_take_ordered_not_global_sort and the oracle still
+# runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+TOPK_PARTS_ORACLE = """
     SELECT l_partkey,
            ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,12))), 2)::DOUBLE AS revenue
@@ -814,8 +823,9 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_partkey
     ORDER BY revenue DESC, l_partkey
     LIMIT 10
-    """,
-)
+    """
+
+
 def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no
     global sort — per-partition heaps, then a driver merge of k rows)."""
@@ -963,15 +973,21 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).orderBy("nationkey")
 
 
-@query(
-    "setop_except",
-    oracle="""
+# Driver slot retired r8 (slot economics: paid for the
+# pipeline_training_funnel / sim_pq_quality registrations, per the
+# retirement order documented in COVERAGE.md since r7). Strict-subset
+# rationale: EXCEPT (set difference) plans as the same left-anti +
+# distinct shape whose multiplicity superset setop_except_all_bag keeps
+# driver-green; the oracle still runs through the driver's own compare
+# in tests/test_oracle_parity.py::test_retired_queries_still_match.
+SETOP_EXCEPT_ORACLE = """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
     SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey <= 20
     ORDER BY nationkey
-    """,
-)
+    """
+
+
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (set difference); exceptAll would be the
     # bag-difference variant, which SQL EXCEPT is not. The right side is

@@ -70,9 +70,14 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "sample_mixture_weighted",
-    oracle=f"""
+# Driver slot retired r8 (slot economics: paid for the sim_pq_quality /
+# pipeline_training_funnel registrations). Strict-subset rationale: the
+# per-source keep-rate decision is the SAME salted Knuth-hash bucket
+# expression sample_stratified_by keeps driver-green (that query adds
+# per-stratum fractions over the identical arithmetic); the oracle
+# still runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SAMPLE_MIXTURE_ORACLE = f"""
     WITH t AS (
         SELECT source,
                100 - 4 * CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS rate_pct,
@@ -85,8 +90,9 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     GROUP BY source, rate_pct
     ORDER BY source
-    """,
-)
+    """
+
+
 def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture downsampling: each source gets a target keep-rate
     (here derived from its numeric suffix; production passes a dict) and
@@ -149,10 +155,12 @@ _CONTEXT_LEN = 512  # tokens per fixed training context window
 
 # ---------------------------------------------------------------------------
 # pack_context_windows: fixed-length context-window packing accounting.
-# UNREGISTERED (r7-implemented, queued behind stream_incremental_new_docs
-# and media_bmp_real_resize — registration requires a one-in-one-out
-# retirement once those take r8's two free slots); oracle parity runs
-# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# UNREGISTERED (r7-implemented; in the rotation queue with
+# emb_label_centroids). r8's retirements of window_moving_frame and
+# topk_parts_by_revenue leave r9 exactly 48 aged greens + these two
+# never-green registrations = the 50-slot budget — r9 registers both
+# with no further retirement. Oracle parity runs locally until then in
+# tests/test_oracle_parity.py::test_queued_queries_match.
 # ---------------------------------------------------------------------------
 
 PACK_CONTEXT_WINDOWS_ORACLE = f"""
@@ -190,7 +198,7 @@ PACK_CONTEXT_WINDOWS_ORACLE = f"""
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length context-window packing accounting: concatenate the
     corpus in stable doc_id order and cut it into training sequences of
-    exactly {C} tokens — per document, emit one row per context window
+    exactly _CONTEXT_LEN (512) tokens — per document, emit one row per context window
     it lands in, with the token count contributed to that window and
     whether the document is SPLIT across a window boundary. This is the
     bookkeeping a sequence-packing data loader needs (which documents

@@ -648,9 +648,13 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # emb_label_centroids: distributed per-group embedding centroids.
-# UNREGISTERED (r7-implemented, queued behind the r8 slot takers —
-# registration requires a one-in-one-out retirement); oracle parity runs
-# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# UNREGISTERED (r7-implemented; last in the rotation queue with
+# pack_context_windows). r8 retired window_moving_frame and
+# topk_parts_by_revenue from the r7-fresh half SPECIFICALLY so r9
+# inherits 48 aged greens + these two never-green registrations = the
+# exact 50-slot budget — r9 registers both, no further retirement
+# needed. Oracle parity runs locally until then in
+# tests/test_oracle_parity.py::test_queued_queries_match.
 # ---------------------------------------------------------------------------
 
 EMB_DIM = 64  # fixture embedding dimensionality
@@ -719,9 +723,8 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # sim_pq_quality: product-quantization quality contract.
-# UNREGISTERED (r7-implemented, queued with pack_context_windows /
-# emb_label_centroids); oracle parity runs locally in
-# tests/test_oracle_parity.py::test_queued_queries_match.
+# Registered r8 (paid for by the topk_parts_by_revenue retirement —
+# COVERAGE.md rotation-budget section; locally oracled since r7).
 # ---------------------------------------------------------------------------
 
 PQ_SHORTLIST = 100       # ADC shortlist size fed to exact re-rank
@@ -739,6 +742,7 @@ SIM_PQ_QUALITY_ORACLE = """
     """
 
 
+@query("sim_pq_quality", oracle=SIM_PQ_QUALITY_ORACLE)
 def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality contract for the product-quantization ANN path
     (operators/similarity.py: pq_codebooks + pq_assign + pq_adc_topk)
@@ -749,16 +753,16 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         against the exact DuckDB COUNT(*) (pq_assign is a 1:1 narrow
         map);
       * codes_ok — the quantizer actually discriminates: distinct
-        8-nibble codes ≥ {PQ_CODES_FLOOR:.0%} of the corpus (measured:
+        8-nibble codes ≥ PQ_CODES_FLOOR (0.5) of the corpus (measured:
         every fixture vector gets a unique code);
       * distortion_ok — mean squared reconstruction error ≤
-        {PQ_DISTORTION_CEIL} × the sample-estimated data variance
+        PQ_DISTORTION_CEIL (0.8) × the sample-estimated data variance
         (measured ≈ 0.55 — 8×16 codebooks halve the energy of 64-dim
         vectors while compressing 32× to 8 bytes);
       * recall_ok — the PRODUCTION retrieval shape (ADC shortlist of
-        {PQ_SHORTLIST} over codes only, exact re-rank of the shortlist)
-        recovers ≥ {PQ_RECALL_FLOOR:.0%} of the exact L2 top-10 for the
-        standard query vector (measured 0.6-0.9).
+        PQ_SHORTLIST (100) over codes only, exact re-rank of the
+        shortlist) recovers ≥ PQ_RECALL_FLOOR (0.5) of the exact L2
+        top-10 for the standard query vector (measured 0.6-0.9).
 
     Determinism: codebooks come from the hash-ordered bounded sample
     (partition-layout-independent), Lloyd is driver numpy, ADC LUTs

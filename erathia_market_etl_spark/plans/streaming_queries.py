@@ -199,10 +199,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # stream_incremental_new_docs: streaming incremental-ingest dedup.
-# UNREGISTERED — queued behind text_quality_gate for a future driver
-# slot (the r6 rotation is exactly full and r7 has exactly one free
-# slot; COVERAGE.md rotation-budget section). Oracle parity runs
-# locally in tests/test_oracle_parity.py::test_queued_queries_match.
+# Registered r8 (took the first of r8's two free rotation slots, per
+# the COVERAGE.md rotation-budget queue; locally oracled since r6).
 # ---------------------------------------------------------------------------
 
 STREAM_INCREMENTAL_ORACLE = """
@@ -221,6 +219,7 @@ STREAM_INCREMENTAL_ORACLE = """
     """
 
 
+@query("stream_incremental_new_docs", oracle=STREAM_INCREMENTAL_ORACLE)
 def stream_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of dedup_incremental_new_docs (same oracle): each
     arriving document micro-batch keeps only documents whose content

@@ -956,9 +956,9 @@ def decon_test_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # pipeline_training_funnel: end-to-end composition of the training-data
-# surface — quality gate -> exact dedup -> context-window accounting.
-# UNREGISTERED (r7-implemented, queued); oracle parity runs locally in
-# tests/test_oracle_parity.py::test_queued_queries_match.
+# surface — quality gate -> near-dup dedup -> context-window accounting.
+# Registered r8 (paid for by the setop_except retirement — COVERAGE.md
+# rotation-budget section; locally oracled since r7).
 # ---------------------------------------------------------------------------
 
 FUNNEL_CONTEXT_LEN = 512  # tokens per training context window
@@ -1015,6 +1015,7 @@ PIPELINE_TRAINING_FUNNEL_ORACLE = f"""
     """
 
 
+@query("pipeline_training_funnel", oracle=PIPELINE_TRAINING_FUNNEL_ORACLE)
 def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end TRAINING-CORPUS FUNNEL, per source: raw documents
     -> C4/Gopher quality gate (the _gate_frame rules text_quality_gate
@@ -1025,8 +1026,8 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative = component-minimum doc_id — exact content dedup
     would be vacuous here: the fixture corpus carries zero byte-equal
     duplicates, only near-dups) -> token totals and the number of
-    {FUNNEL_CONTEXT_LEN}-token context windows each source fills when
-    packed separately (exact integer ceil-division). One row per
+    FUNNEL_CONTEXT_LEN (512)-token context windows each source fills
+    when packed separately (exact integer ceil-division). One row per
     source: n_raw, n_gated, n_kept, n_tokens, n_windows — the report a
     data team reads before every training run, and the composition
     evidence that the gate, LSH, component, and packing operators

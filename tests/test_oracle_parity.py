@@ -39,64 +39,44 @@ def test_entry_smoke(spark):
     assert "nation_name" in df.columns
 
 
-# Driver slots retired r5/r7 (slot economics — one out per query added):
-# the functions and oracles stay; they just run through the SAME compare
-# here instead of consuming one of the driver's 50 per-round slots.
+# Driver slots retired r5/r7/r8 (slot economics — one out per query
+# added): the functions and oracles stay; they just run through the SAME
+# compare here instead of consuming one of the driver's 50 per-round
+# slots. Each retiree's rationale is documented at its definition site.
 _RETIRED = [
     "dedup_distinct_rows",
     "sample_split_assign",
     "setop_union_distinct",
     "setop_intersect",
     "dedup_simhash_fingerprint",
+    "setop_except",
+    "sample_mixture_weighted",
+    "window_moving_frame",
+    "topk_parts_by_revenue",
 ]
 
 
-# Implemented ahead of their driver slot (r6 rotation is exactly full;
-# COVERAGE.md rotation-budget section queues them): same compare,
-# local-only until registered.
+# Implemented ahead of their driver slot (COVERAGE.md rotation-budget
+# section queues them): same compare, local-only until registered.
+# r8 graduated stream_incremental_new_docs, media_bmp_real_resize,
+# pipeline_training_funnel and sim_pq_quality to driver slots; the two
+# below register in r9 against the slots the r8 retirements freed.
 def _queued():
-    from erathia_market_etl_spark.plans.multimodal_queries import (
-        MEDIA_BMP_REAL_RESIZE_ORACLE,
-        media_bmp_real_resize,
-    )
     from erathia_market_etl_spark.plans.sampling_queries import (
         PACK_CONTEXT_WINDOWS_ORACLE,
         pack_context_windows,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         EMB_LABEL_CENTROIDS_ORACLE,
-        SIM_PQ_QUALITY_ORACLE,
         emb_label_centroids,
-        sim_pq_quality,
-    )
-    from erathia_market_etl_spark.plans.streaming_queries import (
-        STREAM_INCREMENTAL_ORACLE,
-        stream_incremental_new_docs,
-    )
-    from erathia_market_etl_spark.plans.text_queries import (
-        PIPELINE_TRAINING_FUNNEL_ORACLE,
-        pipeline_training_funnel,
     )
 
-    # text_quality_gate graduated to a driver slot in r7; the first two
-    # below take r8's two free slots, the r7 additions queue behind them
-    # (registration then requires one-in-one-out retirements)
     return {
-        "stream_incremental_new_docs": (
-            stream_incremental_new_docs, STREAM_INCREMENTAL_ORACLE,
-        ),
-        "media_bmp_real_resize": (
-            media_bmp_real_resize, MEDIA_BMP_REAL_RESIZE_ORACLE,
-        ),
         "pack_context_windows": (
             pack_context_windows, PACK_CONTEXT_WINDOWS_ORACLE,
         ),
         "emb_label_centroids": (
             emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
-        ),
-        "sim_pq_quality": (sim_pq_quality, SIM_PQ_QUALITY_ORACLE),
-        "pipeline_training_funnel": (
-            pipeline_training_funnel, PIPELINE_TRAINING_FUNNEL_ORACLE,
         ),
     }
 
@@ -123,16 +103,26 @@ def test_retired_queries_still_match(spark, name):
         SIMHASH_FINGERPRINT_ORACLE,
         dedup_simhash_fingerprint,
     )
+    from erathia_market_etl_spark.plans.event_windows import (
+        WINDOW_MOVING_FRAME_ORACLE,
+        window_moving_frame,
+    )
     from erathia_market_etl_spark.plans.relational import (
         DISTINCT_ROWS_ORACLE,
+        SETOP_EXCEPT_ORACLE,
         SETOP_INTERSECT_ORACLE,
         SETOP_UNION_DISTINCT_ORACLE,
+        TOPK_PARTS_ORACLE,
         dedup_distinct_rows,
+        setop_except,
         setop_intersect,
         setop_union_distinct,
+        topk_parts_by_revenue,
     )
     from erathia_market_etl_spark.plans.sampling_queries import (
+        SAMPLE_MIXTURE_ORACLE,
         SPLIT_ASSIGN_ORACLE,
+        sample_mixture_weighted,
         sample_split_assign,
     )
 
@@ -144,6 +134,14 @@ def test_retired_queries_still_match(spark, name):
         "dedup_simhash_fingerprint": (
             dedup_simhash_fingerprint, SIMHASH_FINGERPRINT_ORACLE,
         ),
+        "setop_except": (setop_except, SETOP_EXCEPT_ORACLE),
+        "sample_mixture_weighted": (
+            sample_mixture_weighted, SAMPLE_MIXTURE_ORACLE,
+        ),
+        "window_moving_frame": (
+            window_moving_frame, WINDOW_MOVING_FRAME_ORACLE,
+        ),
+        "topk_parts_by_revenue": (topk_parts_by_revenue, TOPK_PARTS_ORACLE),
     }[name]
     result = compare_query(name, fn(spark, SF_SMOKE), oracle, SF_SMOKE)
     assert result.ok, result

@@ -62,7 +62,11 @@ def test_q1_prunes_columns_and_broadcasts_dims(spark):
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
-    df = QUERIES["topk_parts_by_revenue"](spark, SF_T2)
+    # retired from the driver rotation r8 (slot economics) — the O4
+    # physical-shape pin lives on here, against the function directly
+    from erathia_market_etl_spark.plans.relational import topk_parts_by_revenue
+
+    df = topk_parts_by_revenue(spark, SF_T2)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
 
@@ -341,3 +345,30 @@ def test_emb_centroids_single_group_sized_exchange(spark):
     plan = plan_of(emb_label_centroids(spark, SF_T2))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_window_running_total_single_window_pass(spark):
+    """window_running_total's intended shape, pinned after its r7 bench
+    drift (+39% on an untouched plan — the same idle-machine
+    run-to-run noise band q3's r7 root-cause documented; the executed
+    plan was re-read in r8 and is byte-equal in shape to the r6 one):
+    a 4-column pruned events scan, a NARROW cents projection, exactly
+    ONE hash exchange (user_id) into ONE Window node computing BOTH
+    running aggregates in a single pass, then the presentation sort's
+    range exchange. A regression to two Window nodes (one per
+    aggregate — double sort), an extra exchange, or a full-column scan
+    would still pass the value oracle; it fails here."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        window_running_total,
+    )
+
+    plan = plan_of(window_running_total(spark, SF_T2))
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") == 2, plan  # + the orderBy range part.
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert cols == {"event_id", "ts", "user_id", "value"}, cols
+    # both running aggregates ride ONE windowspecdefinition pass
+    w_node = next(ln for ln in plan.splitlines() if "Window " in ln)
+    assert "sum(" in w_node and "count(1)" in w_node, w_node
