@@ -415,29 +415,44 @@ def connected_components_auto(
                 .select("ca", "cb")
                 .filter(F.col("ca") != F.col("cb"))
             )
-            sub: dict = {}
-            # connected_components_star materializes eagerly (prepass /
-            # per-round checkpoints), so nothing downstream references
-            # sym after this call returns
-            star = connected_components_star(
-                contracted, "ca", "cb", max_iter, stats=sub
-            )
-            star_rounds = sub["rounds"]
-            rounds += star_rounds
-            out = (
-                labels.join(
-                    star.select(
-                        F.col("v").alias("lbl"),
-                        F.col("component_id").alias("star_cid"),
-                    ),
-                    "lbl",
-                    "left",
+            # Boundary case (r7 ADVICE): a graph whose fixed point lands
+            # exactly on round escalate_after makes changes in its last
+            # budget round, so _minlabel_rounds cannot OBSERVE the
+            # convergence — but then every surviving edge joins
+            # same-label vertices and the contracted edge set is EMPTY
+            # (labels closed under edges ⇒ each component shares one
+            # label; that label is a member vertex and the member with
+            # lbl(m) = m is the component minimum — the full contract).
+            # One keys-only isEmpty probe here is strictly cheaper than
+            # driving the star kernel (canonicalize persist + prepass
+            # checkpoint + per-round actions) over zero edges.
+            if contracted.isEmpty():
+                kernel, star_rounds = "minlabel", 0
+                out = labels.select("v", F.col("lbl").alias("component_id"))
+            else:
+                sub: dict = {}
+                # connected_components_star materializes eagerly
+                # (prepass / per-round checkpoints), so nothing
+                # downstream references sym after this call returns
+                star = connected_components_star(
+                    contracted, "ca", "cb", max_iter, stats=sub
                 )
-                .select(
-                    "v",
-                    F.coalesce("star_cid", "lbl").alias("component_id"),
+                star_rounds = sub["rounds"]
+                rounds += star_rounds
+                out = (
+                    labels.join(
+                        star.select(
+                            F.col("v").alias("lbl"),
+                            F.col("component_id").alias("star_cid"),
+                        ),
+                        "lbl",
+                        "left",
+                    )
+                    .select(
+                        "v",
+                        F.coalesce("star_cid", "lbl").alias("component_id"),
+                    )
                 )
-            )
     finally:
         sym.unpersist()
     if stats is not None:

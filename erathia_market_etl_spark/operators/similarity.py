@@ -342,6 +342,23 @@ def pq_assign(spark, emb, books, id_col: str = "vec_id",
     (long). Ties break to the lowest cid (array_max on (negd, negcid)
     structs), so codes are deterministic."""
     n_sub = len(books)
+    # enforce the 4-bit packing invariant rather than assume it:
+    # pq_codebooks accepts arbitrary k, but a codebook with >16 entries
+    # yields cids >= 16 whose bits silently overflow into the NEXT
+    # subspace's nibble — every packed code would decode as garbage.
+    # Likewise >15 subspaces would push nibble 15 past bit 63 and wrap
+    # the signed long.
+    big = [s for s, book in enumerate(books) if len(book) > 16]
+    if big:
+        raise ValueError(
+            f"pq_assign packs 4-bit codes: codebook(s) {big} have >16 "
+            f"entries ({[len(books[s]) for s in big]})"
+        )
+    if n_sub > 15:
+        raise ValueError(
+            f"pq_assign packs into one signed long: n_sub={n_sub} > 15 "
+            "subspaces would overflow the 64-bit code"
+        )
     d = len(books[0][0])
     rows = [
         (s, i, [float(x) for x in c])

@@ -167,6 +167,36 @@ def test_auto_kernel_escalates_chain_to_star(spark):
     assert stats["rounds"] <= 16, stats
 
 
+def test_auto_kernel_boundary_convergence_skips_star(spark, monkeypatch):
+    """r7 ADVICE (low): a graph whose min-label fixed point lands
+    EXACTLY on round escalate_after makes a change in its last budget
+    round, so _minlabel_rounds cannot observe convergence — but every
+    surviving edge then joins same-label vertices, the contracted edge
+    set is empty, and the labels are already the exact answer. The auto
+    kernel must detect this with one isEmpty probe and return them
+    WITHOUT paying the star kernel's canonicalize persist + prepass
+    checkpoint + per-round actions on zero edges. Monkeypatching the
+    star kernel to raise proves it is never invoked."""
+    from erathia_market_etl_spark.operators import graph as G
+
+    def boom(*a, **k):
+        raise AssertionError("star kernel invoked on empty contraction")
+
+    monkeypatch.setattr(G, "connected_components_star", boom)
+    # path 0-1-2: round 1 (the free aggregation round) leaves
+    # lbl(2) = 1; round 2 fixes it — the last change lands exactly on
+    # the escalate_after = 2 budget boundary, converged stays False
+    stats: dict = {}
+    got = _cc(
+        spark, [(0, 1), (1, 2)], G.connected_components_auto,
+        escalate_after=2, stats=stats,
+    )
+    assert got == {0: 0, 1: 0, 2: 0}
+    assert stats["kernel"] == "minlabel", stats
+    assert stats["star_rounds"] == 0, stats
+    assert stats["rounds"] == 2, stats
+
+
 def test_star_prepass_reuses_canon_exchange(spark):
     """The star kernel's small-star prepass must ride the
     canonicalize+dedup exchange: with canon persisted pre-partitioned

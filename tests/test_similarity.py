@@ -361,3 +361,28 @@ def test_pq_roundtrip_codes_and_planted_retrieval(spark):
     ).collect()
     cluster0 = {i for i in range(60) if i % 5 == 0} - {0}
     assert {r["vec_id"] for r in top} == cluster0, top
+
+
+def test_pq_assign_enforces_nibble_packing_invariant(spark):
+    """r7 ADVICE: pq_assign packs each subspace code into a 4-bit
+    nibble, so a codebook with >16 entries (cids >= 16) would silently
+    bleed into the next subspace's bits and corrupt every packed code —
+    it must raise instead of assuming the invariant. Same for >15
+    subspaces (nibble 15 would wrap the signed 64-bit code)."""
+    import pytest
+
+    from erathia_market_etl_spark.operators.similarity import pq_assign
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    ok_book = [[float(i)] * 4 for i in range(16)]
+    fat_book = [[float(i)] * 4 for i in range(17)]
+    with pytest.raises(ValueError, match="16 entries"):
+        pq_assign(spark, emb, [ok_book, fat_book])
+    thin = [[[0.0], [1.0]]] * 16  # 16 subspaces of 1-dim, k=2
+    with pytest.raises(ValueError, match="n_sub=16"):
+        pq_assign(spark, emb, thin)
+    # the boundary case (exactly 16 entries, 15 subspaces or fewer)
+    # stays accepted
+    assert pq_assign(spark, emb, [ok_book, ok_book]).count() == 1
