@@ -43,6 +43,21 @@ HEADLINE = [
     "q4_part_popularity",
     "silver_clean_fact",
     "agg_rollup",
+    # window_running_total's r7 +39% (0.538 -> 0.747 s) was given the
+    # q3 treatment in r8: the executed plan is shape-identical to r6
+    # (4-column pruned scan, one narrow cents projection, ONE hash
+    # exchange into ONE Window node computing both running aggregates —
+    # now hard-pinned in tests/test_plan_shapes.py::
+    # test_window_running_total_single_window_pass), and an 8-run
+    # steady-state floor at sf0.1 measured 0.71-0.77 s — the r7 value
+    # sits ON the floor, so this is a LEVEL SHIFT of the fixture/
+    # environment (fixtures are regenerated every round; events.parquet
+    # row-group layout and page-cache state differ per round), not a
+    # regression above a 0.54 s floor. Known headroom if the level ever
+    # matters: the trailing presentation ORDER BY is a full range
+    # exchange + sort of the corpus that the driver's order-insensitive
+    # compare never needs — droppable, but only in a round where the
+    # query re-attests anyway (_CHANGED policy).
     "window_running_total",
     "tumbling_hourly_stats",
     "session_window_stats",
@@ -72,11 +87,30 @@ HEADLINE = [
     # BM25 plan that actually shuffles) — carry perf evidence from r7 on
     "text_quality_gate",
     "bm25_topk_postings",
+    # r8: the round's two heavyweight registrations — the end-to-end
+    # training funnel (gate -> induced-LSH components -> window
+    # accounting, the registry's integration pipeline) and the PQ
+    # quality contract (codebook fit + narrow encode + ADC retrieval) —
+    # carry perf evidence from r8 on. The round's other two
+    # registrations stay off the headline set deliberately:
+    # media_bmp_real_resize is Arrow/mapInPandas-codec-bound and
+    # stream_incremental_new_docs is state-store-setup-bound — neither
+    # measures a plan shape the scale story depends on.
+    "pipeline_training_funnel",
+    "sim_pq_quality",
 ]
 
 # timed from query construction, not just the noop write — see the
-# timer-placement comment in main()
-CONSTRUCTION_TIMED = {"dedup_corpus_representatives", "sim_similar_pairs"}
+# timer-placement comment in main(). The r8 additions both do eager
+# work while the plan is built (the funnel's checkpointed component
+# rounds; PQ's bounded codebook-sample collect), so an exec-only timer
+# would miss most of their cost.
+CONSTRUCTION_TIMED = {
+    "dedup_corpus_representatives",
+    "sim_similar_pairs",
+    "pipeline_training_funnel",
+    "sim_pq_quality",
+}
 
 
 def main() -> None:
@@ -105,6 +139,21 @@ def main() -> None:
     N_RUNS = 3
 
     registry = all_queries()
+
+    # Throwaway untimed execution of the first headline plan (r7 VERDICT
+    # item 4): q1 is the flagship canary AND runs first in the timed
+    # loop, so it alone absorbed whatever first-query premium survives
+    # min-of-3 (C2 JIT keeps recompiling the join/agg codegen paths
+    # through the first few executions; the generic JVM warmup above
+    # exercises none of the scan/broadcast/agg operators). One extra
+    # ~1 s run makes the flagship's timing convention identical to every
+    # later query's — its r7 +25% drift on an untouched, plan-pinned
+    # shape was exactly this premium plus the documented ±30-65%
+    # idle-machine run-to-run noise (see the q3 note above).
+    registry[HEADLINE[0]](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # min of N executions: first run absorbs one-off costs (parquet
