@@ -48,16 +48,17 @@ HEADLINE = [
     # (4-column pruned scan, one narrow cents projection, ONE hash
     # exchange into ONE Window node computing both running aggregates —
     # now hard-pinned in tests/test_plan_shapes.py::
-    # test_window_running_total_single_window_pass), and an 8-run
-    # steady-state floor at sf0.1 measured 0.71-0.77 s — the r7 value
-    # sits ON the floor, so this is a LEVEL SHIFT of the fixture/
-    # environment (fixtures are regenerated every round; events.parquet
-    # row-group layout and page-cache state differ per round), not a
-    # regression above a 0.54 s floor. Known headroom if the level ever
-    # matters: the trailing presentation ORDER BY is a full range
-    # exchange + sort of the corpus that the driver's order-insensitive
-    # compare never needs — droppable, but only in a round where the
-    # query re-attests anyway (_CHANGED policy).
+    # test_window_running_total_single_window_pass), and the level is
+    # environment, not plan: an isolated-session 8-run floor at sf0.1
+    # measured 0.71-0.77 s while the same round's full-bench context
+    # (page cache warmed by the preceding headline queries) measured
+    # 0.501 s min-of-3 — a wider band than the "drift" being explained,
+    # bracketing both the r6 (0.538) and r7 (0.747) values. Known
+    # headroom if the level ever matters: the trailing presentation
+    # ORDER BY is a full range exchange + sort of the corpus that the
+    # driver's order-insensitive compare never needs — droppable, but
+    # only in a round where the query re-attests anyway (_CHANGED
+    # policy).
     "window_running_total",
     "tumbling_hourly_stats",
     "session_window_stats",
