@@ -1086,3 +1086,274 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_lm_familiarity: self-trained capped-bigram LM quality scoring.
+# UNREGISTERED (r8-implemented; next in the rotation queue behind the r9
+# registrations pack_context_windows / emb_label_centroids — registering
+# it is one-in-one-out per the COVERAGE.md standing policy). Oracle
+# parity runs locally in
+# tests/test_oracle_parity.py::test_queued_queries_match.
+# ---------------------------------------------------------------------------
+
+# Model capacity: top LM_TOP_K bigrams by corpus count (deterministic
+# tiebreak count DESC, w1, w2 — a total order over distinct bigrams, so
+# the LIMIT cut is identical cross-engine). The fixture vocabulary is
+# ~916 distinct bigrams at every SF, so 512 keeps BOTH the in-model and
+# OOV populations non-vacuous (pinned in tests/test_text_semantics.py).
+LM_TOP_K = 512
+# Score for a bigram outside the model: a flat penalty well below any
+# in-model score (the most negative in-model score is
+# ilog2(1) - ilog2(max c1) >= 1 - 63 = -62 in theory, but -16 ~ a
+# 1-in-65536 conditional — the standard "unknown" floor).
+LM_OOV_BITS = -16
+
+TEXT_LM_FAMILIARITY_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+    model AS (
+        SELECT w1, w2,
+               CAST(length(to_base(c2, 2))
+                    - length(to_base(CAST(SUM(c2) OVER (PARTITION BY w1)
+                                          AS BIGINT), 2))
+                    AS INT) AS bits
+        FROM cnt
+        ORDER BY c2 DESC, w1, w2
+        LIMIT {LM_TOP_K}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               COALESCE(m.bits, {LM_OOV_BITS}) AS bits,
+               CASE WHEN m.w1 IS NULL THEN 1 ELSE 0 END AS oov
+        FROM pairs p
+        LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(bits) AS BIGINT) AS sum_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(a.n_oov, 0) AS n_oov,
+           COALESCE(a.sum_bits, 0) AS sum_bits,
+           CASE WHEN a.n_bigrams IS NULL THEN NULL
+                ELSE FLOOR(CAST(a.sum_bits AS DOUBLE) / a.n_bigrams
+                           * 1000000 + 0.5) / 1000000
+           END AS mean_bits
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, self-trained on the corpus: fit a
+    capped bigram model (top LM_TOP_K (512) bigrams by count, each carrying an
+    integer log2 conditional score ilog2(c(w1,w2)) - ilog2(c(w1)) where
+    ilog2(x) = floor(log2 x) + 1 = LENGTH(BIN(x)) — an exact STRING op,
+    so the score is integer-exact cross-engine where a float log2 would
+    hash-diverge at the FLOOR boundary), then score every document by
+    its mean per-bigram score with an LM_OOV_BITS (-16) penalty for bigrams
+    outside the model. Low mean_bits ~ high perplexity ~ the documents
+    a perplexity filter drops (CCNet / Gopher keep the low-perplexity
+    tail; the integer-bits approximation keeps the ORDERING those
+    filters need while staying hash-exact).
+
+    Scale shape: fit + score is TWO corpus passes (the same shape as
+    training-then-scoring any quality model). Fit: one vocab-sized
+    count shuffle; c(w1) rides a window over the SAME count subtree
+    (never a second corpus tokenization — the bm25_topk_postings
+    lesson); the top-K cut is TakeOrderedAndProject (per-partition
+    top-K, merge of K x partitions rows). Score: narrow bigram explode
+    -> BROADCAST join against the <= LM_TOP_K-row model (zipfian-hot
+    bigrams hit a broadcast hash table, so the skew that would sink a
+    shuffled join never ships a byte) -> one doc-keyed aggregate. At
+    100 TB the model stays a few KB; only the doc-keyed partial
+    aggregate shuffles, and it collapses map-side because documents
+    arrive contiguous."""
+    from pyspark.sql import Window
+
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_expr = (
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    pairs = (
+        fan_out(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    model = (
+        cnt.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+        .orderBy(F.col("c2").desc(), "w1", "w2")
+        .limit(LM_TOP_K)
+        .select(
+            "w1", "w2",
+            (F.length(F.bin("c2")) - F.length(F.bin("c1")))
+            .cast("int").alias("bits"),
+        )
+    )
+    scored = pairs.join(F.broadcast(model), ["w1", "w2"], "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("bits").isNull().cast("long")).alias("n_oov"),
+        F.sum(F.coalesce(F.col("bits"), F.lit(LM_OOV_BITS)).cast("long"))
+        .alias("sum_bits"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long")
+            .alias("sum_bits"),
+            F.when(
+                F.col("n_bigrams").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                round6(F.col("sum_bits").cast("double") / F.col("n_bigrams"))
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_duplicate_spans: cross-document duplicate-span accounting (the
+# exact-substring dedup signal of Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — arXiv:2107.06499 — bounded to
+# fixed-length token spans so it runs as three hash aggregates instead
+# of a suffix array). UNREGISTERED (r8 queue, behind text_lm_familiarity).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per span; spans overlap (stride 1)
+
+TEXT_DUPLICATE_SPANS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(t) - {SPAN_K - 2}),
+                   i -> array_to_string(t[i:i + {SPAN_K - 1}], ' '))) AS s
+        FROM toks
+    ),
+    occ AS (
+        SELECT doc_id, s, COUNT(*) AS n_occ
+        FROM spans GROUP BY doc_id, s
+    ),
+    wd AS (
+        SELECT doc_id, n_occ,
+               COUNT(*) OVER (PARTITION BY s) AS n_docs
+        FROM occ
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+               COUNT(*) AS n_distinct_spans,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans
+        FROM wd GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           CAST(COALESCE(a.n_distinct_spans, 0) AS BIGINT)
+               AS n_distinct_spans,
+           COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN a.n_spans IS NULL THEN NULL
+                ELSE FLOOR(CAST(a.n_dup_spans AS DOUBLE) / a.n_spans
+                           * 1000000 + 0.5) / 1000000
+           END AS dup_fraction
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span accounting: every overlapping
+    SPAN_K (8)-token span, counted across the corpus; a span is DUPLICATED
+    when it appears in >= 2 distinct documents. Reports, per document,
+    total spans, distinct spans, spans that are cross-document
+    duplicates, and the duplicated fraction — the signal behind
+    exact-substring dedup (Lee et al. 2021): documents dominated by
+    boilerplate shared with other documents score high and get trimmed
+    or dropped.
+
+    Scale shape: spans are hashed to int64 (xxhash64) BEFORE any
+    exchange, so ~8 B per span rides the shuffles instead of the
+    ~50-byte span string (the dedup_ngram_jaccard trick: every output
+    is a COUNT or a ratio of counts, so each engine may hash with its
+    own function — DuckDB keeps strings — and results agree unless
+    xxhash64 collides inside one span-key's tiny row group, P ~ n²/2⁶⁵).
+    Three aggregates, in the bm25_topk_postings pattern: (1) the
+    (span, doc) occurrence count — one corpus-sized shuffle with
+    map-side combine collapsing within-doc repeats; (2) the
+    documents-per-span count as a WINDOW over that same subtree (one
+    span-keyed exchange of the already-collapsed table, never a
+    re-tokenization or a join-back); (3) the doc-keyed rollup. Short
+    documents (< SPAN_K tokens) never enter the window — they are
+    re-attached by a doc-keyed left join at the end, so there is no
+    all-NULL-key window partition to skew stage 2."""
+    from pyspark.sql import Window
+
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    span_expr = (
+        f"transform(sequence(1, size(t) - {SPAN_K - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(t, i, {SPAN_K}))))"
+    )
+    spans = (
+        fan_out(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        # pre-filter short docs: sequence(1, n) with n < 1 would count
+        # DOWN (Spark infers step -1), not produce an empty array
+        .filter(F.size("t") >= SPAN_K)
+        .select("doc_id", F.explode(F.expr(span_expr)).alias("s"))
+    )
+    occ = spans.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("n_occ"))
+    wd = occ.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    agg = wd.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_distinct_spans"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(0))
+        .alias("n_dup_spans"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("n_distinct_spans"), F.lit(0)).cast("long")
+            .alias("n_distinct_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                round6(F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -70,6 +70,12 @@ def _queued():
         EMB_LABEL_CENTROIDS_ORACLE,
         emb_label_centroids,
     )
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_DUPLICATE_SPANS_ORACLE,
+        TEXT_LM_FAMILIARITY_ORACLE,
+        text_duplicate_spans,
+        text_lm_familiarity,
+    )
 
     return {
         "pack_context_windows": (
@@ -77,6 +83,15 @@ def _queued():
         ),
         "emb_label_centroids": (
             emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
+        ),
+        # r8-implemented (behind the two r9 registrations above in the
+        # rotation queue; registering them is one-in-one-out per the
+        # COVERAGE.md standing policy)
+        "text_lm_familiarity": (
+            text_lm_familiarity, TEXT_LM_FAMILIARITY_ORACLE,
+        ),
+        "text_duplicate_spans": (
+            text_duplicate_spans, TEXT_DUPLICATE_SPANS_ORACLE,
         ),
     }
 

@@ -167,3 +167,106 @@ def test_bm25_postings_partition_order_independent(spark):
     one = run(docs.repartition(1))
     many = run(docs.repartition(13, F.col("doc_id") % 7))
     assert one == many
+
+
+def test_lm_familiarity_score_semantics(spark):
+    """Queued r8 LM scoring query: per-doc invariants (every in-model
+    bigram scores <= 0 bits since c(w1,w2) <= c(w1), OOV scores exactly
+    LM_OOV_BITS, so mean_bits lies in [LM_OOV_BITS, 0]), the mean is
+    NULL exactly for bigram-less docs, and the score is non-vacuous on
+    the fixtures: both in-model and OOV populations are hit (the
+    LM_TOP_K=512 cap sits inside the ~916-bigram fixture vocabulary)
+    and the score actually discriminates documents."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        LM_OOV_BITS,
+        text_lm_familiarity,
+    )
+
+    rows = text_lm_familiarity(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_bigrams"], r
+        if r["n_bigrams"] == 0:
+            assert r["mean_bits"] is None and r["sum_bits"] == 0, r
+        else:
+            assert LM_OOV_BITS <= r["mean_bits"] <= 0, r
+            # every bigram contributes in [LM_OOV_BITS, 0] bits
+            assert LM_OOV_BITS * r["n_bigrams"] <= r["sum_bits"] <= 0, r
+    total_b = sum(r["n_bigrams"] for r in rows)
+    total_oov = sum(r["n_oov"] for r in rows)
+    assert 0 < total_oov < total_b, (total_oov, total_b)
+    means = {r["mean_bits"] for r in rows if r["mean_bits"] is not None}
+    assert len(means) > 1, "score does not discriminate"
+
+
+def test_lm_familiarity_model_join_broadcasts(spark):
+    """The scale claim in the docstring, pinned: the <= LM_TOP_K-row
+    model joins the exploded bigram stream as a BROADCAST hash join —
+    zipfian-hot bigrams must never ride a shuffled join."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_lm_familiarity,
+    )
+
+    plan = text_lm_familiarity(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_duplicate_spans_semantics(spark):
+    """Queued r8 duplicate-span query: count containments
+    (n_dup_spans <= n_spans, n_distinct_spans <= n_spans), fraction
+    bounds, NULL exactly for span-less (< SPAN_K tokens) docs, and
+    non-vacuity both ways on the fixtures (the corpus carries
+    cross-document boilerplate, but no document is 100% duplicated)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_duplicate_spans,
+    )
+
+    rows = text_duplicate_spans(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"], r
+        assert 0 <= r["n_distinct_spans"] <= r["n_spans"], r
+        if r["n_spans"] == 0:
+            assert r["dup_fraction"] is None, r
+        else:
+            assert 0.0 <= r["dup_fraction"] <= 1.0, r
+    assert any(r["n_dup_spans"] > 0 for r in rows), "no duplicated spans"
+    assert any(
+        r["n_spans"] > 0 and r["n_dup_spans"] < r["n_spans"] for r in rows
+    ), "every span duplicated — vacuous fixture"
+
+
+def test_duplicate_spans_cross_doc_only(spark, tmp_path):
+    """A span repeated WITHIN one document only is not a duplicate
+    (n_docs >= 2 is distinct-document containment): a synthetic corpus
+    with an intra-doc repeat and a cross-doc repeat must flag only the
+    cross-doc span occurrences."""
+    import os
+
+    from erathia_market_etl_spark.plans.text_queries import (
+        SPAN_K,
+        text_duplicate_spans,
+    )
+
+    base = " ".join(f"w{i}" for i in range(SPAN_K))
+    other = " ".join(f"x{i}" for i in range(SPAN_K))
+    rows = [
+        # doc 0: the same span TWICE (intra-doc repeat, no other doc)
+        (0, base + " " + base, "en", "s", 1),
+        # docs 1 and 2: share `other` (cross-doc duplicate)
+        (1, other, "en", "s", 1),
+        (2, other, "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_duplicate_spans(spark, d).collect()}
+    # doc 0's repeated span never leaves doc 0 -> all spans containing
+    # only w-tokens are non-duplicated; the seam spans (w..w mixes) are
+    # unique too
+    assert out[0]["n_dup_spans"] == 0, out[0]
+    assert out[1]["n_dup_spans"] == out[1]["n_spans"] == 1, out[1]
+    assert out[2]["n_dup_spans"] == 1, out[2]
