@@ -843,3 +843,127 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distortion_ok"),
         ((F.col("n_hits") / TOP_K) >= PQ_RECALL_FLOOR).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk: the composed IVF + PQ retrieval pipeline — the ANN
+# shape that actually runs at 100 TB (FAISS IVFPQ / SPANN family:
+# coarse cells prune the corpus, 8-byte codes prune the scan, exact
+# re-rank fixes the shortlist). UNREGISTERED (r8 queue, after the two
+# text_* r8 additions; one-in-one-out per the COVERAGE.md policy).
+# ---------------------------------------------------------------------------
+
+IVFPQ_SHORTLIST = 64      # ADC shortlist fed to exact re-rank
+# recall@10 vs in-cell exact L2 — measured 1.0 / 0.8 / 0.6 at
+# sf0.001 / sf0.01 / sf0.1 (within-cell neighbors are mutually close,
+# so 8x16 codebooks discriminate them more coarsely than the
+# corpus-wide sim_pq_quality scan; the re-ranked shortlist still
+# recovers a solid majority of the exact in-cell top-10)
+IVFPQ_RECALL_FLOOR = 0.5
+
+SIM_IVFPQ_TOPK_ORACLE = f"""
+    WITH {{ivf_cte}}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           {{n_probe}} AS n_probe, 8 AS n_sub, 16 AS k,
+           {IVFPQ_SHORTLIST} AS shortlist,
+           TRUE AS shortlist_bounded,
+           TRUE AS recall_ok
+    FROM cells JOIN probes ON cells.cid = probes.cid
+    WHERE cells.vec_id <> {{query_vec_id}}
+    """
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed retrieval, one contract row. The pipeline: the
+    deterministic 16-cell coarse quantizer (same argmax-over-broadcast
+    assignment as sim_topk_ivf), probe the query's N_PROBE (4) nearest
+    cells, ADC-scan ONLY the probed cells' 8-byte PQ codes for an
+    IVFPQ_SHORTLIST (32) shortlist, exact-L2 re-rank the shortlist,
+    return top-10.
+
+    The oracle pins the IVF half HASH-EXACTLY: n_candidates counts the
+    probed-cell population through the full coarse assignment
+    (argmax of 16 cosines per vector, ROW_NUMBER ties) recomputed
+    independently by DuckDB — an engine-drift canary for the whole
+    cell/probe pipeline. The PQ half (codebooks, codes, ADC) is not
+    SQL-reproducible state, so it is pinned as the measured
+    recall_ok contract (>= IVFPQ_RECALL_FLOOR (0.5) of the IN-CELL exact-L2
+    top-10 — the PQ stage's own loss, separated from the IVF cell-miss
+    loss that sim_topk_ivf already evidences) plus shortlist_bounded
+    (the shortlist genuinely prunes: IVFPQ_SHORTLIST < n_candidates,
+    so recall_ok is non-vacuous).
+
+    Scale shape: at 100 TB the codes table is encoded offline
+    corpus-wide (pq_assign's narrow map) and written partitioned by
+    cell id, so probing prunes partitions and the ADC scan reads
+    8 bytes/vector from N_PROBE/N_CENTROIDS of the corpus; raw vectors
+    are read only by the |shortlist| re-rank. Here the encode runs on
+    the probed candidates only — retrieval-identical, and the full-
+    corpus encode path is already attested by sim_pq_quality."""
+    from ..operators.similarity import (
+        _sq_l2,
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _ivf_scored(emb)
+    best = F.array_max(F.col("scores"))
+    cells = scored.select(
+        "vec_id", "embedding", (-best["negcid"]).alias("cid")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(
+                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
+            ).alias("p")
+        )
+        .select((-F.col("p")["negcid"]).alias("cid"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding")
+    )
+    books = pq_codebooks(emb)
+    codes = pq_assign(spark, cand, books).select(
+        "vec_id", "embedding", "pq_code"
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    short = pq_adc_topk(codes, q, books, top=IVFPQ_SHORTLIST)
+    rerank = (
+        codes.join(short.select("vec_id"), "vec_id", "left_semi")
+        .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    incell_exact = (
+        cand.select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = rerank.join(incell_exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    ncand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return ncand.crossJoin(hits).select(
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.lit(N_PROBE).alias("n_probe"),
+        F.lit(len(books)).alias("n_sub"),
+        F.lit(len(books[0])).alias("k"),
+        F.lit(IVFPQ_SHORTLIST).alias("shortlist"),
+        (F.lit(IVFPQ_SHORTLIST) < F.col("n_candidates"))
+        .alias("shortlist_bounded"),
+        ((F.col("n_hits") / TOP_K) >= IVFPQ_RECALL_FLOOR).alias("recall_ok"),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return SIM_IVFPQ_TOPK_ORACLE.format(
+        ivf_cte=_IVF_CTE, n_probe=N_PROBE, query_vec_id=QUERY_VEC_ID
+    )

@@ -70,6 +70,10 @@ def _queued():
         EMB_LABEL_CENTROIDS_ORACLE,
         emb_label_centroids,
     )
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        _ivfpq_oracle,
+        sim_ivfpq_topk,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
@@ -93,6 +97,7 @@ def _queued():
         "text_duplicate_spans": (
             text_duplicate_spans, TEXT_DUPLICATE_SPANS_ORACLE,
         ),
+        "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
     }
 
 

@@ -386,3 +386,50 @@ def test_pq_assign_enforces_nibble_packing_invariant(spark):
     # the boundary case (exactly 16 entries, 15 subspaces or fewer)
     # stays accepted
     assert pq_assign(spark, emb, [ok_book, ok_book]).count() == 1
+
+
+def test_ivfpq_contract_and_composition(spark):
+    """Queued r8 IVF-PQ composition: the contract row holds at
+    SF_SMOKE (recall over the floor, shortlist genuinely pruning),
+    and the IVF half agrees with sim_topk_ivf's own candidate
+    accounting — the probed-cell population count equals the number
+    of candidate rows the exact IVF query scores before its LIMIT."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        N_PROBE,
+        QUERY_VEC_ID,
+        _ivf_scored,
+        sim_ivfpq_topk,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    from .conftest import SF_SMOKE
+
+    row = sim_ivfpq_topk(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["recall_ok"] is True, r
+    assert r["shortlist_bounded"] is True, r
+    assert r["n_probe"] == N_PROBE and r["n_sub"] == 8 and r["k"] == 16, r
+
+    # independent recount of the probed-cell candidate population
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    scored = _ivf_scored(emb)
+    best = F.array_max(F.col("scores"))
+    cells = scored.select("vec_id", (-best["negcid"]).alias("cid"))
+    probes = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(
+                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
+            ).alias("p")
+        )
+        .select((-F.col("p")["negcid"]).alias("cid"))
+    )
+    n = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .count()
+    )
+    assert r["n_candidates"] == n, (r["n_candidates"], n)
