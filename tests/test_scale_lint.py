@@ -58,7 +58,21 @@ from erathia_market_etl_spark.plans import all_queries
 from .conftest import SF_T2
 
 QUERIES = all_queries()
-BATCH = [n for n in QUERIES if not n.startswith("stream_")]
+
+
+def _with_queued() -> dict:
+    """Registered queries plus the local-only queue
+    (test_oracle_parity._queued) — the scale-lint rules are policy for
+    EVERY query shape the repo ships, driver-registered or not."""
+    from .test_oracle_parity import _queued
+
+    out = dict(QUERIES)
+    out.update({n: fn for n, (fn, _) in _queued().items()})
+    return out
+
+
+ALL_QUERIES = _with_queued()
+BATCH = [n for n in ALL_QUERIES if not n.startswith("stream_")]
 
 
 def _plan(df) -> str:
@@ -67,7 +81,7 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark) -> dict[str, str]:
-    return {name: _plan(QUERIES[name](spark, SF_T2)) for name in BATCH}
+    return {name: _plan(ALL_QUERIES[name](spark, SF_T2)) for name in BATCH}
 
 
 def test_r1_no_cartesian_product(plans):
