@@ -817,8 +817,13 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlit = F.array(*[F.lit(float(x)) for x in q])
     others = codes.filter(F.col("vec_id") != QUERY_VEC_ID)
     short = pq_adc_topk(others, q, books, top=PQ_SHORTLIST)
+    # re-rank reads the RAW embeddings table, not the codes frame: the
+    # shortlist only needs (vec_id, embedding), and probing emb avoids
+    # re-executing the encode subtree a third time in this one plan
+    # (the interpreted-HOF argmin is the query's dominant fixed cost;
+    # value-identical — pinned by the join key)
     rerank = (
-        others.join(short.select("vec_id"), "vec_id", "left_semi")
+        emb.join(short.select("vec_id"), "vec_id", "left_semi")
         .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
         .orderBy(F.asc("d2"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -934,8 +939,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in q])
     short = pq_adc_topk(codes, q, books, top=IVFPQ_SHORTLIST)
+    # re-rank probes the pre-encode candidate frame — the shortlist
+    # only needs (vec_id, embedding), so the encode subtree executes
+    # exactly once (for the ADC scan), not twice
     rerank = (
-        codes.join(short.select("vec_id"), "vec_id", "left_semi")
+        cand.join(short.select("vec_id"), "vec_id", "left_semi")
         .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))
         .orderBy(F.asc("d2"), F.asc("vec_id"))
         .limit(TOP_K)
