@@ -511,3 +511,88 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frequent_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mixture: temperature-based data-mixing weights.
+# UNREGISTERED (r8, local-only past the registry ceiling — COVERAGE.md
+# standing policy; oracle parity runs in
+# tests/test_oracle_parity.py::test_queued_queries_match).
+# ---------------------------------------------------------------------------
+
+# Temperature tau = 0.5, i.e. weight = n_tokens^0.5 = sqrt(n_tokens).
+# tau is FIXED at 0.5 deliberately: sqrt is IEEE-754 correctly rounded
+# on both engines (bit-identical cross-engine), while a general
+# pow(x, tau) is NOT — the micro-integer quantization below could then
+# flip at a FLOOR boundary and break the hash compare. A production
+# caller wanting other taus pays with a tolerance contract instead.
+MIXTURE_TOKEN_BUDGET = 1_000_000  # reporting budget (tokens)
+
+SAMPLE_TEMPERATURE_MIXTURE_ORACLE = f"""
+    WITH t AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS w_micro
+        FROM t
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS total FROM w)
+    SELECT source, n_docs, n_tokens, w_micro,
+           CAST(w_micro AS DOUBLE) / CAST(total AS DOUBLE) AS p_sample,
+           CAST(w_micro AS DOUBLE) / CAST(total AS DOUBLE)
+               * {MIXTURE_TOKEN_BUDGET} AS exp_tokens,
+           CAST(w_micro AS DOUBLE) / CAST(total AS DOUBLE)
+               * {MIXTURE_TOKEN_BUDGET} / n_tokens AS epochs
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting (the Gopher / LLaMA data-mix
+    recipe): per source, weight = n_tokens^tau with tau = 0.5, so
+    small sources are UPsampled relative to proportional mixing and
+    large ones capped; report each source's sampling probability, its
+    expected token draw for a MIXTURE_TOKEN_BUDGET (1M)-token training
+    budget, and the implied epoch count (>1 means that source repeats
+    — the overfit/dedup-sensitivity signal a mixing design reviews).
+
+    Exactness: weights are quantized ONCE to micro-integers
+    (floor(sqrt(n_tokens)·10⁶ + ½) — sqrt is correctly rounded so the
+    input to FLOOR is bit-identical cross-engine), the normalizer is
+    an exact BIGINT sum (order-free), and every downstream double op
+    is a single correctly-rounded multiply/divide — the whole row is
+    hash-exact without any tolerance. Scale: ONE group-count-sized
+    aggregate with map-side partial collapse; the normalizer is a
+    one-row broadcast back onto #sources rows. Nothing else touches
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+        .alias("n_tokens"),
+    )
+    w = t.withColumn(
+        "w_micro",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("total"))
+    p = F.col("w_micro").cast("double") / F.col("total").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens", "w_micro",
+            p.alias("p_sample"),
+            (p * MIXTURE_TOKEN_BUDGET).alias("exp_tokens"),
+            (p * MIXTURE_TOKEN_BUDGET / F.col("n_tokens")).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -64,7 +64,9 @@ _RETIRED = [
 def _queued():
     from erathia_market_etl_spark.plans.sampling_queries import (
         PACK_CONTEXT_WINDOWS_ORACLE,
+        SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
         pack_context_windows,
+        sample_temperature_mixture,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         EMB_LABEL_CENTROIDS_ORACLE,
@@ -98,6 +100,9 @@ def _queued():
             text_duplicate_spans, TEXT_DUPLICATE_SPANS_ORACLE,
         ),
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
+        "sample_temperature_mixture": (
+            sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
+        ),
     }
 
 

@@ -253,3 +253,40 @@ def test_emb_centroids_partition_order_independent(spark):
         (r["label"], r["pos"], r["n_vectors"], r["centroid"]) for r in skewed
     ]
     assert base == skewed_rows
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    """r8 local-only mixture query: probabilities form a distribution,
+    the tau=0.5 temperature genuinely FLATTENS the mix (every
+    below-average-token source gets MORE than its proportional share,
+    every above-average source LESS), and the epoch column is the
+    exact budget arithmetic."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        MIXTURE_TOKEN_BUDGET,
+        sample_temperature_mixture,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = sample_temperature_mixture(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["p_sample"] for r in rows) - 1.0) < 1e-9
+    total_tok = sum(r["n_tokens"] for r in rows)
+    # the exact flattening law: p/proportional ∝ 1/sqrt(n_tokens), so
+    # the boost ratio strictly decreases as sources grow — and the
+    # smallest source is over-sampled while the largest is under-
+    # sampled (both strict since fixture sources differ in size)
+    by_tok = sorted(rows, key=lambda r: r["n_tokens"])
+    assert by_tok[0]["n_tokens"] < by_tok[-1]["n_tokens"]
+    ratios = [
+        (r["n_tokens"], r["p_sample"] / (r["n_tokens"] / total_tok))
+        for r in by_tok
+    ]
+    for (ta, ra), (tb, rb) in zip(ratios, ratios[1:]):
+        if ta < tb:
+            assert ra > rb, (ta, ra, tb, rb)
+    assert ratios[0][1] > 1.0 > ratios[-1][1], ratios
+    for r in rows:
+        assert abs(
+            r["epochs"] - r["p_sample"] * MIXTURE_TOKEN_BUDGET / r["n_tokens"]
+        ) < 1e-12, r
