@@ -76,9 +76,13 @@ def _queued():
         _ivfpq_oracle,
         sim_ivfpq_topk,
     )
+    from erathia_market_etl_spark.plans.streaming_queries import (
+        stream_quality_gate,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
+        TEXT_QUALITY_GATE_ORACLE,
         text_duplicate_spans,
         text_lm_familiarity,
     )
@@ -102,6 +106,12 @@ def _queued():
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
         "sample_temperature_mixture": (
             sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
+        ),
+        # streaming twin of text_quality_gate — SAME oracle: an
+        # AvailableNow run over the staged corpus must gate exactly
+        # like the batch query
+        "stream_quality_gate": (
+            stream_quality_gate, TEXT_QUALITY_GATE_ORACLE,
         ),
     }
 
