@@ -270,3 +270,119 @@ def test_duplicate_spans_cross_doc_only(spark, tmp_path):
     assert out[0]["n_dup_spans"] == 0, out[0]
     assert out[1]["n_dup_spans"] == out[1]["n_spans"] == 1, out[1]
     assert out[2]["n_dup_spans"] == 1, out[2]
+
+
+def _write_docs(spark, rows, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_lm_and_spans_degenerate_documents(spark, tmp_path):
+    """Degenerate-shape corpus through both r8 text operators: a
+    one-token doc (zero bigrams — exercises slice(t, 1, 0)), a
+    two-token doc (exactly one bigram), and a doc shorter than SPAN_K.
+    Bigram/span accounting must survive with exact zeros and NULL
+    means, never dropped rows or sequence(1, 0) artifacts."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_duplicate_spans,
+        text_lm_familiarity,
+    )
+
+    rows = [
+        (0, "solo", "en", "s", 4),
+        (1, "two tokens", "en", "s", 10),
+        (2, "a b c d e f g", "en", "s", 13),   # 7 tokens < SPAN_K
+        (3, " ".join(f"w{i}" for i in range(12)), "en", "s", 0),
+    ]
+    d = _write_docs(spark, rows, tmp_path)
+
+    lm = {r["doc_id"]: r for r in text_lm_familiarity(spark, d).collect()}
+    assert set(lm) == {0, 1, 2, 3}
+    assert lm[0]["n_bigrams"] == 0 and lm[0]["mean_bits"] is None
+    assert lm[0]["sum_bits"] == 0 and lm[0]["n_oov"] == 0
+    assert lm[1]["n_bigrams"] == 1
+    assert lm[3]["n_bigrams"] == 11
+
+    sp = {r["doc_id"]: r for r in text_duplicate_spans(spark, d).collect()}
+    assert set(sp) == {0, 1, 2, 3}
+    for did in (0, 1, 2):  # all shorter than SPAN_K
+        assert sp[did]["n_spans"] == 0 and sp[did]["dup_fraction"] is None
+    assert sp[3]["n_spans"] == 12 - 8 + 1
+
+
+def test_duplicate_spans_property_random_corpora(spark):
+    """Hypothesis property: on random corpora drawn from a small token
+    vocabulary (so cross-document span collisions actually happen),
+    text_duplicate_spans must equal a pure-Python span counter —
+    totals, distincts, cross-document duplicate counts, every doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.text_queries import (
+        SPAN_K,
+        text_duplicate_spans,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.data())
+    def run(data):
+        import os
+        import tempfile
+        from collections import Counter
+
+        n_docs = data.draw(st.integers(min_value=1, max_value=8))
+        texts = []
+        for _ in range(n_docs):
+            n_tok = data.draw(st.integers(min_value=1, max_value=30))
+            texts.append(
+                " ".join(
+                    data.draw(st.sampled_from(["a", "b", "c"]))
+                    for _ in range(n_tok)
+                )
+            )
+        rows = [
+            (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+        ]
+        # python reference
+        per_doc = {}
+        span_docs = Counter()
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            spans = [
+                " ".join(toks[j:j + SPAN_K])
+                for j in range(len(toks) - SPAN_K + 1)
+            ]
+            per_doc[i] = Counter(spans)
+            for sp in set(spans):
+                span_docs[sp] += 1
+        with tempfile.TemporaryDirectory() as td:
+            df = spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df.coalesce(1).write.parquet(
+                os.path.join(td, "documents.parquet")
+            )
+            got = {
+                r["doc_id"]: r
+                for r in text_duplicate_spans(spark, td).collect()
+            }
+        assert set(got) == set(per_doc)
+        for i, cnt in per_doc.items():
+            n_spans = sum(cnt.values())
+            n_dup = sum(
+                c for sp, c in cnt.items() if span_docs[sp] >= 2
+            )
+            assert got[i]["n_spans"] == n_spans, (i, got[i], n_spans)
+            assert got[i]["n_distinct_spans"] == len(cnt), (i, got[i])
+            assert got[i]["n_dup_spans"] == n_dup, (i, got[i], n_dup)
+
+    run()
