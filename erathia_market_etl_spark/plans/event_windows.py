@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import DEC, cents, money_sum_cents
+from ..functions.money import DEC, _unscale_round2, cents, money_sum_cents
 from ..sources.events import load_events
 from .registry import query
 
@@ -369,4 +369,194 @@ def sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_us"),
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_multiresolution: hypertable-style continuous-aggregate rollup
+# (minute -> hour -> day), UNREGISTERED (r8 queue — local oracle via
+# tests/test_oracle_parity.py::test_queued_queries_match until a
+# rotation slot opens per the COVERAGE.md standing policy).
+# ---------------------------------------------------------------------------
+
+ROLLUP_MULTIRESOLUTION_ORACLE = """
+    SELECT date_trunc('day', ts) AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,12))), 2)::DOUBLE AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day_start, event_type
+    """
+
+
+def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (the TimescaleDB continuous-aggregate /
+    Druid rollup pattern): aggregate raw events to 1-minute grain, then
+    re-aggregate minutes into hours and hours into days, returning the
+    day grain. The oracle aggregates raw->day DIRECTLY, so the green row
+    attests the property the whole pattern rests on: every measure is
+    re-aggregable (COUNT sums, SUM sums, MIN/MAX compose) and the
+    cents-integer sums make re-association exact — a float SUM would
+    hash-diverge across the regrouping.
+
+    At 100 TB this is the only sane shape for serving multiple time
+    grains: the raw->minute pass is the single full-data shuffle
+    (collapsing map-side — events arrive roughly time-contiguous, so
+    partial aggs reduce ~60x before the exchange); minute->hour and
+    hour->day shuffle only the already-reduced rollup rows (60x then
+    24x smaller). Incremental refresh falls out: a late partition
+    re-aggregates only its own minute rows upward."""
+    events = load_events(spark, sf_dir)
+    minute = (
+        events
+        .select(
+            F.date_trunc("minute", "ts").alias("minute_start"),
+            "event_type",
+            cents("value").alias("v_cents"),
+            F.col("value"),
+        )
+        .groupBy("minute_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    hour = (
+        minute
+        .groupBy(
+            F.date_trunc("hour", "minute_start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    day = (
+        hour
+        .groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return (
+        day.select(
+            "day_start",
+            "event_type",
+            "n_events",
+            _unscale_round2(F.col("sum_cents"), 2).alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("day_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_gap_fill: dense per-series time spine + last-observation-
+# carried-forward, UNREGISTERED (r8 queue, behind rollup_multiresolution).
+# ---------------------------------------------------------------------------
+
+TIMESERIES_GAP_FILL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(hour_start) AS mn, MAX(hour_start) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type,
+               unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds b
+    )
+    SELECT s.event_type,
+           s.hour_start,
+           COALESCE(h.n, 0) AS n_events,
+           ROUND(CAST(LAST_VALUE(h.c IGNORE NULLS) OVER (
+                          PARTITION BY s.event_type ORDER BY s.hour_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS DECIMAL(38,0)) / 100, 2)::DOUBLE AS filled_value,
+           h.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+    ORDER BY s.event_type, s.hour_start
+    """
+
+
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF (the TimescaleDB time_bucket_gapfill / locf
+    shape): build the dense hourly spine per series from that series'
+    own [min, max] hour range, left-join the sparse hourly aggregates,
+    and carry the last observed total forward into empty hours. The
+    spine generation is DISTRIBUTED — one sequence()/explode per series
+    row, never a driver-side loop or a global calendar cross-join — and
+    the first spine hour always has data (the bounds come from the
+    data), so LOCF never emits an unseeded NULL.
+
+    At scale: the hourly pre-aggregation is the only full-data shuffle;
+    the spine explode is narrow (bounds rows -> dense hours), the fill
+    join keys on (series, hour) against already-reduced rollup rows,
+    and the LOCF window shuffles one partition per series. Carried
+    totals stay exact cents integers until the final presentation
+    divide."""
+    events = load_events(spark, sf_dir)
+    hourly = (
+        events
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            cents("value").alias("v_cents"),
+        )
+        .groupBy("event_type", "hour_start")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("c"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("c", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            "n_events",
+            _unscale_round2(F.col("filled_cents"), 2).alias("filled_value"),
+            "is_gap",
+        )
+        .orderBy("event_type", "hour_start")
     )

@@ -79,6 +79,12 @@ def _queued():
     from erathia_market_etl_spark.plans.streaming_queries import (
         stream_quality_gate,
     )
+    from erathia_market_etl_spark.plans.event_windows import (
+        ROLLUP_MULTIRESOLUTION_ORACLE,
+        TIMESERIES_GAP_FILL_ORACLE,
+        rollup_multiresolution,
+        timeseries_gap_fill,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
@@ -112,6 +118,16 @@ def _queued():
         # like the batch query
         "stream_quality_gate": (
             stream_quality_gate, TEXT_QUALITY_GATE_ORACLE,
+        ),
+        # r8-implemented time-series surface (hypertable rollup +
+        # gapfill/LOCF): re-aggregation associativity attested by a
+        # raw->day direct oracle; dense-spine LOCF vs DuckDB
+        # generate_series + LAST_VALUE IGNORE NULLS
+        "rollup_multiresolution": (
+            rollup_multiresolution, ROLLUP_MULTIRESOLUTION_ORACLE,
+        ),
+        "timeseries_gap_fill": (
+            timeseries_gap_fill, TIMESERIES_GAP_FILL_ORACLE,
         ),
     }
 

@@ -272,18 +272,6 @@ def test_duplicate_spans_cross_doc_only(spark, tmp_path):
     assert out[2]["n_dup_spans"] == 1, out[2]
 
 
-def _write_docs(spark, rows, tmp_path):
-    import os
-
-    df = spark.createDataFrame(
-        rows,
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
-    d = str(tmp_path / "docs")
-    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
-    return d
-
-
 def test_lm_and_spans_degenerate_documents(spark, tmp_path):
     """Degenerate-shape corpus through both r8 text operators: a
     one-token doc (zero bigrams — exercises slice(t, 1, 0)), a
@@ -301,7 +289,7 @@ def test_lm_and_spans_degenerate_documents(spark, tmp_path):
         (2, "a b c d e f g", "en", "s", 13),   # 7 tokens < SPAN_K
         (3, " ".join(f"w{i}" for i in range(12)), "en", "s", 0),
     ]
-    d = _write_docs(spark, rows, tmp_path)
+    d = _write_docs(spark, rows, str(tmp_path))
 
     lm = {r["doc_id"]: r for r in text_lm_familiarity(spark, d).collect()}
     assert set(lm) == {0, 1, 2, 3}
