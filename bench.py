@@ -63,6 +63,13 @@ HEADLINE = [
     "tumbling_hourly_stats",
     "session_window_stats",
     "dedup_exact_hash",
+    # r7 watch-grade drifts (VERDICT r7 "What's wrong" #3), r8 preview
+    # on an idle machine: all three recovered without a code change —
+    # dedup_minhash_lsh_pairs 0.791 -> 0.596 s, dedup_simhash_near_pairs
+    # 1.108 -> 1.041 s, sim_topk_vectorized 0.200 -> 0.183 s — the same
+    # run-to-run noise band the q3/window_running_total root-causes
+    # document. (Same preview: q1 1.093 -> 0.916 s after the untimed
+    # warmup landed, window_running_total 0.747 -> 0.520 s.)
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_near_pairs",
     "sim_topk_bruteforce",

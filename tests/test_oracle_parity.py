@@ -85,6 +85,10 @@ def _queued():
         rollup_multiresolution,
         timeseries_gap_fill,
     )
+    from erathia_market_etl_spark.plans.graph_queries import (
+        GRAPH_PAGERANK_INFLUENCE_ORACLE,
+        graph_pagerank_influence,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
@@ -128,6 +132,11 @@ def _queued():
         ),
         "timeseries_gap_fill": (
             timeseries_gap_fill, TIMESERIES_GAP_FILL_ORACLE,
+        ),
+        # r8-implemented graph-centrality surface: integer fixed-point
+        # PageRank vs a DuckDB unrolled-CTE power iteration, hash-exact
+        "graph_pagerank_influence": (
+            graph_pagerank_influence, GRAPH_PAGERANK_INFLUENCE_ORACLE,
         ),
     }
 
