@@ -85,6 +85,10 @@ def _queued():
         rollup_multiresolution,
         timeseries_gap_fill,
     )
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
+        dedup_fuzzy_prefix_block,
+    )
     from erathia_market_etl_spark.plans.graph_queries import (
         GRAPH_PAGERANK_INFLUENCE_ORACLE,
         graph_pagerank_influence,
@@ -137,6 +141,11 @@ def _queued():
         # PageRank vs a DuckDB unrolled-CTE power iteration, hash-exact
         "graph_pagerank_influence": (
             graph_pagerank_influence, GRAPH_PAGERANK_INFLUENCE_ORACLE,
+        ),
+        # r8-implemented record-linkage surface: prefix blocking +
+        # capped within-block Levenshtein verify, exact-integer edits
+        "dedup_fuzzy_prefix_block": (
+            dedup_fuzzy_prefix_block, DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
         ),
     }
 

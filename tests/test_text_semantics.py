@@ -374,3 +374,60 @@ def test_duplicate_spans_property_random_corpora(spark):
             assert got[i]["n_dup_spans"] == n_dup, (i, got[i], n_dup)
 
     run()
+
+
+def _edit_distance(s, t):
+    """Reference Wagner-Fischer, driver-side."""
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_prefix_block_semantics(spark, tmp_path):
+    """Planted corpus for the blocking + Levenshtein pass: a true fuzzy
+    pair (char edits past the prefix, inside the verify window) must be
+    found with its EXACT edit distance (pinned against a driver-side
+    Wagner-Fischer); a same-block pair whose heads diverge past
+    FUZZY_MAX_DIST must be rejected by the verify; and a pair differing
+    inside the 16-char blocking prefix is the documented miss (the
+    token-level MinHash/SimHash passes own it)."""
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        dedup_fuzzy_prefix_block,
+    )
+
+    base = "shared sixteen!! " + "x" * 40        # block prefix + filler
+    t0 = base + "alpha beta gamma"               # len 73 -> bucket 2
+    t1 = base + "alpha bxta gamba"               # 2 edits vs t0
+    t2 = "shared sixteen!! " + "q" * 60          # len 77 -> bucket 2, far head
+    t3 = "DIFFERENT prefix " + t0                # prefix differs -> miss
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate([t0, t1, t2, t3])]
+    d = _write_docs(spark, rows, str(tmp_path))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["prefix_edit_distance"]
+        for r in dedup_fuzzy_prefix_block(spark, d).collect()
+    }
+    assert got == {(0, 1): _edit_distance(t0[:120], t1[:120])}, got
+    assert got[(0, 1)] == 2
+
+
+def test_fuzzy_prefix_block_cap_is_deterministic(spark, tmp_path):
+    """An over-cap block keeps exactly the first FUZZY_BLOCK_CAP docs by
+    doc_id: C(cap, 2) pairs, and no doc past the cap appears."""
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        FUZZY_BLOCK_CAP,
+        dedup_fuzzy_prefix_block,
+    )
+
+    n = FUZZY_BLOCK_CAP + 5
+    text = "shared sixteen!! " + "y" * 50
+    rows = [(i, text, "en", "s", 0) for i in range(n)]
+    d = _write_docs(spark, rows, str(tmp_path))
+    pairs = dedup_fuzzy_prefix_block(spark, d).collect()
+    assert len(pairs) == FUZZY_BLOCK_CAP * (FUZZY_BLOCK_CAP - 1) // 2
+    seen = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert max(seen) == FUZZY_BLOCK_CAP - 1  # caps keep LOWEST doc_ids
