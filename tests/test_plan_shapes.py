@@ -372,3 +372,44 @@ def test_window_running_total_single_window_pass(spark):
     # both running aggregates ride ONE windowspecdefinition pass
     w_node = next(ln for ln in plan.splitlines() if "Window " in ln)
     assert "sum(" in w_node and "count(1)" in w_node, w_node
+
+
+def test_fuzzy_block_cap_is_two_phase_and_scan_pruned(spark):
+    """dedup_fuzzy_prefix_block's scale contract: the per-block cap must
+    run as a two-phase WindowGroupLimit (Partial before the block
+    exchange, Final after — a skewed boilerplate prefix is cut to 64
+    rows map-side, so the block shuffle never carries the full block),
+    the documents scan must be pruned to (doc_id, text), and the edit
+    distance must evaluate inline in the join (one pass, no re-join)."""
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        dedup_fuzzy_prefix_block,
+    )
+
+    plan = plan_of(dedup_fuzzy_prefix_block(spark, SF_T2))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert "Partial" in plan and "Final" in plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+    assert plan.count("levenshtein") >= 1, plan
+
+
+def test_gap_fill_spine_is_narrow_single_window(spark):
+    """timeseries_gap_fill's scale contract: the dense spine comes from
+    a Generate(explode(sequence)) directly over the bounds aggregate —
+    NO exchange between them (the spine is born narrow, never a
+    driver-side calendar) — and LOCF is exactly ONE Window node. The
+    events scan reads only (ts, event_type, value)."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        timeseries_gap_fill,
+    )
+
+    plan = plan_of(timeseries_gap_fill(spark, SF_T2))
+    assert plan.count("Window ") == 1, plan
+    assert "explode(sequence(" in plan.replace("\n", ""), plan
+    gen_idx = plan.index("Generate explode")
+    agg_idx = plan.index("HashAggregate", gen_idx)
+    assert "Exchange" not in plan[gen_idx:agg_idx], plan[gen_idx:agg_idx]
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols <= {"ts", "event_type", "value"}, cols
