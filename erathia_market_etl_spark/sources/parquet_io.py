@@ -145,3 +145,88 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Z-order (Morton) key over 2+ integer columns: scale each column
+    to [0, 2^bits) against its own min/max, then bit-interleave the
+    scaled values (column i owns every len(cols)-th bit starting at
+    position i). Returns (key Column, stats Row).
+
+    The min/max pass is ONE distributed aggregate collapsing to a
+    single driver row (`.first()` — R4-bounded); the interleave itself
+    is a constant fold of shift/mask expressions, fully inside
+    whole-stage codegen, zero extra passes. Min/max scaling (vs rank /
+    quantile bucketing) keeps the key exact and engine-independent; the
+    cost is skew-sensitivity — a heavy-hitter key crowds its bucket —
+    which the range partitioner downstream absorbs by splitting on the
+    OBSERVED z-key distribution, so files stay balanced even when the
+    z-space isn't."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use "
+                         "write_range_clustered for a single key")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits overflows a long")
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 0) + 1
+        # (v - mn) * 2^bits DIV span: exact long arithmetic, lands in
+        # [0, 2^bits) for v in [mn, mx]
+        scaled.append(
+            F.expr(
+                f"(cast({c} as bigint) - {mn}L) * {1 << bits}L DIV {span}L"
+            )
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            pos = b * len(cols) + i
+            key = key + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), pos
+            ).cast("long")
+    return key, stats
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering sink (the Delta OPTIMIZE ZORDER /
+    Iceberg sort-order analog): range-partition and sort on the
+    interleaved z-key, so EVERY z-ordered column gets tight per-file
+    footer min/max — a predicate on ANY of the columns (or any
+    combination) skips files, where write_range_clustered only serves
+    its leading key. With F files, each file covers ~F^(-1/k) of each
+    of the k dimensions' ranges (16 files / 2 cols -> ~1/4 per dim).
+
+    At 100 TB this is the layout decision for fact tables queried along
+    MULTIPLE independent high-cardinality axes (part AND supplier;
+    user AND time): one z-order write amortizes across every axis,
+    where per-axis range clustering would need a full copy each.
+    Composes with hive partitioning the same way range clustering does:
+    partitionBy(date) dirs, z-ordered inside each.
+    tests/test_layout.py verifies the per-dimension footer-tightness
+    property from real parquet metadata."""
+    key, _ = zorder_key(df, cols, bits)
+    zdf = df.withColumn("__zkey", key)
+    (
+        zdf.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -75,3 +75,56 @@ def test_fan_out_rebalances_small_scan(spark):
     big = spark.range(100).repartition(n + 3)
     out = fan_out(big)
     assert out is big  # identity, not just same partition count
+
+
+def test_zorder_files_are_tight_on_every_dimension(spark, tmp_path):
+    """write_zorder(l_partkey, l_suppkey): file footers must be tight
+    on BOTH dimensions — the property that makes a predicate on either
+    column, or both, skip files. A contiguous row-balanced split of a
+    Morton curve necessarily leaves the few files that straddle a
+    high-bit boundary wide on one dimension (the curve jumps there;
+    Delta's OPTIMIZE ZORDER has the same artifact), so the pin is
+    statistical: >= 3/4 of files tight (<= 0.6 of the global span) and
+    the MEAN span <= 0.5, per dimension. Range clustering by l_partkey
+    alone would leave l_suppkey footers spanning the full range in
+    every file (asserted as the contrast, proving the interleave is
+    doing the work)."""
+    from erathia_market_etl_spark.sources.parquet_io import write_zorder
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "zordered")
+    write_zorder(li, out, ["l_partkey", "l_suppkey"], n_files=16)
+
+    for col in ("l_partkey", "l_suppkey"):
+        ranges = _file_ranges(out, col)
+        glo = min(lo for lo, _ in ranges)
+        ghi = max(hi for _, hi in ranges)
+        span = ghi - glo
+        assert len(ranges) >= 8
+        fracs = sorted((hi - lo) / span for lo, hi in ranges)
+        tight = sum(1 for f in fracs if f <= 0.6)
+        assert tight >= 3 * len(fracs) // 4, (col, fracs)
+        assert sum(fracs) / len(fracs) <= 0.5, (col, fracs)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)  # __zkey dropped
+
+    # contrast: single-key range clustering leaves the OTHER dim wide
+    out2 = str(tmp_path / "rangeonly")
+    write_range_clustered(li, out2, ["l_partkey"], n_files=8)
+    supp = _file_ranges(out2, "l_suppkey")
+    gspan = max(h for _, h in supp) - min(l for l, _ in supp)
+    assert all((hi - lo) >= 0.9 * gspan for lo, hi in supp)
+
+
+def test_zorder_rejects_single_column_and_overflow(spark):
+    import pytest
+
+    from erathia_market_etl_spark.sources.parquet_io import zorder_key
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey"])
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits=32)
