@@ -975,3 +975,90 @@ def _ivfpq_oracle() -> str:
     return SIM_IVFPQ_TOPK_ORACLE.format(
         ivf_cte=_IVF_CTE, n_probe=N_PROBE, query_vec_id=QUERY_VEC_ID
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_cells: SemDeDup (Abbas et al. 2023, arXiv:2303.09540 —
+# semantic deduplication via k-means cluster bucketing). UNREGISTERED
+# (r8 queue — local-only per the COVERAGE.md standing policy).
+# ---------------------------------------------------------------------------
+
+SEM_CELL_CAP = 128  # deterministic per-cell candidate cap (by vec_id)
+# fixture-calibrated like SIMILAR_THRESHOLD: the fixture embeddings are
+# random (max observed within-cell cosine ~0.47-0.49 across SFs), so the
+# paper's ~0.95 near-dup threshold would make every green row vacuous;
+# 0.4 keeps a real keep/drop population on both engines at every SF.
+SEM_DUP_THRESHOLD = 0.4
+
+DEDUP_SEMANTIC_CELLS_ORACLE = f"""
+    WITH {_IVF_CTE},
+    capped AS (
+        SELECT cid, vec_id, embedding FROM cells
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY cid ORDER BY vec_id
+        ) <= {SEM_CELL_CAP}
+    )
+    SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           FLOOR(({_COSINE_SQL.format(a='x.embedding', b='y.embedding')})
+                 * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM capped x
+    JOIN capped y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE ({_COSINE_SQL.format(a='x.embedding', b='y.embedding')})
+          >= {SEM_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-dup pairs via k-means cell bucketing —
+    assign every embedding to its nearest coarse centroid (the
+    shuffle-free `_ivf_scored` broadcast-row stage shared with the IVF
+    retrieval path; first-16 centroids for oracle reproducibility,
+    production swaps in `kmeans_centroids`), cap each cell at
+    SEM_CELL_CAP (128) members deterministically, then emit
+    within-cell pairs with exact cosine >= SEM_DUP_THRESHOLD (0.4).
+    Complements the banded sign-LSH pass (`sim_near_dup_pairs`): LSH
+    candidates are recall-bounded by random hyperplanes, cluster
+    bucketing by the learned partition — the published SemDeDup result
+    is that cluster-local comparison finds the semantic duplicates
+    LSH misses at equal cost. Downstream, the pairs feed the same
+    `connected_components_auto` -> representative anti-join as the
+    MinHash stack.
+
+    At 100 TB: assignment is a narrow map (centroids ride one
+    broadcast row); the only shuffle is the cell-keyed self-join of
+    (vec_id, cid, embedding) projections; pair expansion is bounded
+    O(cap²) per cell with truncation deterministic (lowest vec_ids
+    kept) — a mega-cluster costs 128 rows, never |cell|². With k
+    sized ~sqrt(n) cells (the paper's regime) the expected per-cell
+    population keeps the cap slack."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _ivf_scored(emb)
+    best = F.array_max(F.col("scores"))
+    cells = scored.select(
+        "vec_id", "embedding", (-best["negcid"]).alias("cid")
+    )
+    rn = F.row_number().over(Window.partitionBy("cid").orderBy("vec_id"))
+    capped = cells.withColumn("rn", rn).filter(
+        F.col("rn") <= SEM_CELL_CAP
+    )
+    a = capped.select(
+        "cid", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = capped.select(
+        "cid", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cs = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cs >= SEM_DUP_THRESHOLD)
+        .select(
+            "cid", "vec_a", "vec_b", round6(cs).alias("cosine_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

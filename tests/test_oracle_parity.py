@@ -69,7 +69,9 @@ def _queued():
         sample_temperature_mixture,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
+        DEDUP_SEMANTIC_CELLS_ORACLE,
         EMB_LABEL_CENTROIDS_ORACLE,
+        dedup_semantic_cells,
         emb_label_centroids,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
@@ -146,6 +148,11 @@ def _queued():
         # capped within-block Levenshtein verify, exact-integer edits
         "dedup_fuzzy_prefix_block": (
             dedup_fuzzy_prefix_block, DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
+        ),
+        # r8-implemented SemDeDup: k-means-cell-bucketed semantic
+        # near-dup pairs, capped, exact-cosine verified
+        "dedup_semantic_cells": (
+            dedup_semantic_cells, DEDUP_SEMANTIC_CELLS_ORACLE,
         ),
     }
 

@@ -433,3 +433,51 @@ def test_ivfpq_contract_and_composition(spark):
         .count()
     )
     assert r["n_candidates"] == n, (r["n_candidates"], n)
+
+
+def test_semantic_cells_planted_dup_found_cross_cell_missed(spark, tmp_path):
+    """SemDeDup semantics on a planted corpus: two near-identical
+    vectors landing in the SAME cell must come out as a pair with
+    cosine ~1; a near-identical pair STRADDLING a cell boundary
+    (mixtures leaning toward two different centroids) is the documented
+    SemDeDup miss — cluster-local comparison cannot see across cells
+    (the paper accepts this; the banded-LSH pass is the complement)."""
+    import os
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        dedup_semantic_cells,
+    )
+
+    def basis(i, scale=1.0):
+        v = [0.0] * DIM
+        v[i] = scale
+        return v
+
+    def mix(i, j, wi, wj):
+        v = [0.0] * DIM
+        v[i], v[j] = wi, wj
+        return v
+
+    rows = [(i, basis(i)) for i in range(16)]          # centroid seeds
+    near = basis(3, 0.6)
+    near2 = list(near)
+    near2[40] = 0.01                                    # tiny off-axis noise
+    rows += [(20, near), (21, near2)]                   # same-cell dup pair
+    rows += [(30, mix(5, 6, 0.51, 0.49)), (31, mix(5, 6, 0.49, 0.51))]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA).withColumn(
+        "label", F.lit(0)  # _ivf_scored's fixture schema carries label
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r
+        for r in dedup_semantic_cells(spark, d).collect()
+    }
+    assert (20, 21) in pairs
+    assert pairs[(20, 21)]["cosine_sim"] > 0.99
+    assert pairs[(20, 21)]["cid"] == 3
+    assert (30, 31) not in pairs  # the documented cross-cell miss
+    # every emitted pair is within one cell and above the threshold
+    for (a, b), r in pairs.items():
+        assert r["cosine_sim"] >= 0.4, r
