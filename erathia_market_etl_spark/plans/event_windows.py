@@ -560,3 +560,75 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup refresh: the mergeable-state algebra behind
+# rollup_multiresolution's "a late partition re-aggregates only its own
+# rows upward" claim. Maintenance-side (no driver query slot — the same
+# class as sinks); exactness pinned in tests/test_timeseries.py.
+# ---------------------------------------------------------------------------
+
+
+def day_rollup_state(events: DataFrame) -> DataFrame:
+    """Mergeable day-grain rollup STATE: (day_start, event_type) ->
+    (n_events, sum_cents, min_value, max_value). Every measure is a
+    commutative monoid (long sums, min, max — sum_cents stays an exact
+    scaled integer, NOT the rounded presentation total), so states
+    computed over any partition of the event log merge associatively
+    into the state of the union. This is the storage schema of an
+    incrementally-maintained rollup; ``present_day_rollup`` renders it."""
+    return (
+        events
+        .select(
+            F.date_trunc("day", "ts").alias("day_start"),
+            "event_type",
+            cents("value").alias("v_cents"),
+            F.col("value"),
+        )
+        .groupBy("day_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Merge rollup states (union + one re-aggregation — the monoid
+    fold). At 100 TB this is the incremental-refresh step: the state
+    for a late/new ingest partition is day-local and tiny, and the
+    merge shuffles only rollup rows (days x types), never raw events.
+    unionByName so column order never silently misaligns measures."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("day_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def present_day_rollup(state: DataFrame) -> DataFrame:
+    """Presentation of a day rollup state — identical output contract
+    to ``rollup_multiresolution`` (which computes the same values
+    through the minute/hour ladder; equality is pinned in
+    tests/test_timeseries.py)."""
+    return (
+        state.select(
+            "day_start",
+            "event_type",
+            "n_events",
+            _unscale_round2(F.col("sum_cents"), 2).alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("day_start", "event_type")
+    )

@@ -93,3 +93,43 @@ def test_rollup_day_equals_direct_aggregation(spark, tmp_path):
     assert r["min_value"] == 1.01 and r["max_value"] == 9.09
     assert got[(2, "B")]["n_events"] == 1
     assert got[(2, "B")]["total_value"] == 0.10
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """The mergeable-state algebra: split the fixture event log at an
+    arbitrary day cutoff, compute day_rollup_state on each half, merge —
+    the merged state AND its presentation must equal the full-log
+    recompute EXACTLY (long sums / min / max are a commutative monoid;
+    sum_cents is an exact scaled integer, so no float drift either).
+    Presentation must also equal rollup_multiresolution (the
+    minute->hour->day ladder) — three independent computation paths,
+    one answer."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        day_rollup_state,
+        merge_rollup_states,
+        present_day_rollup,
+        rollup_multiresolution,
+    )
+    from erathia_market_etl_spark.sources.events import load_events
+
+    sf = "/root/testdata/sf0.001"
+    events = load_events(spark, sf)
+    cutoff = events.agg(
+        F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 2 DAYS")
+    ).first()[0]
+    old = events.filter(F.col("ts") < F.lit(cutoff))
+    new = events.filter(F.col("ts") >= F.lit(cutoff))
+    assert old.count() > 0 and new.count() > 0  # the split is real
+
+    merged = merge_rollup_states(
+        day_rollup_state(old), day_rollup_state(new)
+    )
+    full = day_rollup_state(events)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert sorted(map(tuple, present_day_rollup(merged).collect())) == sorted(
+        map(tuple, rollup_multiresolution(spark, sf).collect())
+    )
