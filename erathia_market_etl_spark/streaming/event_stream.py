@@ -330,3 +330,52 @@ def run_foreach_batch_to_parquet(df: DataFrame, path: str) -> list[int]:
     )
     q.awaitTermination()
     return seen
+
+
+def streaming_rollup_append(events: DataFrame, state_path: str) -> list[int]:
+    """Continuous-aggregate maintenance under ingest: for every
+    micro-batch, compute the batch's mergeable day-rollup state
+    (plans.event_windows.day_rollup_state) and APPEND it to the state
+    log at ``state_path``; the serving-side state is merged on read
+    (``read_rollup_state``). Returns the processed batch ids.
+
+    Append-only on purpose: a read-modify-overwrite of the state table
+    inside foreachBatch is a lost-update race under retries, while
+    appending partial states is idempotent-friendly (batch_id rides
+    along for exactly-once dedup in a real sink) and contention-free —
+    the delta-log pattern. The log stays small (one rollup-grain slice
+    per batch) and compaction is just rewriting the merged state. At
+    100 TB ingest this is how a continuous aggregate keeps serving
+    while never re-touching raw history: each batch contributes
+    day-local rollup rows, the monoid merge does the rest."""
+    from ..plans.event_windows import day_rollup_state
+
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            day_rollup_state(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
+def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming rollup state log: fold every
+    appended partial state through the monoid merge. Identical output
+    contract to batch ``day_rollup_state`` over the full event log
+    (pinned in tests/test_streaming.py)."""
+    from ..plans.event_windows import merge_rollup_states
+
+    return merge_rollup_states(spark.read.parquet(state_path).drop("batch_id"))

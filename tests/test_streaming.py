@@ -240,3 +240,44 @@ def test_stream_static_anti_dedup_multibatch(spark, staged_dir):
     # corpus fingerprint ACROSS batches), 13 passes even though 11 had
     # identical content in an earlier batch (stateless by design)
     assert got == [11, 13, 14]
+
+
+def test_streaming_rollup_append_merges_to_batch_state(spark, staged_dir, tmp_path):
+    """Continuous-aggregate maintenance: three micro-batches append
+    their day-local rollup states; merge-on-read must equal the batch
+    day_rollup_state over the full log EXACTLY (the monoid algebra under
+    real micro-batch boundaries, including a day split ACROSS batches
+    and a late row for an already-rolled-up day arriving two batches
+    later)."""
+    from erathia_market_etl_spark.plans.event_windows import day_rollup_state
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_rollup_state,
+        streaming_rollup_append,
+    )
+
+    import datetime
+
+    def d(day, h):
+        return datetime.datetime(2024, 1, day, h)
+
+    b0 = [(1, d(1, 1), 1, "a", 10.25), (2, d(1, 2), 2, "b", 1.50)]
+    b1 = [(3, d(1, 23), 1, "a", 2.25), (4, d(2, 0), 1, "a", 7.00)]
+    b2 = [(5, d(1, 5), 3, "b", 0.75), (6, d(3, 12), 2, "a", 4.00)]  # late day-1 row
+    _write_batch_file(spark, b0, f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, b1, f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, b2, f"{staged_dir}/b2.parquet", 1_000_200)
+
+    state_path = str(tmp_path / "rollup_state")
+    batches = streaming_rollup_append(
+        _read_stream(spark, staged_dir), state_path
+    )
+    assert len(batches) == 3
+
+    merged = sorted(map(tuple, read_rollup_state(spark, state_path).collect()))
+    full = spark.createDataFrame(b0 + b1 + b2, TS_SCHEMA)
+    want = sorted(map(tuple, day_rollup_state(full).collect()))
+    assert merged == want
+    # the late day-1 contribution really landed in a separate log slice
+    log = spark.read.parquet(state_path)
+    day1_slices = log.filter(F.col("day_start") == d(1, 0)).count()
+    assert day1_slices >= 2
