@@ -1357,3 +1357,157 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merges: distributed BPE merge learning (Sennrich et al. 2016,
+# arXiv:1508.07909 — the tokenizer-training loop, run on-cluster).
+# UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing
+# policy).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 5
+
+
+def _bpe_round_cte(k: int) -> str:
+    """One unrolled BPE round: pair counts over seg{k-1}, the top-1
+    merge (count DESC, left, right — a total order), seg{k} via the
+    padded non-overlapping replace (verified identical left-to-right
+    semantics in Spark and DuckDB)."""
+    return f"""
+    pairs{k} AS (
+        SELECT s.cnt,
+               unnest(t[1:len(t)-1]) AS x,
+               unnest(t[2:len(t)]) AS y
+        FROM (SELECT cnt, string_split(seg, '  ') AS t FROM seg{k - 1}) s
+    ),
+    top{k} AS (
+        SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS pc
+        FROM pairs{k} GROUP BY x, y
+        ORDER BY pc DESC, x, y LIMIT 1
+    ),
+    seg{k} AS (
+        SELECT s.cnt,
+               trim(replace(' ' || s.seg || ' ',
+                            ' ' || t.x || '  ' || t.y || ' ',
+                            ' ' || t.x || t.y || ' ')) AS seg
+        FROM seg{k - 1} s CROSS JOIN top{k} t
+    )"""
+
+
+TEXT_BPE_MERGES_ORACLE = (
+    """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    seg0 AS (
+        SELECT cnt, array_to_string(string_split(word, ''), '  ') AS seg
+        FROM words
+    ),"""
+    + ",".join(_bpe_round_cte(k) for k in range(1, BPE_ROUNDS + 1))
+    + """
+    """
+    + " UNION ALL ".join(
+        f"SELECT {k} AS rank, x AS left_sym, y AS right_sym, "
+        f"x || y AS merged, pc AS pair_count FROM top{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    + """
+    ORDER BY rank
+    """
+)
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning on-cluster: whitespace-tokenize the corpus
+    once, reduce to the (word, count) vocabulary, segment each word
+    into characters, then run BPE_ROUNDS (5) merge rounds — each round
+    counts adjacent-symbol pairs weighted by word frequency, picks the
+    top pair under a total order (count DESC, left, right), and applies
+    the merge with a padded non-overlapping string replace whose
+    left-to-right semantics are identical in Spark and DuckDB.
+
+    Segment representation: symbols joined by TWO spaces, single-space
+    padding at replace time, pattern ' x  y ' -> ' xy '. The single-
+    space representation is WRONG for repeated-symbol runs: its
+    pattern consumes the boundary space shared with the next match, so
+    'a a a a' merges to [aa, a, a] where canonical greedy BPE gives
+    [aa, aa] (found by the hypothesis property test). With double-space
+    joints each match's consumed outer spaces are exactly restored by
+    the replacement's own padding, so greedy left-to-right string
+    replace == greedy left-to-right list merge — pinned generatively
+    against a pure-Python reference in tests/test_text_semantics.py.
+    No end-of-word marker — intra-word merges only, documented
+    divergence from the tokenizer deployments that add one.
+
+    Exactness: symbols are strings, counts are longs — the oracle
+    unrolls the same rounds as chained CTEs and is hash-exact.
+
+    Scale shape: the ONLY corpus-sized stage is the first tokenize +
+    vocabulary aggregate (one shuffle, collapsing map-side under
+    Zipf); every round after that is VOCAB-local — Heaps' law puts the
+    vocabulary at ~millions of rows for a 100 TB corpus, so rounds are
+    small narrow jobs. Each round needs the chosen pair as a literal in
+    the next round's replace, which costs one bounded `.first()` per
+    round (the k-means/PQ precedent); the seg table is eagerly
+    localCheckpoint()ed per round so round k never recomputes rounds
+    1..k-1 (the pagerank lineage discipline). Production BPE runs
+    thousands of merges by batch-applying non-interacting pairs per
+    round — this query demonstrates the per-round shape with R=5;
+    the round body is rank-count invariant."""
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = words.select(
+        "cnt", F.array_join(F.split("word", ""), "  ").alias("seg")
+    ).localCheckpoint()
+
+    out_rows = []
+    for k in range(1, BPE_ROUNDS + 1):
+        t = F.split("seg", "  ")
+        pair_expr = (
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> struct(a AS x, b AS y))"
+        )
+        top = (
+            seg.select("cnt", t.alias("t"))
+            .select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "x", "y")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            # vocabulary fully merged (or single-char words only): no
+            # adjacent pairs remain. The oracle's top{k} CTE is empty in
+            # the same state, so its UNION ALL arm emits no row either —
+            # both sides stop at the same rank.
+            break
+        out_rows.append((k, top["x"], top["y"], top["x"] + top["y"], top["pc"]))
+        pat = F.concat(F.lit(" "), F.lit(top["x"]), F.lit("  "),
+                       F.lit(top["y"]), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.lit(top["x"] + top["y"]), F.lit(" "))
+        seg = seg.select(
+            "cnt",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seg"), F.lit(" ")), pat, rep
+                )
+            ).alias("seg"),
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("rank")

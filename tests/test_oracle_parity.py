@@ -96,9 +96,11 @@ def _queued():
         graph_pagerank_influence,
     )
     from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_BPE_MERGES_ORACLE,
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
+        text_bpe_merges,
         text_duplicate_spans,
         text_lm_familiarity,
     )
@@ -154,6 +156,9 @@ def _queued():
         "dedup_semantic_cells": (
             dedup_semantic_cells, DEDUP_SEMANTIC_CELLS_ORACLE,
         ),
+        # r8-implemented tokenizer training: unrolled BPE merge rounds
+        # vs the same rounds as chained DuckDB CTEs, hash-exact
+        "text_bpe_merges": (text_bpe_merges, TEXT_BPE_MERGES_ORACLE),
     }
 
 

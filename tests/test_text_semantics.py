@@ -431,3 +431,94 @@ def test_fuzzy_prefix_block_cap_is_deterministic(spark, tmp_path):
     assert len(pairs) == FUZZY_BLOCK_CAP * (FUZZY_BLOCK_CAP - 1) // 2
     seen = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
     assert max(seen) == FUZZY_BLOCK_CAP - 1  # caps keep LOWEST doc_ids
+
+
+def _py_bpe(word_counts, rounds):
+    """Reference BPE: greedy left-to-right merge application over symbol
+    lists, top pair by (count DESC, left ASC, right ASC)."""
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (x, y), pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y, pc))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_matches_python_reference_on_random_corpora(spark):
+    """Hypothesis property: on random corpora over a 3-letter alphabet
+    (so pair collisions and repeated-symbol words actually happen) the
+    distributed BPE rounds must produce exactly the Python reference's
+    merge table — the padded-string replace and the greedy list merge
+    are the same operation, pinned generatively."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.text_queries import text_bpe_merges
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def run(all_words, rounds):
+        import erathia_market_etl_spark.plans.text_queries as tq
+
+        rows = []
+        # pack words into a few documents (space-joined), exercising the
+        # corpus->vocab aggregate too
+        for i in range(0, len(all_words), 5):
+            chunk = " ".join(all_words[i:i + 5])
+            rows.append((i, chunk, "en", "s", len(chunk)))
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(spark, rows, d)
+            old_rounds = tq.BPE_ROUNDS
+            tq.BPE_ROUNDS = rounds
+            try:
+                got = [
+                    (r["left_sym"], r["right_sym"], r["pair_count"])
+                    for r in text_bpe_merges(spark, d).collect()
+                ]
+            finally:
+                tq.BPE_ROUNDS = old_rounds
+        want = _py_bpe(dict(Counter(all_words)), rounds)
+        assert got == want, (all_words, rounds, got, want)
+
+    run()
+
+
+def test_bpe_stops_when_no_pairs_remain(spark, tmp_path):
+    """Single-character words only: zero adjacent pairs, the merge
+    table must be EMPTY (not crash, not emit a null row) — the same
+    early stop the oracle's empty top-CTE arm produces."""
+    from erathia_market_etl_spark.plans.text_queries import text_bpe_merges
+
+    rows = [(0, "a b c a b", "en", "s", 9)]
+    d = _write_docs(spark, rows, str(tmp_path))
+    assert text_bpe_merges(spark, d).collect() == []
