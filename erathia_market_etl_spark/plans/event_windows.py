@@ -632,3 +632,112 @@ def present_day_rollup(state: DataFrame) -> DataFrame:
         )
         .orderBy("day_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_rolling_zscore: rolling-window anomaly flags over the
+# hourly rollup, UNREGISTERED (r8 queue, with rollup_multiresolution /
+# timeseries_gap_fill).
+# ---------------------------------------------------------------------------
+
+ZSCORE_WINDOW = 24  # trailing hours (ROWS frame over observed hours)
+ZSCORE_FLAG = 3.0   # |z| above this flags the hour
+
+TIMESERIES_ROLLING_ZSCORE_ORACLE = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour_start, c,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(c) OVER w AS HUGEINT) AS s1,
+               CAST(SUM(c * c) OVER w AS HUGEINT) AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN {ZSCORE_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, hour_start,
+           ROUND(CAST(c AS DECIMAL(38,0)) / 100, 2)::DOUBLE AS total_value,
+           CASE WHEN n * s2 = s1 * s1 THEN NULL
+                ELSE FLOOR((CAST(c AS HUGEINT) * n - s1)
+                           / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS zscore,
+           CASE WHEN n * s2 = s1 * s1 THEN FALSE
+                ELSE ABS((CAST(c AS HUGEINT) * n - s1)
+                         / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     > {ZSCORE_FLAG}
+           END AS is_anomaly
+    FROM stats
+    ORDER BY event_type, hour_start
+    """
+
+
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: hourly totals per series, trailing
+    ZSCORE_WINDOW (24)-row window, flag hours more than ZSCORE_FLAG (3)
+    window (population) standard deviations from the window mean. The monitoring
+    primitive you bolt onto every rollup at scale (burst/outage
+    detection on ingest volume, spend, error counts).
+
+    Exactness: the window keeps INTEGER moments — n, s1 = Σc,
+    s2 = Σc² over exact cents — so the mean/variance arithmetic is
+    associative and partition-order-free; the POPULATION z-score is
+    (c·n − s1) / sqrt(n·s2 − s1²) — one subtraction, one sqrt, one
+    division over identical integers on both engines (IEEE sqrt and
+    divide are correctly rounded, so the doubles are bit-identical),
+    rounded via the FLOOR trick. A naive avg/stddev_samp window would
+    hash-diverge: both engines accumulate running doubles in different
+    orders. Constant windows (variance 0) yield NULL z and FALSE flag
+    on both sides. s2 rides DECIMAL/HUGEINT: hourly cents up to ~3e9
+    square past the long range — 128-bit sums keep the moments exact
+    to ~1e19-dollar hours.
+
+    At scale: one full-data shuffle into the hourly rollup (map-side
+    collapsing), then one window pass per series partition — the same
+    single-exchange shape as window_running_total, pinned there."""
+    events = load_events(spark, sf_dir)
+    hourly = (
+        events
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            cents("value").alias("v_cents"),
+        )
+        .groupBy("event_type", "hour_start")
+        .agg(F.sum("v_cents").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-(ZSCORE_WINDOW - 1), Window.currentRow)
+    )
+    cdec = F.col("c").cast("decimal(19,0)")
+    stats = hourly.select(
+        "event_type", "hour_start", "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(cdec).over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum(cdec * cdec).over(w).cast("decimal(38,0)").alias("s2"),
+    )
+    num = (cdec * F.col("n") - F.col("s1")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+    )
+    z = num / den
+    flat = (F.col("n") * F.col("s2")) == (F.col("s1") * F.col("s1"))
+    return (
+        stats.select(
+            "event_type", "hour_start",
+            _unscale_round2(F.col("c"), 2).alias("total_value"),
+            F.when(flat, F.lit(None).cast("double"))
+            .otherwise(F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000)
+            .alias("zscore"),
+            F.when(flat, F.lit(False))
+            .otherwise(F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_start")
+    )

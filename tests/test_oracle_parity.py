@@ -84,8 +84,10 @@ def _queued():
     from erathia_market_etl_spark.plans.event_windows import (
         ROLLUP_MULTIRESOLUTION_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
+        TIMESERIES_ROLLING_ZSCORE_ORACLE,
         rollup_multiresolution,
         timeseries_gap_fill,
+        timeseries_rolling_zscore,
     )
     from erathia_market_etl_spark.plans.dedup_queries import (
         DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
@@ -140,6 +142,9 @@ def _queued():
         ),
         "timeseries_gap_fill": (
             timeseries_gap_fill, TIMESERIES_GAP_FILL_ORACLE,
+        ),
+        "timeseries_rolling_zscore": (
+            timeseries_rolling_zscore, TIMESERIES_ROLLING_ZSCORE_ORACLE,
         ),
         # r8-implemented graph-centrality surface: integer fixed-point
         # PageRank vs a DuckDB unrolled-CTE power iteration, hash-exact

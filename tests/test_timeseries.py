@@ -133,3 +133,44 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
     assert sorted(map(tuple, present_day_rollup(merged).collect())) == sorted(
         map(tuple, rollup_multiresolution(spark, sf).collect())
     )
+
+
+def test_rolling_zscore_flags_planted_spike(spark, tmp_path):
+    """Anomaly semantics on a planted series: 23 quiet hours at $1.00
+    and one $100.00 spike — the spike hour must flag with the exact
+    population z-score (pinned against a driver-side computation), the
+    quiet hours must not flag, and a constant series must produce NULL
+    z / False flags everywhere (zero variance). This is the test shape
+    that catches denominator algebra bugs the cross-engine oracle
+    can't: both engines shared an erroneous extra sqrt(n) factor during
+    development and still hash-matched."""
+    import math
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        timeseries_rolling_zscore,
+    )
+
+    rows = [(h, _t(h), 1, "A", 1.00, None) for h in range(23)]
+    rows.append((23, _t(23), 1, "A", 100.00, None))
+    rows += [(100 + h, _t(h), 1, "B", 5.00, None) for h in range(10)]
+    d = _write_events(spark, rows, str(tmp_path))
+    got = {
+        (r["event_type"], r["hour_start"].hour): r
+        for r in timeseries_rolling_zscore(spark, d).collect()
+    }
+
+    # exact expected z at the spike hour (population, trailing 24 rows)
+    cs = [100] * 23 + [10000]  # cents
+    n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+    z_want = (10000 * n - s1) / math.sqrt(n * s2 - s1 * s1)
+    spike = got[("A", 23)]
+    assert spike["is_anomaly"] is True
+    assert spike["zscore"] == math.floor(z_want * 1e6 + 0.5) / 1e6
+    assert z_want > 4  # the planted spike is a real outlier
+
+    for h in range(1, 23):  # quiet hours never flag
+        assert got[("A", h)]["is_anomaly"] is False, got[("A", h)]
+    assert got[("A", 0)]["zscore"] is None  # 1-row window: zero variance
+    for h in range(10):  # constant series: NULL z, no flags
+        r = got[("B", h)]
+        assert r["zscore"] is None and r["is_anomaly"] is False, r
