@@ -469,3 +469,124 @@ def wav_decode_stats(wavs: DataFrame) -> DataFrame:
             )
 
     return wavs.select("media_id", "content").mapInPandas(fn, WAV_STATS_SCHEMA)
+
+
+AHASH_SIZE = 8           # 8x8 downsample -> 64-bit perceptual hash
+AHASH_BLOCKS = 4         # pigeonhole blocks of 16 bits each
+AHASH_HAMMING_MAX = 3    # pairs within 3 bit flips; < AHASH_BLOCKS, so
+                         # the pigeonhole guarantee holds (no misses)
+
+
+def ahash_bits(img: np.ndarray) -> int:
+    """Average-hash (aHash) of a decoded (h, w, 3) image: nearest-
+    neighbor downsample to 8x8, integer grayscale (channel sum DIV 3),
+    threshold at the integer mean (sum DIV 64), pack row-major into 64
+    bits. Every step is integer arithmetic — the hash is a pure
+    function of the pixel bytes, reproducible anywhere (no float
+    luminance weights, no library resampler variance)."""
+    small = resample_nearest(img, AHASH_SIZE, AHASH_SIZE)
+    gray = small.astype(np.int64).sum(axis=2) // 3
+    mean = int(gray.sum()) // (AHASH_SIZE * AHASH_SIZE)
+    bits = (gray > mean).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # signed-long view so the value rides a Spark LongType unchanged
+    return int(np.int64(np.uint64(h)))
+
+
+def media_ahash(images: DataFrame) -> DataFrame:
+    """Perceptual-hash table: (media_id, ahash) for every decodable
+    image payload (BMP/PPM; the codec-free decode path). Narrow Arrow
+    stage — payloads never shuffle; only the 8-byte hash rides
+    downstream joins. Undecodable/NULL/audio payloads are dropped
+    (quarantine-sink pattern, as the other real-decode ops)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                try:
+                    modality, img = decode_real(bytes(buf))
+                    if modality != "image":
+                        continue
+                    h = ahash_bits(img)
+                except Exception:
+                    continue
+                ids.append(mid)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("ahash", LongType())]
+    )
+    return images.select("media_id", "content").mapInPandas(fn, schema)
+
+
+def ahash_near_pairs(
+    images: DataFrame,
+    hamming_max: int = AHASH_HAMMING_MAX,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: aHash every decodable
+    image, pigeonhole the 64 bits into AHASH_BLOCKS (4) 16-bit blocks
+    (hamming <= hamming_max < blocks implies at least one block matches
+    exactly — candidate generation has NO false negatives within the
+    radius), block-bucket self-join with a deterministic per-bucket cap,
+    exact popcount verify on the full hash. The image analog of
+    simhash_near_pairs, for the image-dedup pass of a multimodal
+    training pipeline.
+
+    At scale: payloads stay in the narrow hash stage; the banding
+    shuffle carries (media_id, block_idx, 16-bit key); pair expansion
+    is O(cap²) per bucket; verification is one xor+bit_count per
+    surviving pair."""
+    from pyspark.sql import Window
+
+    hashes = media_ahash(images)
+    blocks = hashes.select(
+        "media_id", "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    F.shiftright("ahash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    .alias("block_key"),
+                )
+                for i in range(AHASH_BLOCKS)
+            ])
+        ).alias("b"),
+    ).select("media_id", "ahash", "b.block_idx", "b.block_key")
+    rn = F.row_number().over(
+        Window.partitionBy("block_idx", "block_key").orderBy("media_id")
+    )
+    capped = blocks.withColumn("rn", rn).filter(F.col("rn") <= max_bucket)
+    a = capped.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("hash_a"),
+        "block_idx", "block_key",
+    )
+    b = capped.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hash_b"),
+        "block_idx", "block_key",
+    )
+    return (
+        a.join(b, ["block_idx", "block_key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "hash_a", "hash_b")
+        .distinct()
+        .select(
+            "media_a", "media_b",
+            F.bit_count(
+                F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("media_a", "media_b")
+    )

@@ -311,3 +311,76 @@ def test_decoder_fuzz_roundtrip_and_no_crash():
     image_roundtrip()
     wav_roundtrip()
     never_uncontrolled()
+
+
+def test_ahash_perceptual_dedup_finds_planted_near_dup(spark):
+    """Image dedup by perceptual hash: a lightly-perturbed copy (a few
+    pixels nudged — survives the 8x8 average hash) must pair with its
+    original at a small hamming distance; an independent random image
+    must not; the pigeonhole candidate generation must be exact within
+    the radius (hamming <= 3 with 4 blocks guarantees a shared block).
+    Undecodable/NULL/audio payloads drop out of the hash table."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        ahash_bits,
+        ahash_near_pairs,
+        encode_bmp,
+        encode_wav,
+        media_ahash,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] += np.uint8(1)  # tiny perturbation, wraps harmlessly
+    other = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+
+    # driver-side ground truth
+    hb, hn, ho = ahash_bits(base), ahash_bits(near), ahash_bits(other)
+    ham = bin((hb ^ hn) & (2**64 - 1)).count("1")
+    assert ham <= 3, ham  # the perturbation is genuinely sub-threshold
+    assert bin((hb ^ ho) & (2**64 - 1)).count("1") > 10
+
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(near))),
+        (3, bytearray(encode_bmp(other))),
+        (4, bytearray(encode_wav(np.zeros(4, dtype=np.int64), 8000))),
+        (5, None),
+        (6, bytearray(b"junk")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    hashes = {r["media_id"]: r["ahash"] for r in media_ahash(media).collect()}
+    assert set(hashes) == {1, 2, 3}
+    assert hashes[1] == hb and hashes[2] == hn and hashes[3] == ho
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in ahash_near_pairs(media).collect()
+    }
+    assert pairs == {(1, 2): ham}
+
+
+def test_ahash_identical_images_hamming_zero(spark):
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        ahash_near_pairs,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    # the SAME pixels through two containers (BMP and PPM) must collide
+    # exactly — the hash is a function of pixels, not encoding
+    rows = [
+        (1, bytearray(encode_bmp(img))),
+        (2, bytearray(encode_ppm(img))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = ahash_near_pairs(media).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["hamming"] == 0
