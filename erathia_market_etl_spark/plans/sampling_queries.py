@@ -596,3 +596,84 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_leakage_safe_splits: split assignment hashed on the NEAR-DUP
+# COMPONENT, not the document. UNREGISTERED (r8 queue — local-only per
+# the COVERAGE.md standing policy).
+# ---------------------------------------------------------------------------
+
+def _leakage_safe_oracle() -> str:
+    from .dedup_queries import _CANDIDATES_CTE
+
+    gid = "COALESCE(c.gid, d.doc_id)"
+    return f"""
+    WITH RECURSIVE {_CANDIDATES_CTE},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+        SELECT a AS doc_id,
+               CASE WHEN MIN(b) < a THEN MIN(b) ELSE a END AS gid
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           {gid} AS group_id,
+           {_bucket_sql(gid)} AS bucket,
+           CASE WHEN {_bucket_sql(gid)} < 80 THEN 'train'
+                WHEN {_bucket_sql(gid)} < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def sample_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation/test assignment that cannot leak near-
+    duplicates across splits: hash the near-dup COMPONENT id (LSH
+    candidate pairs → connected components; singletons are their own
+    group), not the document id. A doc-id-hashed split puts ~20% of
+    each duplicate cluster's members outside train — the classic
+    contamination path (Lee et al. 2021 measured test-set dup rates;
+    group-wise splitting is the fix every serious pipeline applies).
+    Same Knuth bucket arithmetic and 80/10/10 cut as
+    sample_split_assign, so the two queries differ ONLY in what gets
+    hashed — the leakage-safety is isolated and auditable.
+
+    At scale: the component labels are the dedup pipeline's existing
+    byproduct (amortized); this query adds one keys-only left join and
+    the narrow bucket arithmetic. Invariant pinned in
+    tests/test_sampling.py: every candidate pair lands in ONE split,
+    and the fixture contains pairs whose doc-id buckets straddle a cut
+    — the naive split provably leaks where this one does not."""
+    from ..operators.graph import connected_components_auto
+    from .dedup_queries import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    comp = connected_components_auto(pairs, "doc_a", "doc_b").select(
+        F.col("v").alias("doc_id"), F.col("component_id").alias("gid")
+    )
+    gid = F.coalesce(F.col("gid"), F.col("doc_id"))
+    bucket = _bucket(gid)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            gid.alias("group_id"),
+            bucket.alias("bucket"),
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("validation"))
+            .otherwise(F.lit("test")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )

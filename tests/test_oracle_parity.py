@@ -65,7 +65,9 @@ def _queued():
     from erathia_market_etl_spark.plans.sampling_queries import (
         PACK_CONTEXT_WINDOWS_ORACLE,
         SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
+        _leakage_safe_oracle,
         pack_context_windows,
+        sample_leakage_safe_splits,
         sample_temperature_mixture,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
@@ -164,6 +166,11 @@ def _queued():
         # r8-implemented tokenizer training: unrolled BPE merge rounds
         # vs the same rounds as chained DuckDB CTEs, hash-exact
         "text_bpe_merges": (text_bpe_merges, TEXT_BPE_MERGES_ORACLE),
+        # r8-implemented leakage-safe splits: bucket the near-dup
+        # COMPONENT id, vs recursive-CTE components + the same bucket
+        "sample_leakage_safe_splits": (
+            sample_leakage_safe_splits, _leakage_safe_oracle(),
+        ),
     }
 
 

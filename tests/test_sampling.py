@@ -290,3 +290,56 @@ def test_temperature_mixture_flattens_toward_small_sources(spark):
         assert abs(
             r["epochs"] - r["p_sample"] * MIXTURE_TOKEN_BUDGET / r["n_tokens"]
         ) < 1e-12, r
+
+
+def test_leakage_safe_splits_keep_pairs_together(spark):
+    """The leakage-safety invariant, non-vacuously: (a) every LSH
+    candidate pair lands in ONE split; (b) the fixture actually
+    contains pairs whose DOC-ID buckets straddle a split cut — i.e.
+    the naive sample_split_assign provably separates near-dups that
+    this query keeps together; (c) singletons keep their own doc_id as
+    group (the assignment degenerates to the naive one exactly where
+    no duplication exists)."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        minhash_candidate_pairs,
+    )
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        _bucket,
+        sample_leakage_safe_splits,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs, "text", "doc_id").collect()
+    ]
+    assert pairs  # fixture has near-dups
+
+    out = {r["doc_id"]: r for r in
+           sample_leakage_safe_splits(spark, SF_SMOKE).collect()}
+    naive = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", _bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+
+    def naive_split(b):
+        return "train" if b < 80 else ("validation" if b < 90 else "test")
+
+    leaked_naively = 0
+    for a, b in pairs:
+        assert out[a]["split"] == out[b]["split"], (a, b)
+        assert out[a]["group_id"] == out[b]["group_id"]
+        if naive_split(naive[a]) != naive_split(naive[b]):
+            leaked_naively += 1
+    assert leaked_naively > 0, "fixture never exercises the leak path"
+
+    paired_ids = {d for p in pairs for d in p}
+    for did, r in out.items():
+        if did not in paired_ids:
+            assert r["group_id"] == did, r
