@@ -1511,3 +1511,92 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left_sym string, right_sym string, merged string, "
         "pair_count long",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap: retrieval-prep chunking (fixed window, fixed
+# overlap). UNREGISTERED (r8 queue — local-only per the COVERAGE.md
+# standing policy).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # start-to-start stride (overlap = 64 - 48 = 16)
+
+TEXT_CHUNK_OVERLAP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0,
+                   CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                        ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                             // {CHUNK_STRIDE}
+                   END)) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(len(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS n_tokens,
+           array_to_string(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                             chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunker (the RAG / long-context preprocessing
+    shape): each document yields chunks of CHUNK_TOKENS (64) tokens
+    starting every CHUNK_STRIDE (48) tokens — 16 tokens of overlap so
+    no sentence straddles a hard boundary unseen. The chunk count is
+    exact integer arithmetic (1 for short docs, else
+    (n - C + S - 1) DIV S + 1 — the numerator is kept positive so
+    truncating DIV and flooring // agree), the chunk body is a narrow
+    slice + join over the one tokenization.
+
+    At scale this is a pure map stage: one corpus scan, a bounded
+    sequence-explode (≤ n_tok/S + 1 rows per doc), zero shuffles
+    before the presentation sort — chunking 100 TB is
+    embarrassingly parallel and this plan keeps it that way."""
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_last = F.when(
+        F.col("n") <= CHUNK_TOKENS, F.lit(0)
+    ).otherwise(
+        F.expr(
+            f"(n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}"
+        )
+    )
+    chunk = F.slice(
+        F.col("t"),
+        F.col("chunk_idx") * CHUNK_STRIDE + 1,
+        CHUNK_TOKENS,
+    )
+    return (
+        toks.select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * CHUNK_STRIDE)
+            .alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

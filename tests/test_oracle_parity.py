@@ -101,10 +101,12 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_BPE_MERGES_ORACLE,
+        TEXT_CHUNK_OVERLAP_ORACLE,
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
         text_bpe_merges,
+        text_chunk_overlap,
         text_duplicate_spans,
         text_lm_familiarity,
     )
@@ -171,6 +173,9 @@ def _queued():
         "sample_leakage_safe_splits": (
             sample_leakage_safe_splits, _leakage_safe_oracle(),
         ),
+        # r8-implemented RAG chunker: fixed window + overlap, narrow
+        # slice arithmetic, hash-exact
+        "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_ORACLE),
     }
 
 

@@ -522,3 +522,45 @@ def test_bpe_stops_when_no_pairs_remain(spark, tmp_path):
     rows = [(0, "a b c a b", "en", "s", 9)]
     d = _write_docs(spark, rows, str(tmp_path))
     assert text_bpe_merges(spark, d).collect() == []
+
+
+def test_chunk_overlap_boundaries_exact(spark, tmp_path):
+    """Chunker arithmetic on planted token counts: a short doc and an
+    exactly-64-token doc yield ONE chunk; 65 tokens yield two chunks
+    whose second starts at token 48 (17 tokens long, 16 shared with
+    chunk 0); a 160-token doc yields three chunks at starts 0/48/96;
+    token conservation: the union of chunk token positions covers the
+    doc with the planted overlap, never a gap."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    rows = [
+        (0, doc(10), "en", "s", 0),
+        (1, doc(CHUNK_TOKENS), "en", "s", 0),
+        (2, doc(CHUNK_TOKENS + 1), "en", "s", 0),
+        (3, doc(160), "en", "s", 0),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {}
+    for r in text_chunk_overlap(spark, d).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+
+    assert [c["n_tokens"] for c in out[0]] == [10]
+    assert [c["n_tokens"] for c in out[1]] == [CHUNK_TOKENS]
+    assert [(c["start_tok"], c["n_tokens"]) for c in out[2]] == [
+        (0, CHUNK_TOKENS), (CHUNK_STRIDE, CHUNK_TOKENS + 1 - CHUNK_STRIDE),
+    ]
+    assert [(c["start_tok"], c["n_tokens"]) for c in out[3]] == [
+        (0, 64), (48, 64), (96, 64),
+    ]
+    # chunk text is the exact token slice; overlap region is shared
+    c0, c1 = out[2][0]["chunk_text"].split(" "), out[2][1]["chunk_text"].split(" ")
+    assert c0 == [f"t{i}" for i in range(64)]
+    assert c1 == [f"t{i}" for i in range(48, 65)]
+    assert c0[48:] == c1[:16]
