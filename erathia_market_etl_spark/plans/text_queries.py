@@ -1387,11 +1387,16 @@ def _bpe_round_cte(k: int) -> str:
         ORDER BY pc DESC, x, y LIMIT 1
     ),
     seg{k} AS (
-        SELECT s.cnt,
-               trim(replace(' ' || s.seg || ' ',
-                            ' ' || t.x || '  ' || t.y || ' ',
-                            ' ' || t.x || t.y || ' ')) AS seg
-        FROM seg{k - 1} s CROSS JOIN top{k} t
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty top{k} (vocab
+        -- fully merged) must pass seg through unchanged, mirroring the
+        -- Spark loop's early break
+        SELECT s.word, s.cnt,
+               CASE WHEN t.x IS NULL THEN s.seg
+                    ELSE trim(replace(' ' || s.seg || ' ',
+                                      ' ' || t.x || '  ' || t.y || ' ',
+                                      ' ' || t.x || t.y || ' '))
+               END AS seg
+        FROM seg{k - 1} s LEFT JOIN top{k} t ON TRUE
     )"""
 
 
@@ -1403,7 +1408,8 @@ TEXT_BPE_MERGES_ORACLE = (
         ) WHERE w <> '' GROUP BY w
     ),
     seg0 AS (
-        SELECT cnt, array_to_string(string_split(word, ''), '  ') AS seg
+        SELECT word, cnt,
+               array_to_string(string_split(word, ''), '  ') AS seg
         FROM words
     ),"""
     + ",".join(_bpe_round_cte(k) for k in range(1, BPE_ROUNDS + 1))
@@ -1457,6 +1463,18 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of merges by batch-applying non-interacting pairs per
     round — this query demonstrates the per-round shape with R=5;
     the round body is rank-count invariant."""
+    out_rows, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared learn loop: returns (merge rows, final segmented vocab
+    (word, cnt, seg) with seg checkpointed) — text_bpe_merges reports
+    the former, text_bpe_compression applies the latter."""
     from ..sources.parquet_io import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1468,7 +1486,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     seg = words.select(
-        "cnt", F.array_join(F.split("word", ""), "  ").alias("seg")
+        "word", "cnt", F.array_join(F.split("word", ""), "  ").alias("seg")
     ).localCheckpoint()
 
     out_rows = []
@@ -1498,7 +1516,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(top["y"]), F.lit(" "))
         rep = F.concat(F.lit(" "), F.lit(top["x"] + top["y"]), F.lit(" "))
         seg = seg.select(
-            "cnt",
+            "word", "cnt",
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("seg"), F.lit(" ")), pat, rep
@@ -1506,11 +1524,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         ).localCheckpoint()
 
-    return spark.createDataFrame(
-        out_rows,
-        "rank int, left_sym string, right_sym string, merged string, "
-        "pair_count long",
-    ).orderBy("rank")
+    return out_rows, seg
 
 
 # ---------------------------------------------------------------------------
@@ -1599,4 +1613,98 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_compression: the APPLY side of BPE — segment the corpus with
+# the learned merges and account per-source compression. UNREGISTERED
+# (r8 queue, with text_bpe_merges).
+# ---------------------------------------------------------------------------
+
+TEXT_BPE_COMPRESSION_ORACLE = (
+    """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    seg0 AS (
+        SELECT word, cnt,
+               array_to_string(string_split(word, ''), '  ') AS seg
+        FROM words
+    ),"""
+    + ",".join(_bpe_round_cte(k) for k in range(1, BPE_ROUNDS + 1))
+    + f"""
+    ,
+    src_words AS (
+        SELECT source, w AS word, COUNT(*) AS cnt FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY source, w
+    )
+    SELECT sw.source,
+           CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(sw.cnt * length(sg.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(sw.cnt * len(string_split(sg.seg, '  ')))
+                AS BIGINT) AS n_symbols,
+           FLOOR(CAST(SUM(sw.cnt * length(sg.word)) AS DOUBLE)
+                 / SUM(sw.cnt * len(string_split(sg.seg, '  ')))
+                 * 1000000 + 0.5) / 1000000 AS chars_per_symbol
+    FROM src_words sw JOIN seg{BPE_ROUNDS} sg ON sw.word = sg.word
+    GROUP BY sw.source
+    ORDER BY sw.source
+    """
+)
+
+
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer loop: segment every word with
+    the merges text_bpe_merges learned (the shared ``_bpe_learn`` runs
+    the same rounds and hands back the final segmented vocabulary) and
+    report per-source compression — weighted chars, symbols after
+    merging, and chars-per-symbol (the metric tokenizer training
+    optimizes; sources whose orthography the merges fit show higher
+    ratios). Integer counts are hash-exact; the single ratio divides
+    identical longs on both engines and FLOOR-rounds.
+
+    Scale shape: learning stays vocab-local (see text_bpe_merges); the
+    APPLY is the corpus-sized half, and it runs as a broadcast-friendly
+    join of (source, word) counts against the ~vocab-sized segmented
+    table — per-document segmentation never touches a shuffle, and the
+    per-source rollup collapses map-side. This is exactly how a learned
+    tokenizer is deployed over 100 TB: ship the merge table, join or
+    map, never re-learn."""
+    _, seg = _bpe_learn(spark, sf_dir)
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_words = (
+        fan_out(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg_sized = seg.select(
+        "word",
+        F.length("word").alias("n_chars_word"),
+        F.size(F.split("seg", "  ")).alias("n_sym_word"),
+    )
+    joined = src_words.join(seg_sized, "word")
+    n_chars = F.sum(F.col("cnt") * F.col("n_chars_word"))
+    n_sym = F.sum(F.col("cnt") * F.col("n_sym_word"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            n_chars.cast("long").alias("n_chars"),
+            n_sym.cast("long").alias("n_symbols"),
+            (
+                F.floor(
+                    n_chars.cast("double") / n_sym * 1_000_000 + F.lit(0.5)
+                ) / 1_000_000
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
     )

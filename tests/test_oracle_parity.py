@@ -100,11 +100,13 @@ def _queued():
         graph_pagerank_influence,
     )
     from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_BPE_COMPRESSION_ORACLE,
         TEXT_BPE_MERGES_ORACLE,
         TEXT_CHUNK_OVERLAP_ORACLE,
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
+        text_bpe_compression,
         text_bpe_merges,
         text_chunk_overlap,
         text_duplicate_spans,
@@ -168,6 +170,11 @@ def _queued():
         # r8-implemented tokenizer training: unrolled BPE merge rounds
         # vs the same rounds as chained DuckDB CTEs, hash-exact
         "text_bpe_merges": (text_bpe_merges, TEXT_BPE_MERGES_ORACLE),
+        # ...and its APPLY half: per-source compression accounting of
+        # the learned segmentation
+        "text_bpe_compression": (
+            text_bpe_compression, TEXT_BPE_COMPRESSION_ORACLE,
+        ),
         # r8-implemented leakage-safe splits: bucket the near-dup
         # COMPONENT id, vs recursive-CTE components + the same bucket
         "sample_leakage_safe_splits": (

@@ -564,3 +564,21 @@ def test_chunk_overlap_boundaries_exact(spark, tmp_path):
     assert c0 == [f"t{i}" for i in range(64)]
     assert c1 == [f"t{i}" for i in range(48, 65)]
     assert c0[48:] == c1[:16]
+
+
+def test_bpe_compression_merges_shorten_segmentation(spark):
+    """Apply-side sanity on the fixture corpus: per source, symbols
+    after merging never exceed characters (a merge only shortens), and
+    the learned merges genuinely compress somewhere
+    (chars_per_symbol > 1 — with 5 learned merges over a natural-ish
+    vocabulary some words must contain a merged pair)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_bpe_compression,
+    )
+
+    rows = text_bpe_compression(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_symbols"] <= r["n_chars"], r
+        assert r["chars_per_symbol"] >= 1.0, r
+    assert any(r["chars_per_symbol"] > 1.0 for r in rows)
