@@ -530,27 +530,26 @@ def media_ahash(images: DataFrame) -> DataFrame:
     return images.select("media_id", "content").mapInPandas(fn, schema)
 
 
-def ahash_near_pairs(
-    images: DataFrame,
+def hash64_near_pairs(
+    hashes: DataFrame,
     hamming_max: int = AHASH_HAMMING_MAX,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Image near-dup pairs by perceptual hash: aHash every decodable
-    image, pigeonhole the 64 bits into AHASH_BLOCKS (4) 16-bit blocks
-    (hamming <= hamming_max < blocks implies at least one block matches
-    exactly — candidate generation has NO false negatives within the
-    radius), block-bucket self-join with a deterministic per-bucket cap,
-    exact popcount verify on the full hash. The image analog of
-    simhash_near_pairs, for the image-dedup pass of a multimodal
-    training pipeline.
+    """Near-dup pairs over ANY 64-bit perceptual hash table
+    (media_id, ahash): pigeonhole the 64 bits into AHASH_BLOCKS (4)
+    16-bit blocks (hamming <= hamming_max < blocks implies at least one
+    block matches exactly — candidate generation has NO false negatives
+    within the radius), block-bucket self-join with a deterministic
+    per-bucket cap, exact popcount verify on the full hash. Shared by
+    the image (media_ahash) and audio (media_wav_energy_hash) dedup
+    passes.
 
-    At scale: payloads stay in the narrow hash stage; the banding
-    shuffle carries (media_id, block_idx, 16-bit key); pair expansion
-    is O(cap²) per bucket; verification is one xor+bit_count per
-    surviving pair."""
+    At scale: payloads stay in the upstream narrow hash stage; the
+    banding shuffle carries (media_id, block_idx, 16-bit key); pair
+    expansion is O(cap²) per bucket; verification is one xor+bit_count
+    per surviving pair."""
     from pyspark.sql import Window
 
-    hashes = media_ahash(images)
     blocks = hashes.select(
         "media_id", "ahash",
         F.explode(
@@ -589,4 +588,86 @@ def ahash_near_pairs(
         )
         .filter(F.col("hamming") <= hamming_max)
         .orderBy("media_a", "media_b")
+    )
+
+
+def ahash_near_pairs(
+    images: DataFrame,
+    hamming_max: int = AHASH_HAMMING_MAX,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Image near-dup pairs: aHash every decodable image payload, then
+    the shared 64-bit pigeonhole pairing (hash64_near_pairs). The image
+    analog of simhash_near_pairs for the multimodal dedup pass."""
+    return hash64_near_pairs(media_ahash(images), hamming_max, max_bucket)
+
+
+def wav_energy_bits(samples: np.ndarray, n_windows: int = 64) -> int:
+    """64-bit audio fingerprint: split the clip into 64 equal windows,
+    integer mean |amplitude| per window (sum DIV len), threshold at the
+    integer mean of the window means. Pure integer arithmetic over the
+    decoded PCM — reproducible anywhere, robust to low-amplitude noise
+    (a perturbation must move a window's mean energy across the global
+    mean to flip a bit). Clips shorter than n_windows samples repeat
+    windows via the same nearest-neighbor index math as the image
+    resampler."""
+    v = np.abs(samples.astype(np.int64))
+    n = len(v)
+    if n == 0:
+        return 0
+    idx = (np.arange(n_windows + 1) * n) // n_windows
+    means = np.array(
+        [int(v[idx[i]:max(idx[i + 1], idx[i] + 1)].mean())
+         for i in range(n_windows)],
+        dtype=np.int64,
+    )
+    mean = int(means.sum()) // n_windows
+    h = 0
+    for b in means > mean:
+        h = (h << 1) | int(b)
+    return int(np.int64(np.uint64(h)))
+
+
+def media_wav_energy_hash(wavs: DataFrame) -> DataFrame:
+    """Audio fingerprint table: (media_id, ahash) for every decodable
+    WAV payload — the audio twin of media_ahash (same output contract,
+    so hash64_near_pairs serves both). Narrow Arrow stage; payloads
+    never shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                try:
+                    samples, _rate = decode_wav(bytes(buf))
+                    h = wav_energy_bits(samples)
+                except Exception:
+                    continue
+                ids.append(mid)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("ahash", LongType())]
+    )
+    return wavs.select("media_id", "content").mapInPandas(fn, schema)
+
+
+def wav_near_pairs(
+    wavs: DataFrame,
+    hamming_max: int = AHASH_HAMMING_MAX,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Audio near-dup pairs: energy-envelope fingerprint + the shared
+    64-bit pigeonhole pairing — completes the text/image/audio dedup
+    modality matrix."""
+    return hash64_near_pairs(
+        media_wav_energy_hash(wavs), hamming_max, max_bucket
     )

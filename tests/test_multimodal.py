@@ -384,3 +384,57 @@ def test_ahash_identical_images_hamming_zero(spark):
     pairs = ahash_near_pairs(media).collect()
     assert len(pairs) == 1
     assert pairs[0]["hamming"] == 0
+
+
+def test_wav_energy_dedup_finds_planted_near_dup(spark):
+    """Audio dedup: a lightly-noised copy of a clip must pair with its
+    original at a small hamming distance (low-amplitude noise must not
+    move window energy means across the global mean); a different
+    waveform must not pair; silence hashes to 0 and two silent clips
+    collide exactly. Garbage and image payloads drop out of the hash
+    table."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        media_wav_energy_hash,
+        wav_energy_bits,
+        wav_near_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 8000
+    t = np.arange(n)
+    base = (
+        3000 * np.sin(2 * np.pi * t / 200) + 1500 * np.sin(2 * np.pi * t / 37)
+    ).astype(np.int64)
+    near = base + rng.randint(-20, 21, size=n)      # low-amplitude noise
+    other = (4000 * np.sign(np.sin(2 * np.pi * t / 977))).astype(np.int64)
+
+    hb, hn, ho = map(wav_energy_bits, (base, near, other))
+    ham = bin((hb ^ hn) & (2**64 - 1)).count("1")
+    assert ham <= 3, ham
+    assert bin((hb ^ ho) & (2**64 - 1)).count("1") > 10
+
+    rows = [
+        (1, bytearray(encode_wav(base, 8000))),
+        (2, bytearray(encode_wav(near, 8000))),
+        (3, bytearray(encode_wav(other, 8000))),
+        (4, bytearray(encode_wav(np.zeros(100, dtype=np.int64), 8000))),
+        (5, bytearray(encode_wav(np.zeros(300, dtype=np.int64), 8000))),
+        (6, bytearray(encode_bmp(rng.randint(0, 256, (8, 8, 3)).astype("uint8")))),
+        (7, bytearray(b"junk")),
+        (8, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = {r["media_id"]: r["ahash"]
+              for r in media_wav_energy_hash(media).collect()}
+    assert set(hashes) == {1, 2, 3, 4, 5}  # image/garbage/NULL dropped
+    assert hashes[4] == hashes[5] == 0     # silence collides
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in wav_near_pairs(media).collect()
+    }
+    assert pairs == {(1, 2): ham, (4, 5): 0}
