@@ -179,6 +179,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # empty input, an all-NULL column, or a non-integral column
+            # whose cast('long') nulled out — fail with the column name
+            # instead of a bare TypeError downstream
+            raise ValueError(
+                f"z-order column {c!r} has no integer min/max "
+                "(empty input, all NULL, or non-integral type)"
+            )
         span = max(int(mx) - int(mn), 0) + 1
         # (v - mn) * 2^bits DIV span: exact long arithmetic, lands in
         # [0, 2^bits) for v in [mn, mx]

@@ -128,3 +128,18 @@ def test_zorder_rejects_single_column_and_overflow(spark):
         zorder_key(li, ["l_partkey"])
     with pytest.raises(ValueError):
         zorder_key(li, ["l_partkey", "l_suppkey"], bits=32)
+
+
+def test_zorder_rejects_empty_input(spark):
+    """Empty input has no min/max: the key builder must fail with a
+    named-column ValueError, not a bare TypeError on int(None).
+    (Non-integral columns are already rejected loudly by Spark's cast
+    analysis — timestamp->bigint is a DATATYPE_MISMATCH — so only the
+    NULL-stats path needs the guard.)"""
+    import pytest
+
+    from erathia_market_etl_spark.sources.parquet_io import zorder_key
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="l_partkey"):
+        zorder_key(li.filter("l_partkey < 0"), ["l_partkey", "l_suppkey"])
