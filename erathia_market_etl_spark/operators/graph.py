@@ -520,18 +520,29 @@ def pagerank_fixed_point(
         )
         teleport = (15 * PAGERANK_SCALE) // 100
         for _ in range(iters):
-            ranks = (
+            incoming = (
                 ewd.join(ranks, ewd["src"] == ranks["v"])
                 .select(
                     F.col("dst").alias("v"),
                     F.expr("rank DIV deg").alias("contrib"),
                 )
                 .groupBy("v")
-                .agg(
+                .agg(F.sum("contrib").alias("c"))
+            )
+            # LEFT join from the node set, not the bare aggregate: a
+            # node with out-edges but no in-contributions this round
+            # (directed graphs) must KEEP its teleport-mass rank row —
+            # dropping it would silently remove it from the output and
+            # stop its mass feeding later rounds (r8 self-review).
+            ranks = (
+                deg.select("v")
+                .join(incoming, "v", "left")
+                .select(
+                    "v",
                     (
                         F.lit(teleport)
-                        + F.expr("85 * sum(contrib) DIV 100")
-                    ).cast("long").alias("rank")
+                        + F.expr("85 * coalesce(c, 0L) DIV 100")
+                    ).cast("long").alias("rank"),
                 )
                 .localCheckpoint()
             )

@@ -550,6 +550,14 @@ def hash64_near_pairs(
     per surviving pair."""
     from pyspark.sql import Window
 
+    if not 0 <= hamming_max < AHASH_BLOCKS:
+        # the pigeonhole guarantee is exactly hamming_max < #blocks; a
+        # wider radius would silently lose candidates whose flips hit
+        # every block (r8 self-review) — refuse rather than under-recall
+        raise ValueError(
+            f"hamming_max must be in [0, {AHASH_BLOCKS}) for the "
+            f"{AHASH_BLOCKS}-block pigeonhole guarantee, got {hamming_max}"
+        )
     blocks = hashes.select(
         "media_id", "ahash",
         F.explode(

@@ -29,13 +29,21 @@ PAGERANK_ITERS = 3
 # the damping divide so both engines round identically.
 _ITER_CTE = """
     r{k} AS (
-        SELECT e.dst AS v,
-               CAST({teleport} + 85 * CAST(SUM(r.rank // d.deg) AS BIGINT)
-                    // 100 AS BIGINT) AS rank
-        FROM edges e
-        JOIN r{prev} r ON e.src = r.v
-        JOIN deg d ON e.src = d.v
-        GROUP BY e.dst
+        -- LEFT JOIN from the node set: a node with out-edges but no
+        -- in-contributions this round keeps its teleport-mass row
+        -- (directed-graph contract; mirrors the Spark kernel)
+        SELECT d0.v,
+               CAST({teleport} + 85 * COALESCE(c.s, 0) // 100
+                    AS BIGINT) AS rank
+        FROM deg d0
+        LEFT JOIN (
+            SELECT e.dst AS v,
+                   CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+            FROM edges e
+            JOIN r{prev} r ON e.src = r.v
+            JOIN deg d ON e.src = d.v
+            GROUP BY e.dst
+        ) c ON d0.v = c.v
     )"""
 
 GRAPH_PAGERANK_INFLUENCE_ORACLE = (

@@ -143,3 +143,17 @@ def test_zorder_rejects_empty_input(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ValueError, match="l_partkey"):
         zorder_key(li.filter("l_partkey < 0"), ["l_partkey", "l_suppkey"])
+
+
+def test_zorder_rejects_overflowing_span(spark):
+    """span > 2^(63-bits) would wrap (v-min)*2^bits under Spark's
+    non-ANSI long multiply and silently garbage the key — refused."""
+    import pytest
+
+    from erathia_market_etl_spark.sources.parquet_io import zorder_key
+
+    wide = spark.createDataFrame(
+        [(0, 0), (1 << 50, 1)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key(wide, ["a", "b"])

@@ -438,3 +438,15 @@ def test_wav_energy_dedup_finds_planted_near_dup(spark):
         for r in wav_near_pairs(media).collect()
     }
     assert pairs == {(1, 2): ham, (4, 5): 0}
+
+
+def test_hash64_pairs_reject_radius_past_pigeonhole(spark):
+    import pytest
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        hash64_near_pairs,
+    )
+
+    hashes = spark.createDataFrame([(1, 0), (2, 15)], "media_id long, ahash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hash64_near_pairs(hashes, hamming_max=4)

@@ -12,7 +12,12 @@ from __future__ import annotations
 
 
 def _py_pagerank(edges, iters, scale=1_000_000):
-    """Reference: same integer arithmetic, driver-side."""
+    """Reference: same integer arithmetic, driver-side. Every node with
+    an out-edge keeps a rank row each round — a node with no incoming
+    contribution holds its teleport mass (the directed-graph contract;
+    the original dst-aggregate-only formulation silently dropped such
+    nodes AND starved their out-edges from round 2 on — r8 self-review
+    finding, fixed on kernel, oracle and reference together)."""
     from collections import defaultdict
 
     deg = defaultdict(int)
@@ -23,12 +28,9 @@ def _py_pagerank(edges, iters, scale=1_000_000):
     for _ in range(iters):
         acc = defaultdict(int)
         for s, d in edges:
-            if s in ranks:
-                acc[d] += ranks[s] // deg[s]
-        ranks = {v: teleport + (85 * a) // 100 for v, a in acc.items()}
-    # nodes with out-edges only (kernel contract); a node with no
-    # in-edges this round keeps no rank row in acc — mirror the join
-    return {v: (ranks.get(v), deg[v]) for v in deg if v in ranks}
+            acc[d] += ranks[s] // deg[s]
+        ranks = {v: teleport + (85 * acc.get(v, 0)) // 100 for v in deg}
+    return {v: (ranks[v], deg[v]) for v in deg}
 
 
 def test_pagerank_matches_python_on_random_graphs(spark):
@@ -77,6 +79,35 @@ def test_pagerank_star_hub_dominates(spark):
     leaf_ranks = {rows[i]["rank"] for i in range(1, n + 1)}
     assert len(leaf_ranks) == 1  # exact tie
     assert rows[0]["rank"] > leaf_ranks.pop()
+
+
+def test_pagerank_directed_source_node_keeps_rank_and_feeds_mass(spark):
+    """Directed regression for the r8 self-review finding: node 3 has
+    an out-edge (3->1) but NO in-edge. It must (a) appear in the output
+    every round with exactly the teleport rank, and (b) keep feeding
+    edge 3->1 after round 1 — node 1's rank must include 3's teleport
+    mass, which the dropped-row formulation lost."""
+    from erathia_market_etl_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = [(1, 2), (2, 1), (3, 1)]
+    got = {
+        r["v"]: (r["rank"], r["deg"])
+        for r in pagerank_fixed_point(
+            spark.createDataFrame(edges, "src long, dst long"), iters=3
+        ).collect()
+    }
+    assert got == _py_pagerank(edges, 3)
+    teleport = (15 * PAGERANK_SCALE) // 100
+    assert got[3][0] == teleport            # source node present, teleport mass
+    # node 1 receives from BOTH 2 and 3 in the final round:
+    # rank1 = teleport + 85*(rank2 + rank3_teleport) DIV 100 > the
+    # two-cycle-only value it would get if 3's mass stopped flowing
+    two_cycle_only = {v: r for v, (r, _) in
+                      _py_pagerank([(1, 2), (2, 1)], 3).items()}
+    assert got[1][0] > two_cycle_only[1]
 
 
 def test_pagerank_rejects_zero_iters(spark):

@@ -277,7 +277,14 @@ def test_streaming_rollup_append_merges_to_batch_state(spark, staged_dir, tmp_pa
     full = spark.createDataFrame(b0 + b1 + b2, TS_SCHEMA)
     want = sorted(map(tuple, day_rollup_state(full).collect()))
     assert merged == want
-    # the late day-1 contribution really landed in a separate log slice
+    # the late day-1 contribution really landed in a separate log slice:
+    # the (day 1, type 'b') KEY must appear under two distinct batch
+    # ids (batch 0's original row and batch 2's late row) — a bare
+    # day-1 row count is >= 2 from batch 0 alone and would pass even
+    # if the late row were dropped (r8 self-review)
     log = spark.read.parquet(state_path)
-    day1_slices = log.filter(F.col("day_start") == d(1, 0)).count()
-    assert day1_slices >= 2
+    day1_b_batches = (
+        log.filter((F.col("day_start") == d(1, 0)) & (F.col("event_type") == "b"))
+        .select("batch_id").distinct().count()
+    )
+    assert day1_b_batches == 2
