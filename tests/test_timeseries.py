@@ -174,3 +174,130 @@ def test_rolling_zscore_flags_planted_spike(spark, tmp_path):
     for h in range(10):  # constant series: NULL z, no flags
         r = got[("B", h)]
         assert r["zscore"] is None and r["is_anomaly"] is False, r
+
+
+def test_gap_fill_matches_python_reference_on_random_series(spark, tmp_path):
+    """Hypothesis property: on random sparse integer-cent series the
+    gap-fill must equal a pure-Python LOCF reference — spine bounds,
+    carried values, counts and gap flags, every row (the generative
+    analog of the planted LOCF pins, per the CC/BPE/pagerank test
+    discipline)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        timeseries_gap_fill,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),    # series
+                st.integers(min_value=0, max_value=20),   # hour
+                st.integers(min_value=-5000, max_value=5000),  # cents
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(raw):
+        rows = [
+            (i, _t(h), 1, f"S{s}", c / 100.0, None)
+            for i, (s, h, c) in enumerate(raw)
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            got = sorted(
+                (r["event_type"], r["hour_start"].hour, r["n_events"],
+                 r["filled_value"], r["is_gap"])
+                for r in timeseries_gap_fill(spark, d).collect()
+            )
+
+        # pure-Python reference
+        series = {}
+        for s, h, c in raw:
+            key = f"S{s}"
+            n, tot = series.setdefault(key, {}).get(h, (0, 0))
+            series[key][h] = (n + 1, tot + c)
+        want = []
+        for key, hours in series.items():
+            carried = None
+            for h in range(min(hours), max(hours) + 1):
+                if h in hours:
+                    n, tot = hours[h]
+                    carried = tot
+                    want.append((key, h, n, round(tot / 100, 2), False))
+                else:
+                    want.append((key, h, 0, round(carried / 100, 2), True))
+        assert got == sorted(want), (raw, got, sorted(want))
+
+    run()
+
+
+def test_rolling_zscore_matches_python_reference_on_random_series(spark, tmp_path):
+    """Hypothesis property: rolling z-scores equal a pure-Python
+    implementation of the same integer-moment arithmetic EXACTLY —
+    identical integers through IEEE sqrt/divide give bit-identical
+    doubles, so the compare is ==, not approx."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        ZSCORE_FLAG,
+        ZSCORE_WINDOW,
+        timeseries_rolling_zscore,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),
+                st.integers(min_value=0, max_value=23),
+                st.integers(min_value=-10000, max_value=10000),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(raw):
+        rows = [
+            (i, _t(h), 1, f"S{s}", c / 100.0, None)
+            for i, (s, h, c) in enumerate(raw)
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(spark, rows, d)
+            got = sorted(
+                (r["event_type"], r["hour_start"].hour,
+                 r["total_value"], r["zscore"], r["is_anomaly"])
+                for r in timeseries_rolling_zscore(spark, d).collect()
+            )
+
+        series = {}
+        for s, h, c in raw:
+            series.setdefault(f"S{s}", {}).setdefault(h, 0)
+            series[f"S{s}"][h] += c
+        want = []
+        for key, hours in series.items():
+            cs = [hours[h] for h in sorted(hours)]
+            for i, h in enumerate(sorted(hours)):
+                win = cs[max(0, i - (ZSCORE_WINDOW - 1)):i + 1]
+                n, s1, s2 = len(win), sum(win), sum(x * x for x in win)
+                c = cs[i]
+                if n * s2 == s1 * s1:
+                    z, flag = None, False
+                else:
+                    zr = (c * n - s1) / math.sqrt(n * s2 - s1 * s1)
+                    z = math.floor(zr * 1e6 + 0.5) / 1e6
+                    flag = abs(zr) > ZSCORE_FLAG
+                want.append((key, h, round(c / 100, 2), z, flag))
+        assert got == sorted(want), (raw, got, sorted(want))
+
+    run()
