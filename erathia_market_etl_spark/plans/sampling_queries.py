@@ -155,12 +155,11 @@ _CONTEXT_LEN = 512  # tokens per fixed training context window
 
 # ---------------------------------------------------------------------------
 # pack_context_windows: fixed-length context-window packing accounting.
-# UNREGISTERED (r7-implemented; in the rotation queue with
-# emb_label_centroids). r8's retirements of window_moving_frame and
-# topk_parts_by_revenue leave r9 exactly 48 aged greens + these two
-# never-green registrations = the 50-slot budget — r9 registers both
-# with no further retirement. Oracle parity runs locally until then in
-# tests/test_oracle_parity.py::test_queued_queries_match.
+# Registered r9 (paid for by r8's retirements of window_moving_frame and
+# topk_parts_by_revenue — 48 aged greens + the two queued registrations
+# = the exact 50-slot budget, per the COVERAGE.md standing policy; this
+# completes the queue and brings the registry to its 100-query steady
+# state). Locally oracled since r7.
 # ---------------------------------------------------------------------------
 
 PACK_CONTEXT_WINDOWS_ORACLE = f"""
@@ -195,6 +194,7 @@ PACK_CONTEXT_WINDOWS_ORACLE = f"""
     """
 
 
+@query("pack_context_windows", oracle=PACK_CONTEXT_WINDOWS_ORACLE)
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length context-window packing accounting: concatenate the
     corpus in stable doc_id order and cut it into training sequences of

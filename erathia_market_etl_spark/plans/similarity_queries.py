@@ -648,13 +648,12 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # emb_label_centroids: distributed per-group embedding centroids.
-# UNREGISTERED (r7-implemented; last in the rotation queue with
-# pack_context_windows). r8 retired window_moving_frame and
-# topk_parts_by_revenue from the r7-fresh half SPECIFICALLY so r9
-# inherits 48 aged greens + these two never-green registrations = the
-# exact 50-slot budget — r9 registers both, no further retirement
-# needed. Oracle parity runs locally until then in
-# tests/test_oracle_parity.py::test_queued_queries_match.
+# Registered r9 (the last of the rotation queue, alongside
+# pack_context_windows — r8 retired window_moving_frame and
+# topk_parts_by_revenue specifically so r9 inherits 48 aged greens +
+# these two never-green registrations = the exact 50-slot budget; the
+# registry is now at its documented 100-query steady state and the
+# queue is empty). Locally oracled since r7.
 # ---------------------------------------------------------------------------
 
 EMB_DIM = 64  # fixture embedding dimensionality
@@ -682,6 +681,7 @@ EMB_LABEL_CENTROIDS_ORACLE = f"""
     """
 
 
+@query("emb_label_centroids", oracle=EMB_LABEL_CENTROIDS_ORACLE)
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids, one row per (label, dimension) —
     the distributed vector-mean every embedding pipeline needs (IVF /

@@ -59,22 +59,22 @@ _RETIRED = [
 # Implemented ahead of their driver slot (COVERAGE.md rotation-budget
 # section queues them): same compare, local-only until registered.
 # r8 graduated stream_incremental_new_docs, media_bmp_real_resize,
-# pipeline_training_funnel and sim_pq_quality to driver slots; the two
-# below register in r9 against the slots the r8 retirements freed.
+# pipeline_training_funnel and sim_pq_quality to driver slots; r9
+# registered pack_context_windows and emb_label_centroids (the last of
+# the queue — the registry is at its 100-query steady state). The
+# remaining entries are the r8 local-only extension wave, which stays
+# local by design (LOCALCHECK_r*.json gives them a per-round driver-style
+# compare artifact; see tools/localcheck.py).
 def _queued():
     from erathia_market_etl_spark.plans.sampling_queries import (
-        PACK_CONTEXT_WINDOWS_ORACLE,
         SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
         _leakage_safe_oracle,
-        pack_context_windows,
         sample_leakage_safe_splits,
         sample_temperature_mixture,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         DEDUP_SEMANTIC_CELLS_ORACLE,
-        EMB_LABEL_CENTROIDS_ORACLE,
         dedup_semantic_cells,
-        emb_label_centroids,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         _ivfpq_oracle,
@@ -114,15 +114,8 @@ def _queued():
     )
 
     return {
-        "pack_context_windows": (
-            pack_context_windows, PACK_CONTEXT_WINDOWS_ORACLE,
-        ),
-        "emb_label_centroids": (
-            emb_label_centroids, EMB_LABEL_CENTROIDS_ORACLE,
-        ),
-        # r8-implemented (behind the two r9 registrations above in the
-        # rotation queue; registering them is one-in-one-out per the
-        # COVERAGE.md standing policy)
+        # r8-implemented local-only extension wave (registering any of
+        # them is one-in-one-out per the COVERAGE.md standing policy)
         "text_lm_familiarity": (
             text_lm_familiarity, TEXT_LM_FAMILIARITY_ORACLE,
         ),
