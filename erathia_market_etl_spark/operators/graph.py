@@ -487,10 +487,17 @@ def pagerank_fixed_point(
     1e6 per step — irrelevant for the ordering/weighting PageRank is
     used for, and a price worth paying for a hash-exact contract.)
 
-    Overflow envelope: total mass is conserved at ~n * SCALE, so a
-    per-node long sum wraps only past ~9.2e12 nodes — beyond any
-    real corpus graph; the per-edge contribution table never exceeds
-    the per-node rank.
+    Overflow envelope (corrected r9 per ADVICE): total mass is
+    conserved at ~n * SCALE, so the binding step is not the per-node
+    long SUM (which wraps past ~9.2e12 nodes) but the ``85 * sum``
+    damping multiply applied to it — in the degenerate
+    all-edges-into-one-node worst case the incoming sum approaches the
+    full conserved mass and the multiply wraps ~85x earlier, at
+    ~1.1e11 nodes (2^63 / (85 * SCALE)). Still an order of magnitude
+    beyond any real corpus graph (full Common Crawl is ~10^10 nodes,
+    and its max in-degree mass is nowhere near the conserved total),
+    so the integer formulation holds; past that, drop SCALE to 1e5 or
+    compute ``sum DIV 20 * 17`` to reclaim the headroom.
 
     Scale shape (the web-graph quality-weighting loop, e.g. Common
     Crawl harmonic/PageRank centrality for pretraining-data source

@@ -883,7 +883,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 16-cell coarse quantizer (same argmax-over-broadcast
     assignment as sim_topk_ivf), probe the query's N_PROBE (4) nearest
     cells, ADC-scan ONLY the probed cells' 8-byte PQ codes for an
-    IVFPQ_SHORTLIST (32) shortlist, exact-L2 re-rank the shortlist,
+    IVFPQ_SHORTLIST (64) shortlist, exact-L2 re-rank the shortlist,
     return top-10.
 
     The oracle pins the IVF half HASH-EXACTLY: n_candidates counts the

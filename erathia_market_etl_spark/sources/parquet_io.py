@@ -188,13 +188,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
                 "(empty input, all NULL, or non-integral type)"
             )
         span = max(int(mx) - int(mn), 0) + 1
-        # Overflow envelope (r8 self-review): (v - mn) * 2^bits must
-        # stay inside int64 — Spark's non-ANSI long multiply would wrap
-        # silently and garbage the key. span - 1 <= 2^(63 - bits) keeps
-        # the product exact; epoch-micros decades or hash-id columns
-        # exceed it and must be pre-bucketed by the caller (e.g.
-        # DIV to days/seconds), which also gives a better curve.
-        if span - 1 > (1 << (63 - bits)):
+        # Overflow envelope (r8 self-review; boundary tightened r9 per
+        # ADVICE): (v - mn) * 2^bits must stay inside int64 — Spark's
+        # non-ANSI long multiply would wrap silently and garbage the
+        # key. The largest product is (span - 1) * 2^bits, so
+        # span - 1 < 2^(63 - bits) keeps it <= 2^63 - 2^bits < 2^63;
+        # at span - 1 == 2^(63 - bits) the product is exactly 2^63 and
+        # wraps. Epoch-micros decades or hash-id columns exceed the
+        # envelope and must be pre-bucketed by the caller (e.g. DIV to
+        # days/seconds), which also gives a better curve.
+        if span - 1 >= (1 << (63 - bits)):
             raise ValueError(
                 f"z-order column {c!r} spans {span - 1} (> 2^{63 - bits}): "
                 f"(v - min) * 2^{bits} would overflow long — pre-bucket "

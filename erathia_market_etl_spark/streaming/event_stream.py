@@ -375,7 +375,20 @@ def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Merge-on-read of the streaming rollup state log: fold every
     appended partial state through the monoid merge. Identical output
     contract to batch ``day_rollup_state`` over the full event log
-    (pinned in tests/test_streaming.py)."""
+    (pinned in tests/test_streaming.py).
+
+    Exactly-once under sink retries (r9 ADVICE): a retried foreachBatch
+    re-executes the SAME batch_id and may re-append its slice after a
+    partial write, so the log can hold duplicate (batch_id, day_start,
+    event_type) rows. Spark replays a retried batch_id from the
+    checkpoint with identical content, so keeping ONE row per
+    (batch_id, day_start, event_type) before the merge makes the read
+    side idempotent — the dedup shuffles only rollup-grain state rows
+    (batches x days x types), never events, and reuses the merge's own
+    hash partitioning on (day_start, event_type)."""
     from ..plans.event_windows import merge_rollup_states
 
-    return merge_rollup_states(spark.read.parquet(state_path).drop("batch_id"))
+    log = spark.read.parquet(state_path).dropDuplicates(
+        ["batch_id", "day_start", "event_type"]
+    )
+    return merge_rollup_states(log.drop("batch_id"))

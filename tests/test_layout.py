@@ -157,3 +157,27 @@ def test_zorder_rejects_overflowing_span(spark):
     )
     with pytest.raises(ValueError, match="overflow"):
         zorder_key(wide, ["a", "b"])
+
+
+def test_zorder_overflow_guard_boundary(spark):
+    """Exact boundary (r9 ADVICE off-by-one): span-1 == 2^(63-bits)
+    makes the largest product (span-1)*2^bits exactly 2^63, which wraps
+    a signed long — must be refused. span-1 == 2^(63-bits) - 1 keeps
+    the product at 2^63 - 2^bits and must be accepted."""
+    import pytest
+
+    from erathia_market_etl_spark.sources.parquet_io import (
+        ZORDER_BITS,
+        zorder_key,
+    )
+
+    limit = 1 << (63 - ZORDER_BITS)
+    at_limit = spark.createDataFrame([(0, 0), (limit, 1)], "a long, b long")
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key(at_limit, ["a", "b"])
+
+    below = spark.createDataFrame([(0, 0), (limit - 1, 1)], "a long, b long")
+    key, _ = zorder_key(below, ["a", "b"])
+    # the max-value row must scale to the top bucket, not a wrapped key
+    top = below.select(key.alias("k")).agg({"k": "max"}).first()[0]
+    assert top >= 0

@@ -288,3 +288,12 @@ def test_streaming_rollup_append_merges_to_batch_state(spark, staged_dir, tmp_pa
         .select("batch_id").distinct().count()
     )
     assert day1_b_batches == 2
+
+    # retry idempotence (r9 ADVICE): simulate a retried foreachBatch —
+    # the SAME batch_id re-appends its slice after a partial write.
+    # Merge-on-read must dedup per (batch_id, day_start, event_type)
+    # and still equal the batch state, not double-count batch 1.
+    batch1_slice = log.filter(F.col("batch_id") == batches[1])
+    batch1_slice.write.mode("append").parquet(state_path)
+    retried = sorted(map(tuple, read_rollup_state(spark, state_path).collect()))
+    assert retried == want
