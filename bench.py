@@ -23,58 +23,28 @@ from erathia_market_etl_spark.config import EngineConfig
 from erathia_market_etl_spark.plans import all_queries
 from erathia_market_etl_spark.session import get_spark
 
+# Drift-history policy: per-query root-cause narratives for past bench
+# drifts live in BASELINE.md ("Bench noise-band evidence") — one-line
+# pointers here. Standing finding recorded there: sub-second cross-round
+# deltas WITHOUT a plan change are measurement noise (fixtures
+# regenerate per round; idle-machine run-to-run band is ±30-65%); the
+# plan pins in tests/test_plan_shapes.py are the regression gate.
 HEADLINE = [
-    "q1_net_revenue_by_nation",
+    "q1_net_revenue_by_nation",   # r7 first-query JIT premium -> untimed warmup (BASELINE.md)
     "q2_monthly_price_history",
-    # q3's r6 +48% (0.426 -> 0.630 s) was root-caused in r7 to
-    # MEASUREMENT environment, not the plan: the executed plan is
-    # byte-identical to r5's shape (3x BroadcastHashJoin, cents
-    # fast-path aggregate, TakeOrderedAndProject — now hard-pinned in
-    # tests/test_plan_shapes.py::test_q3_join_chain_is_all_broadcast_topk),
-    # an 8-run steady-state floor measured 0.52-0.60 s, and two
-    # back-to-back full-bench runs on an idle machine moved UNTOUCHED
-    # queries by ±30-65% (q1 +25% then +65%, silver_clean_fact +58%
-    # then -11%) — run-to-run noise larger than the drift being
-    # explained. Fixtures are also regenerated every round (parquet
-    # row-group layout and page-cache state differ per round), so
-    # sub-second cross-ROUND deltas without a plan change are not
-    # evidence of regression; the plan pins are.
-    "q3_top_customers",
+    "q3_top_customers",           # r6 drift = noise; plan pinned (BASELINE.md)
     "q4_part_popularity",
     "silver_clean_fact",
     "agg_rollup",
-    # window_running_total's r7 +39% (0.538 -> 0.747 s) was given the
-    # q3 treatment in r8: the executed plan is shape-identical to r6
-    # (4-column pruned scan, one narrow cents projection, ONE hash
-    # exchange into ONE Window node computing both running aggregates —
-    # now hard-pinned in tests/test_plan_shapes.py::
-    # test_window_running_total_single_window_pass), and the level is
-    # environment, not plan: an isolated-session 8-run floor at sf0.1
-    # measured 0.71-0.77 s while the same round's full-bench context
-    # (page cache warmed by the preceding headline queries) measured
-    # 0.501 s min-of-3 — a wider band than the "drift" being explained,
-    # bracketing both the r6 (0.538) and r7 (0.747) values. Known
-    # headroom if the level ever matters: the trailing presentation
-    # ORDER BY is a full range exchange + sort of the corpus that the
-    # driver's order-insensitive compare never needs — droppable, but
-    # only in a round where the query re-attests anyway (_CHANGED
-    # policy).
-    "window_running_total",
+    "window_running_total",       # r7 drift = noise; plan pinned (BASELINE.md)
     "tumbling_hourly_stats",
     "session_window_stats",
     "dedup_exact_hash",
-    # r7 watch-grade drifts (VERDICT r7 "What's wrong" #3), r8 preview
-    # on an idle machine: all three recovered without a code change —
-    # dedup_minhash_lsh_pairs 0.791 -> 0.596 s, dedup_simhash_near_pairs
-    # 1.108 -> 1.041 s, sim_topk_vectorized 0.200 -> 0.183 s — the same
-    # run-to-run noise band the q3/window_running_total root-causes
-    # document. (Same preview: q1 1.093 -> 0.916 s after the untimed
-    # warmup landed, window_running_total 0.747 -> 0.520 s.)
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_near_pairs",
+    "dedup_minhash_lsh_pairs",    # r7 watch, recovered r8 (BASELINE.md)
+    "dedup_simhash_near_pairs",   # r7 watch, recovered r8 (BASELINE.md)
     "sim_topk_bruteforce",
-    "sim_topk_vectorized",
-    "sim_topk_ivf",
+    "sim_topk_vectorized",        # r7 watch, recovered r8 (BASELINE.md)
+    "sim_topk_ivf",               # r8 drift = noise; plan pinned r9 (BASELINE.md)
     "text_token_stats",
     "text_language_id",
     # r4 VERDICT "Next round" #4: the expensive end of the registry —

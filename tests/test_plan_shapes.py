@@ -95,6 +95,30 @@ def test_q3_join_chain_is_all_broadcast_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_sim_topk_ivf_all_broadcast_no_data_shuffle(spark):
+    """sim_topk_ivf's intended shape, pinned after its r8 +19.6% bench
+    drift (0.907 -> 1.085 s) got the q3 treatment in r9: the r7->r8
+    source diff never touched the query's subtree (_ivf_scored and
+    sim_topk_ivf were byte-identical; the adjacent commits 57782c2 and
+    e463d28 changed only the PQ re-rank sourcing), and an isolated
+    exec-only 8-run band at sf0.1 measured 0.737-1.1 s — bracketing
+    both round values, so the level is environment, not plan. The
+    shape any regression must not lose: centroid fold to ONE broadcast
+    row, probes broadcast into a BroadcastHashJoin on cid, and a
+    TakeOrderedAndProject top-k; the only Exchange is the
+    SinglePartition centroid collect_list (16 rows) — the corpus never
+    rides a hash exchange."""
+    plan = plan_of(QUERIES["sim_topk_ivf"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # every Exchange is the tiny SinglePartition centroid fold, never a
+    # corpus-sized hash exchange
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "SinglePartition" in line, plan
+
+
 def test_whole_stage_codegen_covers_relational_path(spark):
     df = QUERIES["q1_net_revenue_by_nation"](spark, SF_T2)
     plan = final_plan_of(df)
