@@ -98,7 +98,20 @@ def test_rotation_budget_not_overcommitted():
     round's registrations/rewrites overcommit the budget, an aged green
     silently falls past the freshness window; fail HERE instead, at
     registration time (r7: this is the arithmetic that forced the
-    three one-in-one-out retirements)."""
+    three one-in-one-out retirements).
+
+    Steady-state displacement rule (r9, encoded BEFORE it first fires —
+    VERDICT r8 item 4): at the 100-query steady state the 50 slots are
+    exactly the aged half, so a _CHANGED re-attestation of a STILL-FRESH
+    query necessarily displaces one aged green past the cap. That is
+    tolerated, bounded, and self-healing: the displaced green's evidence
+    reaches exactly age 2 (the freshness window's boundary, never past
+    it), and next round it is the OLDEST aged green so the derivation
+    puts it first in line automatically
+    (test_rotation_steady_state_displacement proves the round-trip).
+    The tolerance is exactly the count of fresh-query re-attestations,
+    hard-capped at 4 — more simultaneous rewrites of fresh queries in
+    one round requires a retirement, not a bigger ripple."""
     from erathia_market_etl_spark.plans.registry import (
         _CHANGED,
         _last_green_rounds,
@@ -111,9 +124,70 @@ def test_rotation_budget_not_overcommitted():
         n for n in order
         if green.get(n, -1) < newest or _CHANGED.get(n, -1) > green.get(n, -1)
     ]
-    assert len(must_run) <= 50, (
-        f"{len(must_run)} queries need a slot this round; retire or defer: "
-        f"{must_run}"
+    # fresh-query re-attestations each displace one aged green to
+    # exactly the window boundary; bounded self-healing ripple
+    fresh_reattest = [
+        n for n in order
+        if green.get(n, -1) == newest and _CHANGED.get(n, -1) > green.get(n, -1)
+    ]
+    allowance = len(fresh_reattest)
+    assert allowance <= 4, (
+        f"{allowance} same-round rewrites of FRESH queries "
+        f"({fresh_reattest}); retire instead of displacing this much"
     )
-    for n in must_run:
-        assert order.index(n) < 50, n
+    assert len(must_run) <= 50 + allowance, (
+        f"{len(must_run)} queries need a slot this round (allowance "
+        f"{allowance}); retire or defer: {must_run}"
+    )
+    overflow = [n for n in must_run if order.index(n) >= 50]
+    assert len(overflow) <= allowance, (overflow, allowance)
+    for n in overflow:
+        # only an aged green may be displaced — never a pending
+        # re-attestation or a never-green registration — and only from
+        # the newest-aged (age-1) cohort, so its evidence lands on the
+        # window boundary (age 2), not beyond it
+        assert green.get(n, -1) == newest - 1, (n, green.get(n))
+        assert _CHANGED.get(n, -1) <= green.get(n, -1), n
+
+
+def test_rotation_steady_state_displacement():
+    """Round-trip proof of the displacement rule on the synthetic
+    steady state: 50 aged + 50 fresh, one fresh query rewritten
+    (_CHANGED). The rewrite takes slot 0, the alphabetically-last aged
+    green is displaced to position 50 (outside the cap), and in the
+    NEXT round the displaced query is first in line while the budget
+    returns to exactly 50 — the ripple self-heals in one round and no
+    evidence ever exceeds age 2."""
+    from erathia_market_etl_spark.plans import registry
+
+    aged = [f"a{i:02d}" for i in range(50)]
+    fresh = [f"f{i:02d}" for i in range(50)]
+    names = aged + fresh
+    green = {n: 8 for n in aged} | {n: 9 for n in fresh}
+
+    orig = registry._CHANGED
+    registry._CHANGED = {"f07": 10}
+    try:
+        # round 10: the rewrite leads; slots 1..49 are aged greens;
+        # exactly one aged green (alphabetically last — same green
+        # round, name tiebreak) falls outside the cap
+        order = registry._priority(names, dict(green))
+        assert order[0] == "f07"
+        assert set(order[1:50]) == set(aged) - {"a49"}
+        assert order[50] == "a49"
+
+        # round 11: the 49 attested aged + the rewrite are now green at
+        # 10; a49 still holds its r8 green — it must sort FIRST among
+        # the aged (oldest green wins) and the must-run set is back to
+        # exactly 50 (the ripple is gone)
+        green2 = dict(green)
+        for n in order[:50]:
+            green2[n] = 10
+        order2 = registry._priority(names, green2)
+        newest2 = max(green2.values())
+        must_run2 = [n for n in names if green2[n] < newest2]
+        assert order2[0] == "a49"
+        assert len(must_run2) == 50
+        assert set(order2[:50]) == set(must_run2)
+    finally:
+        registry._CHANGED = orig
