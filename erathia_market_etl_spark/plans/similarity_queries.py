@@ -160,19 +160,21 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _ivf_scored(emb: DataFrame) -> DataFrame:
+def _ivf_scored(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     """(vec_id, label, embedding, scores) with scores[i] =
     struct(s = cosine to centroid i, negcid = -cid) — the shared
     shuffle-free IVF assignment stage of sim_topk_ivf/sim_topk_batch.
 
     Centroid norms fold once into the broadcast row; each vector's own
-    norm folds once per row — so assignment costs 16 dots + 1 norm per
-    row, not 16 full cosines (which would re-fold both norms 16x).
-    s = dot/(ne*nc) is the same expression tree as cosine(), so the
-    floats (and the oracle hash) are unchanged."""
+    norm folds once per row — so assignment costs n_centroids dots + 1
+    norm per row, not n_centroids full cosines (which would re-fold
+    both norms each time). s = dot/(ne*nc) is the same expression tree
+    as cosine(), so the floats (and the oracle hash) are unchanged.
+    ``n_centroids`` defaults to the fixed 16 the retrieval queries pin;
+    dedup_semantic_cells passes its ~sqrt(n) cell count (r9 knob)."""
     from ..operators.similarity import dot, norm
 
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).agg(
+    cent = emb.filter(F.col("vec_id") < n_centroids).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -981,26 +983,60 @@ def _ivfpq_oracle() -> str:
 # dedup_semantic_cells: SemDeDup (Abbas et al. 2023, arXiv:2303.09540 —
 # semantic deduplication via k-means cluster bucketing). UNREGISTERED
 # (r8 queue — local-only per the COVERAGE.md standing policy).
+# r9: the cell count is now the paper's ~sqrt(n) regime by default
+# (VERDICT r8 item 3 — at sf0.1 the fixed-16-cell configuration's
+# 128-doc cap was BINDING, ~312 members/cell, silently dropping
+# candidate pairs), and the output carries per-cell cap-slack
+# accounting the way sim_bucket_stats accounts bucket overflow.
 # ---------------------------------------------------------------------------
 
 SEM_CELL_CAP = 128  # deterministic per-cell candidate cap (by vec_id)
+SEM_MIN_CELLS = 16  # floor: tiny fixtures keep >= the retrieval cell count
 # fixture-calibrated like SIMILAR_THRESHOLD: the fixture embeddings are
 # random (max observed within-cell cosine ~0.47-0.49 across SFs), so the
 # paper's ~0.95 near-dup threshold would make every green row vacuous;
 # 0.4 keeps a real keep/drop population on both engines at every SF.
 SEM_DUP_THRESHOLD = 0.4
 
+# k = max(16, floor(sqrt(n))) on BOTH engines. DuckDB's SQRT is
+# IEEE-correctly-rounded, so FLOOR(SQRT(n)) == Python math.isqrt(n) for
+# any n < 2^52 (a perfect square's sqrt is exact; a non-square's
+# correctly-rounded sqrt cannot cross the next integer boundary).
 DEDUP_SEMANTIC_CELLS_ORACLE = f"""
-    WITH {_IVF_CTE},
+    WITH k AS (
+        SELECT GREATEST({SEM_MIN_CELLS},
+                        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < (SELECT k FROM k)
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({_COSINE_SQL.format(a='e.embedding', b='c.cvec')}) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+    counted AS (
+        SELECT cid, vec_id, embedding,
+               CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n
+        FROM cells
+    ),
     capped AS (
-        SELECT cid, vec_id, embedding FROM cells
+        SELECT cid, vec_id, embedding, cell_n FROM counted
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY cid ORDER BY vec_id
         ) <= {SEM_CELL_CAP}
     )
     SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b,
            FLOOR(({_COSINE_SQL.format(a='x.embedding', b='y.embedding')})
-                 * 1000000 + 0.5) / 1000000 AS cosine_sim
+                 * 1000000 + 0.5) / 1000000 AS cosine_sim,
+           x.cell_n,
+           x.cell_n > {SEM_CELL_CAP} AS truncated
     FROM capped x
     JOIN capped y ON x.cid = y.cid AND x.vec_id < y.vec_id
     WHERE ({_COSINE_SQL.format(a='x.embedding', b='y.embedding')})
@@ -1009,44 +1045,42 @@ DEDUP_SEMANTIC_CELLS_ORACLE = f"""
     """
 
 
-def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: semantic near-dup pairs via k-means cell bucketing —
-    assign every embedding to its nearest coarse centroid (the
-    shuffle-free `_ivf_scored` broadcast-row stage shared with the IVF
-    retrieval path; first-16 centroids for oracle reproducibility,
-    production swaps in `kmeans_centroids`), cap each cell at
-    SEM_CELL_CAP (128) members deterministically, then emit
-    within-cell pairs with exact cosine >= SEM_DUP_THRESHOLD (0.4).
-    Complements the banded sign-LSH pass (`sim_near_dup_pairs`): LSH
-    candidates are recall-bounded by random hyperplanes, cluster
-    bucketing by the learned partition — the published SemDeDup result
-    is that cluster-local comparison finds the semantic duplicates
-    LSH misses at equal cost. Downstream, the pairs feed the same
-    `connected_components_auto` -> representative anti-join as the
-    MinHash stack.
-
-    At 100 TB: assignment is a narrow map (centroids ride one
-    broadcast row); the only shuffle is the cell-keyed self-join of
-    (vec_id, cid, embedding) projections; pair expansion is bounded
-    O(cap²) per cell with truncation deterministic (lowest vec_ids
-    kept) — a mega-cluster costs 128 rows, never |cell|². With k
-    sized ~sqrt(n) cells (the paper's regime) the expected per-cell
-    population keeps the cap slack."""
+def semantic_cell_pairs(
+    emb: DataFrame, n_cells: int, cap: int = SEM_CELL_CAP
+) -> DataFrame:
+    """Core SemDeDup pass over a (vec_id, embedding, ...) frame:
+    nearest-of-``n_cells`` coarse assignment (first-n_cells vectors as
+    centroids — deterministic; production swaps in `kmeans_centroids`),
+    deterministic per-cell cap, within-cell exact-cosine pairs, with
+    per-cell cap-slack accounting (``cell_n`` = pre-cap population;
+    ``truncated`` = the cap bound, so this cell's pair list is a
+    SAMPLE, not the full set — the sim_bucket_stats overflow-accounting
+    convention). Separated from the query wrapper so the planted-pair
+    test in tests/test_similarity.py can prove the cell-count knob's
+    recall effect on a crafted corpus."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = _ivf_scored(emb)
+    scored = _ivf_scored(emb, n_centroids=n_cells)
     best = F.array_max(F.col("scores"))
     cells = scored.select(
         "vec_id", "embedding", (-best["negcid"]).alias("cid")
     )
+    # pre-cap population as a K-CELLS-sized aggregate broadcast back
+    # (an unordered count window above the row_number would block the
+    # two-phase WindowGroupLimit pushdown the R5 lint pins; partial
+    # aggregation collapses each partition to <= k rows pre-exchange)
+    counts = cells.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
     rn = F.row_number().over(Window.partitionBy("cid").orderBy("vec_id"))
-    capped = cells.withColumn("rn", rn).filter(
-        F.col("rn") <= SEM_CELL_CAP
+    capped = (
+        cells.withColumn("rn", rn)
+        .filter(F.col("rn") <= cap)
+        .join(F.broadcast(counts), "cid")
     )
     a = capped.select(
         "cid", F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_a"), "cell_n",
     )
     b = capped.select(
         "cid", F.col("vec_id").alias("vec_b"),
@@ -1059,6 +1093,44 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cs >= SEM_DUP_THRESHOLD)
         .select(
             "cid", "vec_a", "vec_b", round6(cs).alias("cosine_sim"),
+            "cell_n", (F.col("cell_n") > cap).alias("truncated"),
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-dup pairs via k-means cell bucketing —
+    assign every embedding to its nearest coarse centroid (the
+    shuffle-free `_ivf_scored` broadcast-row stage shared with the IVF
+    retrieval path), cap each cell at SEM_CELL_CAP (128) members
+    deterministically, then emit within-cell pairs with exact cosine
+    >= SEM_DUP_THRESHOLD (0.4) plus per-cell cap-slack accounting
+    (cell_n, truncated). Complements the banded sign-LSH pass
+    (`sim_near_dup_pairs`): LSH candidates are recall-bounded by random
+    hyperplanes, cluster bucketing by the learned partition — the
+    published SemDeDup result is that cluster-local comparison finds
+    the semantic duplicates LSH misses at equal cost. Downstream, the
+    pairs feed the same `connected_components_auto` -> representative
+    anti-join as the MinHash stack.
+
+    Cell count (r9, VERDICT r8 item 3): k = max(SEM_MIN_CELLS,
+    isqrt(n)) — the paper's k ~ sqrt(n) regime, so the EXPECTED cell
+    population is ~sqrt(n) and the 128-cap stays slack as the corpus
+    grows. The previous fixed 16 cells had the cap BINDING at sf0.1
+    (~312 members/cell): cost stayed bounded but candidate PAIRS were
+    silently dropped — a recall cliff every further decade. n comes
+    from one COUNT action (scalar result, R4-bounded like the
+    iterative kernels' .first() probes).
+
+    At 100 TB: assignment is a narrow map (centroids ride one
+    broadcast row); the only shuffle is the cell-keyed self-join of
+    (vec_id, cid, embedding) projections; pair expansion is bounded
+    O(cap²) per cell with truncation deterministic (lowest vec_ids
+    kept) AND accounted (a truncated=true row marks the cell's pair
+    list as a sample) — a mega-cluster costs 128 rows, never |cell|²."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(SEM_MIN_CELLS, math.isqrt(emb.count()))
+    return semantic_cell_pairs(emb, n_cells)

@@ -112,6 +112,11 @@ def test_sim_topk_ivf_all_broadcast_no_data_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # r9: _ivf_scored gained an n_centroids parameter (SemDeDup's
+    # sqrt(n) knob); the registered retrieval queries must keep the
+    # attested 16-centroid filter byte-identical (the _CHANGED-skip
+    # rationale: parameterization with the old constant as default)
+    assert re.search(r"vec_id#\d+L? < 16\)", plan), plan
     # every Exchange is the tiny SinglePartition centroid fold, never a
     # corpus-sized hash exchange
     for line in plan.splitlines():

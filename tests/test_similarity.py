@@ -481,3 +481,51 @@ def test_semantic_cells_planted_dup_found_cross_cell_missed(spark, tmp_path):
     # every emitted pair is within one cell and above the threshold
     for (a, b), r in pairs.items():
         assert r["cosine_sim"] >= 0.4, r
+
+
+def test_semdedup_sqrt_cells_recovers_capped_pair(spark):
+    """The SemDeDup cell-count knob's recall effect, proven on a
+    crafted corpus (r9, VERDICT r8 item 3): 1024 vectors where all but
+    three point along e1 (so under 16 cells EVERYTHING ties into cell
+    0 and the 128-cap binds), vector 20 points along e2, and a planted
+    near-dup pair (1022, 1023) also points along e2 at high vec_ids.
+
+    With 16 fixed cells, vector 20 is not a centroid: the planted pair
+    lands in overfull cell 0 at row_number ~1021 — beyond the cap —
+    and the pair is silently LOST (but the truncated flag says so).
+    With sqrt(1024)=32 cells, vector 20 IS a centroid: the pair
+    assigns to its cell, survives the cap, and is found."""
+    import math
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        semantic_cell_pairs,
+    )
+
+    n = 1024
+    rows = []
+    for i in range(n):
+        if i == 20 or i >= 1022:
+            vec = [0.0, 1.0, 0.0, 0.0]  # e2 direction
+        else:
+            vec = [1.0, 0.0, 0.0, 0.0]  # e1 direction
+        rows.append((i, vec, "x"))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label STRING"
+    )
+
+    def pairs(n_cells):
+        got = semantic_cell_pairs(emb, n_cells).collect()
+        return {(r["vec_a"], r["vec_b"]): r for r in got}
+
+    with_16 = pairs(16)
+    assert (1022, 1023) not in with_16  # the recall cliff, demonstrated
+    # ...but the loss is ACCOUNTED: every surviving cell-0 pair carries
+    # the binding-cap evidence
+    cell0 = [r for r in with_16.values() if r["cid"] == 0]
+    assert cell0 and all(r["truncated"] for r in cell0)
+    assert all(r["cell_n"] > 128 for r in cell0)
+
+    with_sqrt = pairs(max(16, math.isqrt(n)))
+    assert (1022, 1023) in with_sqrt  # sqrt(n) cells recover the pair
+    rec = with_sqrt[(1022, 1023)]
+    assert rec["cid"] == 20 and not rec["truncated"] and rec["cell_n"] == 3
