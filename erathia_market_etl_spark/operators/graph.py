@@ -470,11 +470,33 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    tol: int | None = None,
+    max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a DIRECTED edge table, damping
-    0.85, ``iters`` power-iteration rounds. Returns (v, rank, deg) for
-    every node that has at least one outgoing edge (callers wanting
-    undirected influence symmetrize first — then that is every node).
+    0.85. Returns (v, rank, deg) for every node that has at least one
+    outgoing edge (callers wanting undirected influence symmetrize
+    first — then that is every node).
+
+    Stopping contract (r9, VERDICT r8 item 6 — two modes, explicit):
+
+    * ``tol=None`` (default): EXACTLY ``iters`` power-iteration
+      rounds. This is an ACCOUNTING shape, not converged centrality —
+      it exists so a SQL oracle can reproduce the longs bit-for-bit by
+      unrolling the same number of rounds as CTEs. Round-``iters``
+      ranks can differ from the fixpoint (a test pins a graph where
+      they do); callers wanting converged ranks use ``tol``.
+    * ``tol=k`` (integer rank units, 1 unit = 1e-6 mass): iterate
+      until the residual max|Δrank| <= k or ``max_iters``, whichever
+      first. The residual rides one bounded ``.first()`` probe per
+      round on the node-sized join of consecutive rank tables — the
+      same convergence-flag pattern as the components kernels, O(1)
+      driver data. Convergence is guaranteed: damping contracts the
+      residual ~0.85x/round and the integer truncation only shrinks
+      it further, so max|Δ| reaches any positive tol in
+      O(log(n·SCALE)/log(1/0.85)) rounds. ``stats`` (if given) gets
+      ``rounds`` and final ``residual``.
 
     Exactness contract: ranks are scaled longs (PAGERANK_SCALE = 1e6
     per unit mass) and every step is integer arithmetic — contribution
@@ -510,6 +532,8 @@ def pagerank_fixed_point(
     (the same lineage discipline as the components kernels above)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if tol is not None and tol < 1:
+        raise ValueError(f"tol must be >= 1 rank unit, got {tol}")
     deg = (
         edges.groupBy(F.col(src).alias("v"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -521,12 +545,15 @@ def pagerank_fixed_point(
         .join(deg.select(F.col("v").alias("src"), "deg"), "src")
         .persist()
     )
+    rounds = 0
+    residual: int | None = None
     try:
         ranks = deg.select(
             "v", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
         )
         teleport = (15 * PAGERANK_SCALE) // 100
-        for _ in range(iters):
+        n_rounds = max_iters if tol is not None else iters
+        for _ in range(n_rounds):
             incoming = (
                 ewd.join(ranks, ewd["src"] == ranks["v"])
                 .select(
@@ -541,7 +568,7 @@ def pagerank_fixed_point(
             # (directed graphs) must KEEP its teleport-mass rank row —
             # dropping it would silently remove it from the output and
             # stop its mass feeding later rounds (r8 self-review).
-            ranks = (
+            new_ranks = (
                 deg.select("v")
                 .join(incoming, "v", "left")
                 .select(
@@ -553,6 +580,27 @@ def pagerank_fixed_point(
                 )
                 .localCheckpoint()
             )
+            rounds += 1
+            if tol is not None:
+                # bounded probe: one scalar row per round (CC pattern)
+                residual = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), "v")
+                    .agg(
+                        F.max(
+                            F.abs(F.col("n.rank") - F.col("o.rank"))
+                        ).alias("r")
+                    )
+                    .first()["r"]
+                )
+                ranks = new_ranks
+                if residual is not None and residual <= tol:
+                    break
+            else:
+                ranks = new_ranks
     finally:
         ewd.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["residual"] = residual
     return ranks.join(deg, "v").select("v", "rank", "deg")

@@ -84,6 +84,16 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact — see ``pagerank_fixed_point`` for the arithmetic and
     lineage-discipline contract.
 
+    ROUNDS=3 IS THE CONTRACT of this query (r9, VERDICT r8 item 6):
+    the output is the round-3 accounting state, deliberately NOT the
+    converged fixpoint — fixing the round count is what lets the SQL
+    twin unroll the identical rounds and attest the longs bit-for-bit.
+    Round-3 ranks and the fixpoint genuinely differ
+    (tests/test_pagerank.py::test_fixed_rounds_differ_from_fixpoint
+    pins a graph where they do); callers wanting converged centrality
+    call ``pagerank_fixed_point(..., tol=...)``, the residual-based
+    stop, instead of this query.
+
     Node encoding: customers ride even ids (custkey*2), suppliers odd
     (suppkey*2+1) — one long key space, no string keys on the shuffle.
     Symmetrizing makes every node's out-degree >= 1, so there is no
