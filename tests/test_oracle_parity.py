@@ -195,8 +195,7 @@ def test_quality_gate_splits_corpus(spark):
     assert 0 < kept < len(rows), (kept, len(rows))
 
 
-@pytest.mark.parametrize("name", _RETIRED)
-def test_retired_queries_still_match(spark, name):
+def _retired():
     from erathia_market_etl_spark.plans.dedup_queries import (
         SIMHASH_FINGERPRINT_ORACLE,
         dedup_simhash_fingerprint,
@@ -224,7 +223,7 @@ def test_retired_queries_still_match(spark, name):
         sample_split_assign,
     )
 
-    fn, oracle = {
+    return {
         "dedup_distinct_rows": (dedup_distinct_rows, DISTINCT_ROWS_ORACLE),
         "sample_split_assign": (sample_split_assign, SPLIT_ASSIGN_ORACLE),
         "setop_union_distinct": (setop_union_distinct, SETOP_UNION_DISTINCT_ORACLE),
@@ -240,6 +239,15 @@ def test_retired_queries_still_match(spark, name):
             window_moving_frame, WINDOW_MOVING_FRAME_ORACLE,
         ),
         "topk_parts_by_revenue": (topk_parts_by_revenue, TOPK_PARTS_ORACLE),
-    }[name]
+    }
+
+
+@pytest.mark.parametrize("name", _RETIRED)
+def test_retired_queries_still_match(spark, name):
+    fn, oracle = _retired()[name]
     result = compare_query(name, fn(spark, SF_SMOKE), oracle, SF_SMOKE)
     assert result.ok, result
+
+
+def test_retired_list_matches_mapping():
+    assert sorted(_RETIRED) == sorted(_retired())

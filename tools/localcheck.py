@@ -1,0 +1,95 @@
+"""Per-round driver-style compare over the LOCAL-ONLY query set.
+
+The driver's CORRECTNESS gate stamps the 100 registered queries; the
+local-only extension wave (the ``_queued()`` set in
+tests/test_oracle_parity.py) and the retired-from-driver-slots set
+re-verify only through pytest. This tool runs the driver's EXACT
+compare (same ``compare_query`` → toPandas vs duckdb .df(), same
+rows/schema/order-insensitive-value-hash checks) over both sets at
+sf0.01 — the driver's t2 scale, one decade above the pytest smoke SF —
+and writes ``LOCALCHECK_r{N}.json`` next to the CORRECTNESS artifacts,
+row format identical, so the judge gets the same per-round signal for
+the extension families (r8 VERDICT "Next round" #8).
+
+Usage: python tools/localcheck.py [round] [sf_dir]
+  round  defaults to (max committed CORRECTNESS round) + 1
+  sf_dir defaults to /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from erathia_market_etl_spark.config import EngineConfig
+from erathia_market_etl_spark.session import get_spark
+from erathia_market_etl_spark.testing import compare_query
+
+
+def _current_round(root: Path) -> int:
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.name))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def main() -> None:
+    root = Path(__file__).resolve().parents[1]
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else _current_round(root)
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from tests.test_oracle_parity import _queued, _retired
+
+    targets: dict[str, tuple] = {}
+    for name, (fn, oracle) in _queued().items():
+        targets[name] = (fn, oracle, "local-only")
+    for name, (fn, oracle) in _retired().items():
+        targets[name] = (fn, oracle, "retired")
+
+    spark = get_spark(EngineConfig(app_name="erathia-localcheck"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for name in sorted(targets):
+        fn, oracle, tag = targets[name]
+        try:
+            r = compare_query(name, fn(spark, sf_dir), oracle, sf_dir)
+            out[name] = {
+                "rows_match": r.spark_rows == r.oracle_rows,
+                "schema_match": r.columns_match,
+                "hash_match": r.hash_match,
+                "spark_rows": r.spark_rows,
+                "oracle_rows": r.oracle_rows,
+                "err": None,
+                "set": tag,
+            }
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            out[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": -1,
+                "oracle_rows": -1,
+                "err": f"{type(e).__name__}: {e}",
+                "set": tag,
+            }
+        status = "OK" if out[name]["hash_match"] else "FAIL"
+        print(f"  {name} [{tag}]: {status}", file=sys.stderr)
+
+    path = root / f"LOCALCHECK_r{rnd:02d}.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    green = sum(1 for v in out.values() if v["hash_match"])
+    print(json.dumps({"round": rnd, "sf_dir": sf_dir, "green": green,
+                      "total": len(out), "artifact": str(path)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
