@@ -80,11 +80,15 @@ def test_resize_stub_rewrites_metadata(media):
 
 
 def test_decode_real_compressed_is_gated():
-    # unknown/compressed payloads still raise until codec libs exist;
-    # the uncompressed formats below decode for real
+    # codecs that genuinely need native libs still raise until they
+    # exist; the codec-free formats (WAV/BMP/PPM/PNG) decode for real
     if not HAVE_CODECS:
         with pytest.raises(NotImplementedError):
-            decode_real(b"\x89PNG\r\n\x1a\nxxxx", "image")
+            decode_real(b"\xff\xd8\xff\xe0junk-jpeg", "image")
+    # PNG is sniffed into the REAL decoder now (r9) — garbage after the
+    # signature is a contracted decode failure, not an unwired codec
+    with pytest.raises(ValueError):
+        decode_real(b"\x89PNG\r\n\x1a\nxxxx", "image")
 
 
 def test_wav_roundtrip_real():
@@ -142,6 +146,171 @@ def test_ppm_roundtrip_real():
     assert (out == img).all()
     modality, img2 = decode_real(payload)
     assert modality == "image" and (img2 == img).all()
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode identity for EVERY spec filter type (0 None, 1
+    Sub, 2 Up, 3 Average, 4 Paeth) and the per-row "mixed" mode — each
+    filter choice produces a different IDAT byte stream over the same
+    pixels, so identity across all six proves every reconstruction
+    path, not just the encoder's favorite."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = (np.arange(9 * 7 * 3, dtype=np.uint32) * 41 % 256).astype(
+        np.uint8
+    ).reshape(9, 7, 3)
+    payloads = set()
+    for ft in [0, 1, 2, 3, 4, "mixed"]:
+        payload = encode_png(img, filter_type=ft)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        payloads.add(payload)
+        out = decode_png(payload)
+        assert (out == img).all(), f"filter {ft}"
+        modality, img2 = decode_real(payload)
+        assert modality == "image" and (img2 == img).all()
+    # the six encodings genuinely differ (same pixels, different bytes)
+    assert len(payloads) == 6
+
+
+def test_png_decode_matches_independent_spec_reference():
+    """Spec compliance, not just self-inverse consistency: a second
+    PNG filter implementation written directly from the spec equations
+    in plain Python ints (no numpy, no shared helpers) reconstructs the
+    same pixels from the same filtered scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def reference_decode(payload):
+        # chunk walk (no CRC check — the point is the filter math)
+        pos, idat, ihdr = 8, b"", None
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            pos += 12 + length
+        w, h = ihdr[0], ihdr[1]
+        raw = zlib.decompress(idat)
+        stride, bpp = w * 3, 3
+        prev = [0] * stride
+        pixels = []
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            rec = []
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]                          # up
+                c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth, straight from the spec pseudocode
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec.append((line[x] + pred) % 256)
+            pixels.append(rec)
+            prev = rec
+        return np.array(pixels, dtype=np.uint8).reshape(h, w, 3)
+
+    rng = np.random.default_rng(42)
+    for ft in [0, 1, 2, 3, 4, "mixed"]:
+        img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        payload = encode_png(img, filter_type=ft)
+        assert (reference_decode(payload) == img).all(), f"filter {ft}"
+        assert (decode_png(payload) == img).all(), f"filter {ft}"
+
+
+def test_png_honest_gates_and_corruption():
+    """Unsupported shapes raise NotImplementedError (honest gates, like
+    the other decoders); corruption raises inside the contracted error
+    set — CRC flips must be CAUGHT, not decoded into garbage pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.full((3, 3, 3), 9, dtype=np.uint8)
+    good = encode_png(img)
+
+    def rebuild(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 3, 3, depth, color, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        # splice the doctored IHDR chunk over the original (fixed 25-byte
+        # IHDR chunk right after the 8-byte signature)
+        return good[:8] + chunk + good[8 + 25 :]
+
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        decode_png(rebuild(depth=16))
+    with pytest.raises(NotImplementedError):  # palette
+        decode_png(rebuild(color=3))
+    with pytest.raises(NotImplementedError):  # RGBA
+        decode_png(rebuild(color=6))
+    with pytest.raises(NotImplementedError):  # Adam7
+        decode_png(rebuild(interlace=1))
+
+    # flip one IDAT byte: the chunk CRC must catch it
+    idat_at = good.index(b"IDAT") + 4
+    corrupt = bytearray(good)
+    corrupt[idat_at] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):  # truncation
+        decode_png(good[: len(good) // 2])
+
+
+def test_resize_image_real_accepts_png(spark):
+    """A PNG payload rides the same decode→resample→re-encode path as
+    BMP/PPM: the compressed container is now a first-class citizen of
+    the image pipeline, not just the hash pass."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_png,
+        resample_nearest,
+        resize_image_real,
+    )
+
+    img = (np.arange(10 * 8 * 3, dtype=np.uint32) * 29 % 256).astype(
+        np.uint8
+    ).reshape(10, 8, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img, filter_type="mixed")))],
+        "media_id long, content binary",
+    )
+    out = resize_image_real(media, 4, 4).collect()
+    assert len(out) == 1
+    got = decode_bmp(bytes(out[0]["content"]))
+    assert (got == resample_nearest(img, 4, 4)).all()
 
 
 def test_resample_nearest_arithmetic():
@@ -267,10 +436,12 @@ def test_decoder_fuzz_roundtrip_and_no_crash():
 
     from erathia_market_etl_spark.operators.multimodal import (
         decode_bmp,
+        decode_png,
         decode_ppm,
         decode_real,
         decode_wav,
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
     )
@@ -286,6 +457,9 @@ def test_decoder_fuzz_roundtrip_and_no_crash():
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (decode_bmp(encode_bmp(img)) == img).all()
         assert (decode_ppm(encode_ppm(img)) == img).all()
+        # seed also draws the PNG filter mode (0-4 or per-row mixed)
+        ft = [0, 1, 2, 3, 4, "mixed"][seed % 6]
+        assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
 
     @settings(max_examples=100, deadline=None)
     @given(
@@ -369,21 +543,26 @@ def test_ahash_identical_images_hamming_zero(spark):
     from erathia_market_etl_spark.operators.multimodal import (
         ahash_near_pairs,
         encode_bmp,
+        encode_png,
         encode_ppm,
     )
 
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
-    # the SAME pixels through two containers (BMP and PPM) must collide
-    # exactly — the hash is a function of pixels, not encoding
+    # the SAME pixels through three containers — two raw (BMP, PPM) and
+    # one COMPRESSED (PNG, mixed filters) — must collide exactly: the
+    # hash is a function of pixels, not encoding (r9: the PNG leg is
+    # the strongest version of this pin — a filter-reconstruction bug
+    # anywhere would break the collision)
     rows = [
         (1, bytearray(encode_bmp(img))),
         (2, bytearray(encode_ppm(img))),
+        (3, bytearray(encode_png(img, filter_type="mixed"))),
     ]
     media = spark.createDataFrame(rows, "media_id long, content binary")
     pairs = ahash_near_pairs(media).collect()
-    assert len(pairs) == 1
-    assert pairs[0]["hamming"] == 0
+    assert len(pairs) == 3  # all three containers pair up
+    assert all(p["hamming"] == 0 for p in pairs)
 
 
 def test_wav_energy_dedup_finds_planted_near_dup(spark):
