@@ -92,7 +92,9 @@ def _queued():
         timeseries_rolling_zscore,
     )
     from erathia_market_etl_spark.plans.dedup_queries import (
+        DEDUP_BLOOM_INCREMENTAL_ORACLE,
         DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
+        dedup_bloom_incremental,
         dedup_fuzzy_prefix_block,
     )
     from erathia_market_etl_spark.plans.graph_queries import (
@@ -154,6 +156,11 @@ def _queued():
         # capped within-block Levenshtein verify, exact-integer edits
         "dedup_fuzzy_prefix_block": (
             dedup_fuzzy_prefix_block, DEDUP_FUZZY_PREFIX_BLOCK_ORACLE,
+        ),
+        # r9-implemented Bloom membership pre-pass for incremental
+        # ingest: word table bit-for-bit reproduced by the oracle
+        "dedup_bloom_incremental": (
+            dedup_bloom_incremental, DEDUP_BLOOM_INCREMENTAL_ORACLE,
         ),
         # r8-implemented SemDeDup: k-means-cell-bucketed semantic
         # near-dup pairs, capped, exact-cosine verified
