@@ -1708,3 +1708,125 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_phrase_search: positional phrase retrieval with a self-derived
+# query workload. UNREGISTERED (r9 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+PHRASE_TOP_Q = 4   # query workload: the corpus's 4 hottest bigrams
+PHRASE_TOP_K = 5   # docs returned per phrase
+
+TEXT_PHRASE_SEARCH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS phrase
+        FROM toks
+    ),
+    occ AS (
+        SELECT phrase, doc_id, COUNT(*) AS n_occurrences
+        FROM big GROUP BY phrase, doc_id
+    ),
+    tot AS (
+        SELECT phrase,
+               CAST(SUM(n_occurrences) AS BIGINT) AS phrase_total,
+               COUNT(*) AS n_docs
+        FROM occ GROUP BY phrase
+    ),
+    top AS (
+        SELECT * FROM tot
+        ORDER BY phrase_total DESC, phrase LIMIT {PHRASE_TOP_Q}
+    ),
+    ranked AS (
+        SELECT o.phrase, t.phrase_total, t.n_docs, o.doc_id,
+               o.n_occurrences,
+               ROW_NUMBER() OVER (PARTITION BY o.phrase
+                                  ORDER BY o.n_occurrences DESC, o.doc_id)
+                   AS rank
+        FROM occ o JOIN top t ON o.phrase = t.phrase
+    )
+    SELECT phrase, phrase_total, n_docs, doc_id, n_occurrences, rank
+    FROM ranked WHERE rank <= {PHRASE_TOP_K}
+    ORDER BY phrase, rank
+    """
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (the exact-phrase complement of BM25's
+    bag-of-words ranking): adjacency is captured by materializing word
+    BIGRAMS from one corpus tokenization (shingles_from_tokens — the
+    dedup shingle machinery reused at n=2), the query workload is
+    self-derived as the PHRASE_TOP_Q (4) globally hottest bigrams, and
+    each phrase returns its PHRASE_TOP_K (5) top documents by
+    occurrence count with deterministic tie-breaks (count DESC,
+    doc_id).
+
+    Plan: the corpus is tokenized ONCE into per-(phrase, doc)
+    occurrence counts — one map-side-combinable aggregate; phrase
+    totals and the top-Q cut derive from THAT table (never a second
+    corpus scan): totals are a phrase-sized aggregate, the cut is
+    TakeOrderedAndProject, and the cut result rides a BROADCAST join
+    back onto the counts, so the final rank window partitions only the
+    ~Q surviving phrases' rows. At 100 TB the only corpus-sized
+    exchange is the occurrence aggregate (bounded by distinct
+    (bigram, doc), with map-side partials); everything downstream is
+    query-workload-sized. For a FIXED external phrase list the same
+    pipeline drops the fit half — filter the bigram stream by the
+    broadcast list before aggregating."""
+    return phrase_search_frame(load_table(spark, sf_dir, "documents"))
+
+
+def phrase_search_frame(docs: DataFrame,
+                        top_q: int = PHRASE_TOP_Q,
+                        top_k: int = PHRASE_TOP_K) -> DataFrame:
+    """Core of text_phrase_search over any (doc_id, text) frame — split
+    out so planted-corpus tests can drive the ranking and adjacency
+    semantics directly."""
+    from ..operators.dedup import shingles_from_tokens
+    from ..sources.parquet_io import fan_out
+
+    big = (
+        fan_out(docs)
+        .withColumn("_toks", TX.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("phrase"),
+        )
+    )
+    # occ feeds both the workload fit (tot -> top) and the retrieval
+    # join; localCheckpoint (the bloom/graph lineage pattern)
+    # materializes the one corpus-sized aggregate instead of scanning
+    # and re-aggregating the corpus once per consumer
+    occ = big.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    ).localCheckpoint()
+    tot = occ.groupBy("phrase").agg(
+        F.sum("n_occurrences").cast("long").alias("phrase_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    top = tot.orderBy(F.desc("phrase_total"), "phrase").limit(top_q)
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("phrase").orderBy(
+            F.desc("n_occurrences"), "doc_id"
+        )
+    )
+    return (
+        occ.join(F.broadcast(top), "phrase")
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "phrase", "phrase_total", "n_docs", "doc_id",
+            "n_occurrences", "rank",
+        )
+        .orderBy("phrase", "rank")
+    )

@@ -107,12 +107,14 @@ def _queued():
         TEXT_CHUNK_OVERLAP_ORACLE,
         TEXT_DUPLICATE_SPANS_ORACLE,
         TEXT_LM_FAMILIARITY_ORACLE,
+        TEXT_PHRASE_SEARCH_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
         text_bpe_compression,
         text_bpe_merges,
         text_chunk_overlap,
         text_duplicate_spans,
         text_lm_familiarity,
+        text_phrase_search,
     )
 
     return {
@@ -183,6 +185,9 @@ def _queued():
         # r8-implemented RAG chunker: fixed window + overlap, narrow
         # slice arithmetic, hash-exact
         "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_ORACLE),
+        # r9-implemented positional phrase search with a self-derived
+        # top-bigram workload — the exact-phrase complement of BM25
+        "text_phrase_search": (text_phrase_search, TEXT_PHRASE_SEARCH_ORACLE),
     }
 
 

@@ -582,3 +582,72 @@ def test_bpe_compression_merges_shorten_segmentation(spark):
         assert 0 < r["n_symbols"] <= r["n_chars"], r
         assert r["chars_per_symbol"] >= 1.0, r
     assert any(r["chars_per_symbol"] > 1.0 for r in rows)
+
+
+def test_phrase_search_ranking_and_workload(spark):
+    """Planted corpus with hand-computable bigram frequencies: the
+    self-derived workload must be the hottest top_q bigrams (total
+    DESC, phrase tiebreak) and each phrase's doc ranking must order by
+    occurrence count DESC with doc_id tiebreak."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        phrase_search_frame,
+    )
+
+    rows = [
+        # "a b" x3 in doc 1, x1 in doc 2; "c d" x2 in doc 2
+        (1, "a b a b a b"),       # bigrams: a-b x3, b-a x2
+        (2, "a b c d c d"),       # a-b x1, b-c x1, c-d x2, d-c x1
+        (3, "c d x y"),           # c-d, d-x, x-y
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phrase_search_frame(docs, top_q=2, top_k=5).collect()
+    # totals: "a b"=4, "c d"=3, "b a"=2, rest 1 -> workload = {a b, c d}
+    by_phrase: dict[str, list] = {}
+    for r in out:
+        by_phrase.setdefault(r["phrase"], []).append(r)
+    assert set(by_phrase) == {"a b", "c d"}
+    ab = by_phrase["a b"]
+    assert [(r["doc_id"], r["n_occurrences"], r["rank"]) for r in ab] == [
+        (1, 3, 1), (2, 1, 2),
+    ]
+    assert all(r["phrase_total"] == 4 and r["n_docs"] == 2 for r in ab)
+    cd = by_phrase["c d"]
+    assert [(r["doc_id"], r["n_occurrences"], r["rank"]) for r in cd] == [
+        (2, 2, 1), (3, 1, 2),
+    ]
+
+
+def test_phrase_search_requires_adjacency(spark):
+    """The positional property that distinguishes phrase search from
+    bag-of-words retrieval: a document containing both words
+    NON-adjacently must not match the phrase."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        phrase_search_frame,
+    )
+
+    rows = [
+        (1, "red car red car"),   # "red car" x2 (adjacent)
+        (2, "red car"),           # x1
+        (3, "red big car red slow car"),  # both words, never adjacent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phrase_search_frame(docs, top_q=1, top_k=5).collect()
+    assert all(r["phrase"] == "red car" for r in out)
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 excluded
+    assert [r["n_occurrences"] for r in out] == [2, 1]
+
+
+def test_phrase_search_single_corpus_pass(spark):
+    """Plan pin: after the occurrence checkpoint, fit and retrieval
+    both read the materialized RDD — the corpus parquet is scanned
+    exactly once (at checkpoint build), and the workload join is a
+    broadcast."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_phrase_search,
+    )
+
+    df = text_phrase_search(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan          # corpus read happened at checkpoint
+    assert plan.count("Scan ExistingRDD") == 2  # fit + probe, same RDD
+    assert "BroadcastHashJoin" in plan
