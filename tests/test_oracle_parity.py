@@ -81,6 +81,7 @@ def _queued():
         sim_ivfpq_topk,
     )
     from erathia_market_etl_spark.plans.streaming_queries import (
+        stream_bloom_gate,
         stream_quality_gate,
     )
     from erathia_market_etl_spark.plans.event_windows import (
@@ -135,6 +136,12 @@ def _queued():
         # like the batch query
         "stream_quality_gate": (
             stream_quality_gate, TEXT_QUALITY_GATE_ORACLE,
+        ),
+        # streaming twin of dedup_bloom_incremental — SAME oracle: an
+        # AvailableNow run probing the static history filter must gate
+        # exactly like the batch query
+        "stream_bloom_gate": (
+            stream_bloom_gate, DEDUP_BLOOM_INCREMENTAL_ORACLE,
         ),
         # r8-implemented time-series surface (hypertable rollup +
         # gapfill/LOCF): re-aggregation associativity attested by a
