@@ -655,12 +655,31 @@ def ahash_bits(img: np.ndarray) -> int:
     return int(np.int64(np.uint64(h)))
 
 
-def media_ahash(images: DataFrame) -> DataFrame:
-    """Perceptual-hash table: (media_id, ahash) for every decodable
-    image payload (BMP/PPM; the codec-free decode path). Narrow Arrow
-    stage — payloads never shuffle; only the 8-byte hash rides
-    downstream joins. Undecodable/NULL/audio payloads are dropped
-    (quarantine-sink pattern, as the other real-decode ops)."""
+def dhash_bits(img: np.ndarray) -> int:
+    """Difference-hash (dHash) of a decoded (h, w, 3) image: nearest-
+    neighbor downsample to 8 rows x 9 columns, integer grayscale
+    (channel sum DIV 3), bit (y, x) = gray[y, x+1] > gray[y, x],
+    packed row-major into 64 bits. Complements aHash: comparing
+    ADJACENT pixels makes the hash invariant under smooth illumination
+    GRADIENTS (a left-to-right light ramp adds a near-constant delta
+    to each neighbor difference), where aHash's global-mean threshold
+    flips half its bits — the classic reason production image dedup
+    runs both. All integer arithmetic, container-independent."""
+    small = resample_nearest(img, AHASH_SIZE + 1, AHASH_SIZE)  # (8, 9, 3)
+    gray = small.astype(np.int64).sum(axis=2) // 3
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return int(np.int64(np.uint64(h)))
+
+
+def _media_hash64(images: DataFrame, hash_fn) -> DataFrame:
+    """Shared narrow Arrow stage for 64-bit image hashes: decode every
+    payload, apply ``hash_fn(img) -> int64``, emit (media_id, ahash).
+    Payloads never shuffle; only the 8-byte hash rides downstream
+    joins. Undecodable/NULL/audio payloads are dropped (quarantine-sink
+    pattern, as the other real-decode ops)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -672,7 +691,7 @@ def media_ahash(images: DataFrame) -> DataFrame:
                     modality, img = decode_real(bytes(buf))
                     if modality != "image":
                         continue
-                    h = ahash_bits(img)
+                    h = hash_fn(img)
                 except Exception:
                     continue
                 ids.append(mid)
@@ -688,6 +707,29 @@ def media_ahash(images: DataFrame) -> DataFrame:
         [StructField("media_id", LongType()), StructField("ahash", LongType())]
     )
     return images.select("media_id", "content").mapInPandas(fn, schema)
+
+
+def media_ahash(images: DataFrame) -> DataFrame:
+    """Average-hash table: (media_id, ahash) for every decodable image
+    payload (BMP/PPM/PNG; the codec-free decode path)."""
+    return _media_hash64(images, ahash_bits)
+
+
+def media_dhash(images: DataFrame) -> DataFrame:
+    """Difference-hash table — same contract as media_ahash (the output
+    column keeps the ``ahash`` name so hash64_near_pairs serves every
+    64-bit hash family unchanged)."""
+    return _media_hash64(images, dhash_bits)
+
+
+def dhash_near_pairs(
+    images: DataFrame,
+    hamming_max: int = AHASH_HAMMING_MAX,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Image near-dup pairs by gradient hash: dHash every decodable
+    image payload, then the shared 64-bit pigeonhole pairing."""
+    return hash64_near_pairs(media_dhash(images), hamming_max, max_bucket)
 
 
 def hash64_near_pairs(

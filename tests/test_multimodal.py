@@ -629,3 +629,56 @@ def test_hash64_pairs_reject_radius_past_pigeonhole(spark):
     hashes = spark.createDataFrame([(1, 0), (2, 15)], "media_id long, ahash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         hash64_near_pairs(hashes, hamming_max=4)
+
+
+def test_dhash_gradient_invariance_vs_ahash(spark):
+    """The property that justifies running BOTH perceptual hashes: a
+    smooth left-to-right illumination ramp leaves dHash nearly
+    unchanged (adjacent-pixel differences shift by a near-constant
+    delta) while flipping a large fraction of aHash bits (the global
+    mean moves relative to each half of the image). Also pins
+    cross-container identity for dHash (BMP == PPM == PNG) and that a
+    perturbed copy pairs through dhash_near_pairs."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        ahash_bits,
+        dhash_bits,
+        dhash_near_pairs,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        media_dhash,
+    )
+
+    rng = np.random.RandomState(23)
+    # base image with strong per-pixel texture (gradients dominate)
+    base = rng.randint(0, 200, size=(32, 32, 3)).astype(np.uint8)
+    # add a left-to-right illumination ramp of +0..+55
+    ramp = (np.arange(32, dtype=np.int64) * 55 // 31).astype(np.uint8)
+    lit = (base.astype(np.int64) + ramp[None, :, None]).clip(0, 255).astype(np.uint8)
+
+    d_ham = bin((dhash_bits(base) ^ dhash_bits(lit)) & (2**64 - 1)).count("1")
+    a_ham = bin((ahash_bits(base) ^ ahash_bits(lit)) & (2**64 - 1)).count("1")
+    assert d_ham <= 3, d_ham          # gradient hash barely moves
+    assert a_ham > d_ham, (a_ham, d_ham)  # mean-threshold hash moves more
+
+    # cross-container identity (the pixels-not-encoding pin, dHash leg)
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_ppm(base))),
+        (3, bytearray(encode_png(base, filter_type="mixed"))),
+        (4, bytearray(encode_bmp(lit))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = {r["media_id"]: r["ahash"] for r in media_dhash(media).collect()}
+    assert hashes[1] == hashes[2] == hashes[3] == dhash_bits(base)
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in dhash_near_pairs(media).collect()
+    }
+    # the three identical containers pair at 0; the ramped copy pairs
+    # with each of them within the radius
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert pairs[(1, 4)] == d_ham <= 3
