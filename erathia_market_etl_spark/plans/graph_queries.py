@@ -130,3 +130,107 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_scaled").desc(), "node_type", "entity_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_cohesion: per-part triangle counts over the co-purchase
+# graph. UNREGISTERED (r9 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TRIANGLE_TOP_K = 50
+
+GRAPH_TRIANGLE_COHESION_ORACLE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS x, b.p AS y
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS degree FROM (
+            SELECT x AS v FROM edges UNION ALL SELECT y AS v FROM edges
+        ) GROUP BY v
+    ),
+    -- id-orientation closure: x < y < z counts each triangle once;
+    -- triangle totals are orientation-independent, so this attests the
+    -- degree-oriented Spark kernel bit-for-bit
+    tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.y = e2.x
+        JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    pern AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY v
+    )
+    SELECT d.v AS part_key,
+           CAST(d.degree AS BIGINT) AS degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges
+    FROM deg d LEFT JOIN pern p ON d.v = p.v
+    ORDER BY triangles DESC, part_key
+    LIMIT {TRIANGLE_TOP_K}
+    """
+
+
+def graph_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (an undirected
+    edge per distinct part pair that ever shared an order): the
+    TRIANGLE_TOP_K (50) most triangle-embedded parts with their degree,
+    triangle count, and wedge count (degree choose 2 — the local
+    clustering coefficient's exact-integer numerator/denominator pair,
+    kept unreduced so the contract stays hash-exact).
+
+    Triangle density is the standard cohesion signal on co-occurrence
+    graphs (community detection preprocessing, spam/bot subgraph
+    flagging on web graphs, basket-affinity strength beyond pairwise
+    counts). The kernel is ``triangle_counts`` — degree-oriented wedge
+    enumeration, O(m^1.5) intermediate on any degree distribution; see
+    its docstring for the scale argument.
+
+    Plan: distinct (order, part) pairs -> per-order pair expansion
+    (bounded by basket size: TPC-H orders hold <= 7 lineitems, and
+    production baskets are similarly capped — the expansion is
+    O(basket^2) per order, never corpus-quadratic) -> distinct edge
+    set -> the kernel's three id-only shuffles. At production scale a
+    co-purchase graph adds a min-support edge filter (HAVING
+    COUNT(*) >= s on the pair aggregate) before the kernel — a
+    one-line knob on the same plan; the fixtures run support 1 so the
+    small-SF graphs stay triangle-rich."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("y")
+    )
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    from ..operators.graph import triangle_counts
+
+    counts = triangle_counts(edges)
+    return (
+        counts.select(
+            F.col("v").alias("part_key"),
+            "degree",
+            "triangles",
+            F.expr("degree * (degree - 1) DIV 2").alias("wedges"),
+        )
+        .orderBy(F.desc("triangles"), "part_key")
+        .limit(TRIANGLE_TOP_K)
+    )

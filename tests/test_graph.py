@@ -349,3 +349,62 @@ def test_fixture_lsh_graph_routes_minlabel(spark):
     assert out.count() > 0
     assert stats["kernel"] == "minlabel", stats
     assert stats["rounds"] <= 6, stats
+
+
+def test_triangle_counts_planted_shapes(spark):
+    """K4 (every node in C(3,2)=3 triangles), a pendant vertex (degree
+    1, zero triangles, still present in the output), and a triangle-free
+    path — the hand-checkable pins for the degree-oriented kernel."""
+    from erathia_market_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} + pendant 5-1 + path 6-7
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "x long, y long")
+    got = {r["v"]: (r["degree"], r["triangles"])
+           for r in triangle_counts(df).collect()}
+    assert got == {
+        1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3),
+        5: (1, 0), 6: (1, 0), 7: (1, 0),
+    }
+
+
+def test_triangle_counts_match_bruteforce_random(spark):
+    """Randomized equality vs a pure-Python per-vertex triangle counter
+    — exercises skewed degrees (a planted hub) so the degree
+    orientation path is non-trivial, and proves the count is a pure
+    function of the edge set (orientation/tie-break independence)."""
+    import itertools
+    import random
+
+    from erathia_market_etl_spark.operators.graph import triangle_counts
+
+    rng = random.Random(97)
+    nodes = list(range(1, 26))
+    edge_set = set()
+    for a, b in itertools.combinations(nodes, 2):
+        if rng.random() < 0.18:
+            edge_set.add((a, b))
+    # planted hub: node 1 connects to everything (degree skew)
+    for b in nodes[1:]:
+        edge_set.add((1, b))
+
+    adj: dict[int, set[int]] = {v: set() for v in nodes}
+    for a, b in edge_set:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v in nodes:
+        nbrs = sorted(adj[v])
+        t = sum(
+            1
+            for i, p in enumerate(nbrs)
+            for q in nbrs[i + 1:]
+            if q in adj[p]
+        )
+        if adj[v]:
+            expected[v] = (len(adj[v]), t)
+
+    df = spark.createDataFrame(sorted(edge_set), "x long, y long")
+    got = {r["v"]: (r["degree"], r["triangles"])
+           for r in triangle_counts(df).collect()}
+    assert got == expected
