@@ -86,9 +86,11 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.event_windows import (
         ROLLUP_MULTIRESOLUTION_ORACLE,
+        SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
         rollup_multiresolution,
+        scd2_user_tier_history,
         timeseries_gap_fill,
         timeseries_rolling_zscore,
     )
@@ -100,7 +102,13 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.graph_queries import (
         GRAPH_PAGERANK_INFLUENCE_ORACLE,
+        GRAPH_TRIANGLE_COHESION_ORACLE,
         graph_pagerank_influence,
+        graph_triangle_cohesion,
+    )
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        AGG_HLL_REGISTERS_ORACLE,
+        agg_hll_registers,
     )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_BPE_COMPRESSION_ORACLE,
@@ -156,11 +164,28 @@ def _queued():
         "timeseries_rolling_zscore": (
             timeseries_rolling_zscore, TIMESERIES_ROLLING_ZSCORE_ORACLE,
         ),
+        # r9-implemented SCD2/CDC compaction: gaps-and-islands run
+        # detection -> [valid_from, valid_to) dimension history,
+        # hash-exact (strings/timestamps/longs only)
+        "scd2_user_tier_history": (
+            scd2_user_tier_history, SCD2_USER_TIER_HISTORY_ORACLE,
+        ),
         # r8-implemented graph-centrality surface: integer fixed-point
         # PageRank vs a DuckDB unrolled-CTE power iteration, hash-exact
         "graph_pagerank_influence": (
             graph_pagerank_influence, GRAPH_PAGERANK_INFLUENCE_ORACLE,
         ),
+        # r9-implemented triangle counting: degree-oriented wedge
+        # enumeration vs a plain id-orientation DuckDB closure —
+        # triangle totals are orientation-independent, so hash-exact
+        "graph_triangle_cohesion": (
+            graph_triangle_cohesion, GRAPH_TRIANGLE_COHESION_ORACLE,
+        ),
+        # r9-implemented mergeable HLL register algebra: integer-exact
+        # registers/denominator/estimate, merged 'all' row attesting
+        # the max-merge law; the avalanche hash stays inside int64 on
+        # both engines
+        "agg_hll_registers": (agg_hll_registers, AGG_HLL_REGISTERS_ORACLE),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
         "dedup_fuzzy_prefix_block": (
