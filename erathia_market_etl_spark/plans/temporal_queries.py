@@ -100,3 +100,143 @@ def range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.col("a_ts").cast("timestamp").cast("double"))
         .cast("bigint").alias("gap_seconds"),
     ).orderBy("user_id", "a_event_id", "b_event_id")
+
+
+# ---------------------------------------------------------------------------
+# funnel_ordered_conversion: strictly-ordered multi-stage funnel.
+# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_SECONDS = 7 * 86400  # per-step conversion window
+
+FUNNEL_ORDERED_CONVERSION_ORACLE = f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND
+        GROUP BY e.user_id
+    ),
+    per_user AS (
+        SELECT s1.user_id, t1, t2, t3
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s2.user_id = s3.user_id
+    )
+    SELECT stage, users, seconds_to_here FROM (
+        SELECT 1 AS ord, 'view' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS users,
+               CAST(0 AS BIGINT) AS seconds_to_here
+        FROM per_user
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(t2) AS BIGINT),
+               COALESCE(CAST(SUM(CAST(epoch(t2) - epoch(t1) AS BIGINT))
+                             AS BIGINT) // NULLIF(COUNT(t2), 0), 0)
+        FROM per_user
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT),
+               COALESCE(CAST(SUM(CAST(epoch(t3) - epoch(t1) AS BIGINT))
+                             AS BIGINT) // NULLIF(COUNT(t3), 0), 0)
+        FROM per_user
+    ) ORDER BY ord
+    """
+
+
+def funnel_ordered_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view -> click -> purchase:
+    a user advances to stage k+1 only with an event of that type
+    STRICTLY AFTER their stage-k attainment time AND within the
+    FUNNEL_WINDOW_SECONDS (7-day) per-step conversion window
+    (earliest-qualifying semantics — the product-analytics funnel
+    definition, where a purchase logged before the first view does not
+    convert and one logged months later does not either; the window is
+    what makes drop-off non-vacuous on any sufficiently long event
+    history). Output:
+    one row per stage with users reached and the mean seconds from
+    funnel entry, as a truncating integer division so the contract is
+    hash-exact (timestamps subtract to exact integer epoch seconds).
+
+    Plan: each stage is one type-filtered aggregate on user_id joined
+    against the previous stage's attainment table — the join key and
+    the aggregation key are BOTH user_id, so after the first exchange
+    every stage reuses the same hash partitioning (no re-shuffle; the
+    stage tables are strict row-subsets of each other). The final
+    3-row presentation is a unionAll of scalar aggregates. At 100 TB:
+    k stages = one events scan per stage (or one scan + pivot if the
+    type column is low-cardinality enough to pre-aggregate, the
+    documented alternative), all exchanges user-keyed and shrinking
+    monotonically down the funnel."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND")
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    per_user = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .localCheckpoint()  # three scalar consumers below
+    )
+    zero = F.lit(0).cast("long")
+
+    def _row(ord_: int, stage: str, t_col: str) -> DataFrame:
+        if t_col == "t1":
+            return per_user.agg(
+                F.count(F.lit(1)).cast("long").alias("users")
+            ).select(
+                F.lit(ord_).alias("ord"),
+                F.lit(stage).alias("stage"),
+                "users",
+                zero.alias("seconds_to_here"),
+            )
+        return per_user.agg(
+            F.count(t_col).cast("long").alias("users"),
+            F.coalesce(
+                F.expr(
+                    f"CAST(sum(unix_timestamp({t_col}) - unix_timestamp(t1))"
+                    f" AS BIGINT) DIV nullif(count({t_col}), 0)"
+                ),
+                zero,
+            ).alias("seconds_to_here"),
+        ).select(
+            F.lit(ord_).alias("ord"), F.lit(stage).alias("stage"),
+            "users", "seconds_to_here",
+        )
+
+    out = (
+        _row(1, "view", "t1")
+        .unionAll(_row(2, "click", "t2"))
+        .unionAll(_row(3, "purchase", "t3"))
+    )
+    return out.orderBy("ord").select("stage", "users", "seconds_to_here")

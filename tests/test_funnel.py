@@ -1,0 +1,96 @@
+"""Ordered-funnel and cohort-retention semantics on planted event
+sequences. Cross-engine parity runs in test_oracle_parity's queued
+sweep; these pin the SEMANTICS — strict ordering, the conversion
+window's boundary behavior, and users who must NOT convert."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from erathia_market_etl_spark.plans.temporal_queries import (
+    FUNNEL_WINDOW_SECONDS,
+    funnel_ordered_conversion,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), uid, et, 1.0, "{}")
+            for i, (uid, et, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/events.parquet")
+    return p
+
+
+def test_funnel_strict_order_and_window(spark, tmp_path):
+    """One user per semantic branch:
+    u1 full conversion inside the windows (known deltas);
+    u2 purchase BEFORE the first view only -> stops at click;
+    u3 click exactly AT t1 (strict >) and again past the window -> view only;
+    u4 click exactly at t1 + window (inclusive <=) -> converts stage 2;
+    u5 no view at all -> not in the funnel."""
+    w = FUNNEL_WINDOW_SECONDS
+    rows = [
+        # u1: view@0, click@100, purchase@250
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 250),
+        # u2: purchase@0 (ignored: before view), view@50, click@80
+        (2, "purchase", 0), (2, "view", 50), (2, "click", 80),
+        # u3: view@0, click@0 (ties t1 - excluded by strict >),
+        #     click@w+1 past the window
+        (3, "view", 0), (3, "click", 0), (3, "click", w + 1),
+        # u4: view@0, click exactly at the inclusive window edge
+        (4, "view", 0), (4, "click", w),
+        # u5: click/purchase but never a view
+        (5, "click", 10), (5, "purchase", 20),
+    ]
+    out = {
+        r["stage"]: (r["users"], r["seconds_to_here"])
+        for r in funnel_ordered_conversion(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out["view"][0] == 4          # u1..u4 (u5 never enters)
+    assert out["click"][0] == 3         # u1, u2, u4 (u3 blocked twice)
+    assert out["purchase"][0] == 1      # u1 only (u2's purchase pre-view)
+    # mean seconds from funnel entry: click = (100 + 30 + w)/3, purchase = 250
+    assert out["click"][1] == (100 + 30 + w) // 3
+    assert out["purchase"][1] == 250
+
+
+def test_cohort_daily_retention_planted(spark, tmp_path):
+    """Two cohorts with hand-computed retention cells; multiple events
+    by one user on the same day count once (the DISTINCT (user, day)
+    dedup); a later cohort's offsets are relative to ITS day."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        cohort_daily_retention,
+    )
+
+    day = 86400
+    rows = [
+        # cohort 2024-01-01: u1 active days 0,1,2 (day 1 twice); u2 days 0,2
+        (1, "view", 0), (1, "click", day), (1, "view", day + 50),
+        (1, "view", 2 * day),
+        (2, "view", 10), (2, "click", 2 * day + 10),
+        # cohort 2024-01-02: u3 active its day 0 only
+        (3, "purchase", day + 100),
+    ]
+    out = [
+        (str(r["cohort_day"]), r["day_offset"], r["cohort_size"],
+         r["active_users"], r["retention_ppm"])
+        for r in cohort_daily_retention(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    ]
+    assert out == [
+        ("2024-01-01", 0, 2, 2, 1000000),
+        ("2024-01-01", 1, 2, 1, 500000),
+        ("2024-01-01", 2, 2, 2, 1000000),
+        ("2024-01-02", 0, 1, 1, 1000000),
+    ]
