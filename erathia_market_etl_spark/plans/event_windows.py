@@ -847,3 +847,83 @@ def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort_daily_retention: signup-cohort x day-offset activity grid.
+# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+COHORT_DAILY_RETENTION_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grid AS (
+        SELECT f.cohort_day,
+               CAST(d.d - f.cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+        FROM daily d JOIN firsts f ON d.user_id = f.user_id
+        GROUP BY f.cohort_day, d.d - f.cohort_day
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_day
+    )
+    SELECT g.cohort_day, g.day_offset, s.cohort_size, g.active_users,
+           g.active_users * 1000000 // s.cohort_size AS retention_ppm
+    FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
+    ORDER BY g.cohort_day, day_offset
+    """
+
+
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention grid (the product-analytics retention
+    triangle): users are cohorted by the calendar DAY of their first
+    event; for each (cohort day, day offset) cell, the distinct users
+    active that day, the cohort size, and retention as exact
+    parts-per-million (integer multiply-then-DIV — no float division
+    crosses the engine boundary). Day arithmetic is exact date
+    subtraction on both engines — no week-start or timezone convention
+    to diverge on.
+
+    Plan: first-day per user is one user-keyed aggregate; per-user
+    active days is one DISTINCT on (user, day) — both map-side
+    combinable; the grid is a join on user_id followed by a
+    cohort-keyed COUNT(DISTINCT user) whose input is already
+    deduplicated to (user, day). Cohort sizes reuse the firsts table
+    (group-count-sized). At 100 TB: nothing wider than
+    (user_id, date) rides any exchange, and the output is
+    days^2-bounded regardless of event volume."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    daily = ev.distinct()
+    grid = (
+        daily.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        grid.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "active_users",
+            F.expr("active_users * 1000000 DIV cohort_size")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
