@@ -1,5 +1,5 @@
-"""Mergeable-sketch queries: HyperLogLog register algebra with an
-exact-integer contract.
+"""Mergeable-sketch queries: HyperLogLog and count-min register
+algebras with an exact-integer contract.
 
 The reference has no sketch surface beyond its exact aggregates; the
 registered ``agg_approx_sketches`` query covers Spark's built-in
@@ -60,10 +60,15 @@ def _hash32_sql(x: str) -> str:
     return f"xor(({h2}) // 65536, ({h2}))"
 
 
-def _hash32_col(x: str) -> F.Column:
+def _hash32_spark_sql(x: str) -> str:
+    """The same avalanche in Spark SQL spelling (^ for xor, DIV)."""
     h1 = f"(((({x}) DIV 65536) ^ ({x})) * {_MIX}) % {_MOD32}"
     h2 = f"(((({h1}) DIV 65536) ^ ({h1})) * {_MIX}) % {_MOD32}"
-    return F.expr(f"(({h2}) DIV 65536) ^ ({h2})")
+    return f"(({h2}) DIV 65536) ^ ({h2})"
+
+
+def _hash32_col(x: str) -> F.Column:
+    return F.expr(_hash32_spark_sql(x))
 
 
 AGG_HLL_REGISTERS_ORACLE = f"""
@@ -194,4 +199,147 @@ def hll_registers_frame(keys: DataFrame) -> DataFrame:
             "exact_distinct",
         )
         .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_frequencies: count-min sketch register algebra (the SUM-merge
+# twin of the HLL MAX-merge above). UNREGISTERED (r9 — local-only per
+# the COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4            # hash rows
+CMS_W = 1024         # counters per row (top-10-bit column index)
+CMS_TOP_K = 20       # probe workload: the hottest parts by exact count
+# per-row salts xor-ed into the key before the avalanche (< 2^32 so the
+# hash input stays < 2^32)
+CMS_SALTS = (0, 0x5BD1E995, 0x27D4EB2F, 0x165667B1)
+
+
+def _cms_cols_sql(x: str) -> list[str]:
+    return [
+        f"({_hash32_sql(f'xor({x}, {salt})')}) // {1 << 22}"
+        for salt in CMS_SALTS
+    ]
+
+
+AGG_CMS_FREQUENCIES_ORACLE = f"""
+    WITH keys AS (
+        SELECT l_partkey % {_MOD32} AS x FROM lineitem
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, {col} AS col, x FROM keys"
+            for r, col in enumerate(_cms_cols_sql('x'))
+        )}
+    ),
+    -- the oracle builds the GLOBAL counter table directly; the Spark
+    -- side builds per-month tables and SUM-merges them — hash equality
+    -- attests the merge law end-to-end
+    counters AS (
+        SELECT r, col, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY r, col
+    ),
+    top AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM keys GROUP BY x
+        ORDER BY exact_cnt DESC, x LIMIT {CMS_TOP_K}
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT x, exact_cnt, {r} AS r, {col} AS col FROM top"
+            for r, col in enumerate(_cms_cols_sql('x'))
+        )}
+    )
+    SELECT p.x AS part_key, p.exact_cnt,
+           MIN(c.c) AS est_cnt,
+           MIN(c.c) - p.exact_cnt AS overestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.col = c.col
+    GROUP BY p.x, p.exact_cnt
+    ORDER BY exact_cnt DESC, part_key
+    """
+
+
+def agg_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over part purchase frequencies, with the merge
+    law attested cross-engine: the Spark side builds PER-MONTH counter
+    tables and SUM-merges them into the global sketch (the incremental
+    shape — a new month's counters add in without touching history);
+    the DuckDB twin builds the global counters DIRECTLY from the keys.
+    Hash equality between the two IS the proof that count-min counters
+    form a commutative monoid under + (the property that lets 100 TB
+    pipelines maintain them per-partition/per-day and merge).
+
+    The probe workload is the CMS_TOP_K hottest parts by exact count
+    (deterministic tiebreak); each returns exact_cnt, the sketch
+    estimate (min over CMS_D row counters — integer, never below the
+    truth), and the overestimate. The one-sided error contract
+    (overestimate >= 0 always; <= e*N/W per row with prob 1 - e^-D) is
+    pinned in tests/test_sketch.py.
+
+    Plan: the cell stream is a narrow 4x explode of hash arithmetic;
+    counters are ONE map-side-combinable aggregate bounded by
+    months x D x W rows on the wire (sketch-sized, not key-sized —
+    same argument as the HLL registers); the merge is a second
+    aggregate over that tiny table; probes ride a BROADCAST of the
+    top-k rows. The exact-count workload fit is the only key-sized
+    exchange and exists to audit the sketch — production reads probes
+    from outside."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % F.lit(_MOD32)).alias("x"),
+        F.month("l_shipdate").alias("mth"),
+    )
+    return cms_frequencies_frame(li)
+
+
+def cms_frequencies_frame(li: DataFrame, top_k: int = CMS_TOP_K) -> DataFrame:
+    """Core of agg_cms_frequencies over any (x: long < 2^32, mth: int)
+    frame — split out so planted-key tests can drive the counter
+    algebra, the merge law, and the one-sided error contract."""
+    def _cell_structs() -> list[F.Column]:
+        out = []
+        for r, salt in enumerate(CMS_SALTS):
+            key = f"x ^ {salt}" if salt else "x"
+            col = f"CAST(({_hash32_spark_sql(key)}) DIV {1 << 22} AS BIGINT)"
+            out.append(
+                F.struct(
+                    F.lit(r).alias("r"), F.expr(col).alias("col")
+                )
+            )
+        return out
+
+    cells = li.select(
+        "x", "mth", F.explode(F.array(*_cell_structs())).alias("cell")
+    ).select("x", "mth", "cell.r", "cell.col")
+    monthly = cells.groupBy("mth", "r", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    counters = (
+        monthly.groupBy("r", "col")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()  # probed once per hash row below
+    )
+    top = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "x")
+        .limit(top_k)
+    )
+    probes = top.select(
+        "x",
+        "exact_cnt",
+        F.explode(F.array(*_cell_structs())).alias("cell"),
+    ).select("x", "exact_cnt", "cell.r", "cell.col")
+    return (
+        F.broadcast(probes)
+        .join(counters, ["r", "col"])
+        .groupBy("x", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            F.col("x").alias("part_key"),
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "part_key")
     )
