@@ -85,10 +85,12 @@ def _queued():
         stream_quality_gate,
     )
     from erathia_market_etl_spark.plans.event_windows import (
+        COHORT_DAILY_RETENTION_ORACLE,
         ROLLUP_MULTIRESOLUTION_ORACLE,
         SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
+        cohort_daily_retention,
         rollup_multiresolution,
         scd2_user_tier_history,
         timeseries_gap_fill,
@@ -107,8 +109,14 @@ def _queued():
         graph_triangle_cohesion,
     )
     from erathia_market_etl_spark.plans.sketch_queries import (
+        AGG_CMS_FREQUENCIES_ORACLE,
         AGG_HLL_REGISTERS_ORACLE,
+        agg_cms_frequencies,
         agg_hll_registers,
+    )
+    from erathia_market_etl_spark.plans.temporal_queries import (
+        FUNNEL_ORDERED_CONVERSION_ORACLE,
+        funnel_ordered_conversion,
     )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_BPE_COMPRESSION_ORACLE,
@@ -186,6 +194,21 @@ def _queued():
         # the max-merge law; the avalanche hash stays inside int64 on
         # both engines
         "agg_hll_registers": (agg_hll_registers, AGG_HLL_REGISTERS_ORACLE),
+        # r9-implemented count-min twin: Spark SUM-merges per-month
+        # counter tables, the oracle builds the global counters
+        # directly — hash equality attests the merge law itself
+        "agg_cms_frequencies": (
+            agg_cms_frequencies, AGG_CMS_FREQUENCIES_ORACLE,
+        ),
+        # r9-implemented product-analytics pair: strictly-ordered
+        # windowed funnel + daily cohort-retention grid, both
+        # integer/date-exact
+        "funnel_ordered_conversion": (
+            funnel_ordered_conversion, FUNNEL_ORDERED_CONVERSION_ORACLE,
+        ),
+        "cohort_daily_retention": (
+            cohort_daily_retention, COHORT_DAILY_RETENTION_ORACLE,
+        ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
         "dedup_fuzzy_prefix_block": (
