@@ -1,0 +1,271 @@
+"""Column-profiling queries: the data-quality summary a warehouse runs
+before trusting a new drop (null rates, cardinalities, ranges) — one
+output row per profiled column, every statistic an exact integer or a
+deterministically-rendered string so the DuckDB twin is hash-exact.
+
+Rendering rules (the cross-engine trap here is STRING FORMATTING, not
+arithmetic):
+  * longs render via CAST(x AS STRING) — identical on both engines;
+  * timestamps render truncated to whole seconds via strftime-style
+    formatting (sub-second trailing-zero trimming differs between the
+    engines' native casts);
+  * doubles render as exact CENTS integers (the money.py idiom —
+    min/max commute with the monotonic cents transform), never as a
+    float-to-string cast.
+
+UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+driver-style evidence via LOCALCHECK).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.events import load_events
+from ..sources.parquet_io import load_table
+
+PROFILE_FACT_COLUMNS_ORACLE = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+    SELECT col_name, data_type, n_rows, null_count, distinct_count,
+           min_repr, max_repr
+    FROM (
+        SELECT 1 AS ord, 'event_id' AS col_name, 'long' AS data_type,
+               n.n_rows,
+               n.n_rows - CAST(COUNT(event_id) AS BIGINT) AS null_count,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_count,
+               CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+               CAST(MAX(event_id) AS VARCHAR) AS max_repr
+        FROM events, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 2, 'ts', 'timestamp', n.n_rows,
+               n.n_rows - CAST(COUNT(ts) AS BIGINT),
+               CAST(COUNT(DISTINCT ts) AS BIGINT),
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+        FROM events, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 3, 'user_id', 'long', n.n_rows,
+               n.n_rows - CAST(COUNT(user_id) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR),
+               CAST(MAX(user_id) AS VARCHAR)
+        FROM events, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 4, 'event_type', 'string', n.n_rows,
+               n.n_rows - CAST(COUNT(event_type) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               MIN(event_type), MAX(event_type)
+        FROM events, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 5, 'value', 'double(cents)', n.n_rows,
+               n.n_rows - CAST(COUNT(value) AS BIGINT),
+               CAST(COUNT(DISTINCT value) AS BIGINT),
+               CAST(MIN(CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT))
+                    AS VARCHAR),
+               CAST(MAX(CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT))
+                    AS VARCHAR)
+        FROM events, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 6, 'props', 'string', n.n_rows,
+               n.n_rows - CAST(COUNT(props) AS BIGINT),
+               CAST(COUNT(DISTINCT props) AS BIGINT),
+               MIN(props), MAX(props)
+        FROM events, n GROUP BY n.n_rows
+    ) ORDER BY ord
+    """
+
+
+def profile_fact_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events fact: one row per column with null
+    count, exact distinct count, and deterministically-rendered
+    min/max (see module docstring for the rendering rules). This is
+    the pre-ingest data-quality gate a warehouse runs on every new
+    drop — the schema the output mirrors is what tools like Deequ /
+    dbt tests materialize.
+
+    Plan: ONE pass computes every per-column aggregate in a single
+    scalar row (Spark evaluates the COUNT/MIN/MAX family map-side and
+    folds one partial row per partition — no wide exchange at all for
+    those), PLUS one exact COUNT(DISTINCT) per column. Exact distincts
+    are the deliberate audit-grade choice at fixture scale and the
+    expensive term at 100 TB — the production swap is the mergeable
+    HLL register sketch (``agg_hll_registers`` in this package, same
+    output slot, documented error envelope); everything else in this
+    profile stays cheap at any scale. The 6-row presentation unpivots
+    the scalar row driver-side via a literal stack — no second scan."""
+    ev = load_events(spark, sf_dir)
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        # event_id
+        F.count("event_id").cast("long").alias("c1"),
+        F.countDistinct("event_id").cast("long").alias("d1"),
+        F.min("event_id").cast("string").alias("lo1"),
+        F.max("event_id").cast("string").alias("hi1"),
+        # ts
+        F.count("ts").cast("long").alias("c2"),
+        F.countDistinct("ts").cast("long").alias("d2"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("lo2"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("hi2"),
+        # user_id
+        F.count("user_id").cast("long").alias("c3"),
+        F.countDistinct("user_id").cast("long").alias("d3"),
+        F.min("user_id").cast("string").alias("lo3"),
+        F.max("user_id").cast("string").alias("hi3"),
+        # event_type
+        F.count("event_type").cast("long").alias("c4"),
+        F.countDistinct("event_type").cast("long").alias("d4"),
+        F.min("event_type").alias("lo4"),
+        F.max("event_type").alias("hi4"),
+        # value (cents rendering; min/max commute with the monotonic
+        # cents transform so aggregating the raw column is identical)
+        F.count("value").cast("long").alias("c5"),
+        F.countDistinct("value").cast("long").alias("d5"),
+        F.min(cents("value")).cast("string").alias("lo5"),
+        F.max(cents("value")).cast("string").alias("hi5"),
+        # props
+        F.count("props").cast("long").alias("c6"),
+        F.countDistinct("props").cast("long").alias("d6"),
+        F.min("props").alias("lo6"),
+        F.max("props").alias("hi6"),
+    )
+    cols = [
+        (1, "event_id", "long"),
+        (2, "ts", "timestamp"),
+        (3, "user_id", "long"),
+        (4, "event_type", "string"),
+        (5, "value", "double(cents)"),
+        (6, "props", "string"),
+    ]
+    stack = ", ".join(
+        f"{i}, '{name}', '{dt}', c{i}, d{i}, lo{i}, hi{i}"
+        for i, name, dt in cols
+    )
+    return (
+        agg.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS "
+                "(ord, col_name, data_type, cnt, distinct_count,"
+                " min_repr, max_repr)"
+            ),
+        )
+        .select(
+            "col_name",
+            "data_type",
+            "n_rows",
+            (F.col("n_rows") - F.col("cnt")).alias("null_count"),
+            "distinct_count",
+            "min_repr",
+            "max_repr",
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram_equi_depth: exact equal-frequency histogram via the
+# distributed rank decomposition. UNREGISTERED (r9 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_BUCKETS = 10
+
+HISTOGRAM_EQUI_DEPTH_ORACLE = f"""
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(l_quantity AS BIGINT),
+                            l_orderkey, l_linenumber
+               ) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lineitem
+    )
+    SELECT (rk - 1) * {HISTOGRAM_BUCKETS} // n AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo,
+           MAX(v) AS hi,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM r
+    GROUP BY (rk - 1) * {HISTOGRAM_BUCKETS} // n
+    ORDER BY bucket_id
+    """
+
+
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency (equi-depth) histogram of lineitem
+    quantity in HISTOGRAM_BUCKETS (10) buckets — the statistic
+    optimizers and data-quality monitors keep per column. Equi-depth
+    under HEAVY VALUE DUPLICATION (50 distinct quantities across the
+    whole fact) is exactly where a naive per-value histogram fails:
+    bucket boundaries must land INSIDE repeated-value runs, which
+    requires a global rank, not value counts alone.
+
+    The global rank is the same distributed decomposition
+    ``text_length_trim`` established (its docstring carries the full
+    argument): rank = (#rows with smaller value) + row_number within
+    the value group, under the total order (v, l_orderkey,
+    l_linenumber). The below/total table is the tiny per-value count
+    aggregate (<= 50 rows — its cumulative window is single-partition
+    over 50 rows, then broadcast back); the within-value row_number
+    window partitions BY value, and only (v, orderkey, linenumber)
+    longs ride that exchange. bucket = (rank-1)*k DIV n is exact
+    integer arithmetic, so bucket populations differ by at most one
+    row and the DuckDB twin (a literal global ROW_NUMBER — the
+    single-node formulation) is hash-exact.
+
+    At 100 TB the one structural caveat is distinct-value cardinality:
+    this plan wants #distinct values << #rows (true for quantities,
+    ratings, categorical codes). For near-unique value domains the
+    per-value table degenerates toward corpus size — the production
+    path there is pre-bucketing values into ~1e6 quantized cells first
+    (same plan, cells as values), trading exactness of boundaries
+    INSIDE a cell for a bounded below-table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    return equi_depth_frame(li)
+
+
+def equi_depth_frame(
+    li: DataFrame, buckets: int = HISTOGRAM_BUCKETS
+) -> DataFrame:
+    """Core of histogram_equi_depth over any (v: long, k1, k2) frame
+    with (v, k1, k2) a total order — split out so planted-duplication
+    tests can drive the rank decomposition and the equal-population
+    law directly."""
+    counts = li.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w_below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bounds = counts.select(
+        "v",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    w_within = Window.partitionBy("v").orderBy("k1", "k2")
+    ranked = (
+        li.withColumn("rw", F.row_number().over(w_within))
+        .join(F.broadcast(bounds), "v")
+        .select(
+            "v",
+            F.expr(
+                f"(below + rw - 1) * {buckets} DIV n_total"
+            ).alias("bucket_id"),
+        )
+    )
+    return (
+        ranked.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .orderBy("bucket_id")
+    )

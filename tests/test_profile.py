@@ -1,0 +1,91 @@
+"""Column-profile semantics on a planted frame with real nulls and
+duplicates (the fixtures are null-free, so the null accounting would
+otherwise only ever be exercised at zero)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from erathia_market_etl_spark.plans.profile_queries import (
+    profile_fact_columns,
+)
+
+
+def test_profile_counts_nulls_distincts_and_renderings(spark, tmp_path):
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 1.004, '{"a": 1}'),
+        (2, t0, 10, "view", 2.345, None),
+        (3, None, 11, None, None, None),
+        (4, t0 + dt.timedelta(seconds=5), None, "click", 2.345, '{"a": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/events.parquet")
+    got = {r["col_name"]: r.asDict() for r in
+           profile_fact_columns(spark, p).collect()}
+
+    assert all(v["n_rows"] == 4 for v in got.values())
+    assert got["ts"]["null_count"] == 1
+    assert got["ts"]["distinct_count"] == 2          # t0 twice, t0+5 once
+    assert got["ts"]["min_repr"] == "2024-03-01 12:00:00"
+    assert got["ts"]["max_repr"] == "2024-03-01 12:00:05"
+    assert got["user_id"]["null_count"] == 1
+    assert got["user_id"]["distinct_count"] == 2
+    assert got["event_type"]["null_count"] == 1
+    assert got["event_type"]["distinct_count"] == 2
+    assert got["value"]["null_count"] == 1
+    assert got["value"]["distinct_count"] == 2       # 2.345 deduped
+    # cents rendering rounds half up: 1.004 -> 100, 2.345 -> 235
+    assert got["value"]["min_repr"] == "100"
+    assert got["value"]["max_repr"] == "235"
+    assert got["props"]["null_count"] == 2
+    assert got["props"]["distinct_count"] == 1
+    assert got["event_id"]["null_count"] == 0
+    assert got["event_id"]["distinct_count"] == 4
+
+
+def test_equi_depth_splits_duplicated_values(spark):
+    """The case a per-value histogram cannot handle: 10 copies of value
+    1 and 5 copies of value 2 into 3 buckets must split INSIDE the
+    run of 1s — populations stay maximally equal and the boundary
+    buckets overlap in value range."""
+    from erathia_market_etl_spark.plans.profile_queries import (
+        equi_depth_frame,
+    )
+
+    rows = [(1, i, 0) for i in range(10)] + [(2, i, 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "v long, k1 long, k2 long")
+    got = [tuple(r) for r in equi_depth_frame(df, buckets=3).collect()]
+    assert got == [
+        (0, 5, 1, 1, 5),
+        (1, 5, 1, 1, 5),
+        (2, 5, 2, 2, 10),
+    ]
+
+
+def test_equi_depth_population_and_conservation_laws(spark):
+    """On a skewed random multiset: bucket populations differ by at
+    most one row, buckets are value-ordered, and row/sum totals are
+    conserved."""
+    import random
+
+    from erathia_market_etl_spark.plans.profile_queries import (
+        equi_depth_frame,
+    )
+
+    rng = random.Random(41)
+    vals = [rng.choice([1, 2, 2, 3, 5, 5, 5, 8, 13]) for _ in range(997)]
+    rows = [(v, i, 0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, k1 long, k2 long")
+    got = [r.asDict() for r in equi_depth_frame(df, buckets=7).collect()]
+    sizes = [r["n_rows"] for r in got]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == len(vals)
+    assert sum(r["sum_v"] for r in got) == sum(vals)
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] <= b["lo"]   # value-ordered buckets
