@@ -118,6 +118,12 @@ def _queued():
         FUNNEL_ORDERED_CONVERSION_ORACLE,
         funnel_ordered_conversion,
     )
+    from erathia_market_etl_spark.plans.profile_queries import (
+        HISTOGRAM_EQUI_DEPTH_ORACLE,
+        PROFILE_FACT_COLUMNS_ORACLE,
+        histogram_equi_depth,
+        profile_fact_columns,
+    )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_BPE_COMPRESSION_ORACLE,
         TEXT_BPE_MERGES_ORACLE,
@@ -208,6 +214,15 @@ def _queued():
         ),
         "cohort_daily_retention": (
             cohort_daily_retention, COHORT_DAILY_RETENTION_ORACLE,
+        ),
+        # r9-implemented data-quality surface: per-column profile with
+        # deterministic renderings, and the exact equi-depth histogram
+        # via the text_length_trim rank decomposition
+        "profile_fact_columns": (
+            profile_fact_columns, PROFILE_FACT_COLUMNS_ORACLE,
+        ),
+        "histogram_equi_depth": (
+            histogram_equi_depth, HISTOGRAM_EQUI_DEPTH_ORACLE,
         ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
