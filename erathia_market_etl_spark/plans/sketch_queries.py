@@ -292,22 +292,37 @@ def agg_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_frequencies_frame(li)
 
 
+def _cell_structs() -> list[F.Column]:
+    """One (r, col) struct per CMS hash row for a frame's ``x`` column."""
+    out = []
+    for r, salt in enumerate(CMS_SALTS):
+        key = f"x ^ {salt}" if salt else "x"
+        col = f"CAST(({_hash32_spark_sql(key)}) DIV {1 << 22} AS BIGINT)"
+        out.append(
+            F.struct(F.lit(r).alias("r"), F.expr(col).alias("col"))
+        )
+    return out
+
+
+def cms_counter_state(keys: DataFrame) -> DataFrame:
+    """The count-min COUNTER STATE of a (x: long < 2^32) frame:
+    (r, col, c) rows, one map-side-combinable aggregate bounded by
+    D x W rows on the wire. This is the mergeable unit — two frames'
+    states SUM-merge into the union's state (the monoid law
+    agg_cms_frequencies attests cross-engine; the streaming
+    maintenance sink appends one of these per micro-batch)."""
+    return (
+        keys.select("x", F.explode(F.array(*_cell_structs())).alias("cell"))
+        .select("cell.r", "cell.col")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def cms_frequencies_frame(li: DataFrame, top_k: int = CMS_TOP_K) -> DataFrame:
     """Core of agg_cms_frequencies over any (x: long < 2^32, mth: int)
     frame — split out so planted-key tests can drive the counter
     algebra, the merge law, and the one-sided error contract."""
-    def _cell_structs() -> list[F.Column]:
-        out = []
-        for r, salt in enumerate(CMS_SALTS):
-            key = f"x ^ {salt}" if salt else "x"
-            col = f"CAST(({_hash32_spark_sql(key)}) DIV {1 << 22} AS BIGINT)"
-            out.append(
-                F.struct(
-                    F.lit(r).alias("r"), F.expr(col).alias("col")
-                )
-            )
-        return out
-
     cells = li.select(
         "x", "mth", F.explode(F.array(*_cell_structs())).alias("cell")
     ).select("x", "mth", "cell.r", "cell.col")

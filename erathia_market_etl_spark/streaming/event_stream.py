@@ -392,3 +392,56 @@ def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
         ["batch_id", "day_start", "event_type"]
     )
     return merge_rollup_states(log.drop("batch_id"))
+
+
+def streaming_cms_append(keys: DataFrame, state_path: str) -> list[int]:
+    """Sketch-state maintenance under ingest — the count-min twin of
+    ``streaming_rollup_append``: for every micro-batch of keys
+    (column ``x``), compute the batch's D x W counter state
+    (plans.sketch_queries.cms_counter_state) and APPEND it to the
+    state log; serving merges on read. Returns processed batch ids.
+
+    Same append-only rationale as the rollup log (lost-update-free
+    under retries, batch_id rides along for exactly-once dedup), and
+    the slice is even smaller: at most D x W = 4096 counter rows per
+    batch regardless of batch size — a frequency sketch over an
+    unbounded stream maintained without ever re-touching history."""
+    from ..plans.sketch_queries import cms_counter_state
+
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            cms_counter_state(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    q = (
+        keys.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming count-min state log: SUM every
+    appended counter slice per (r, col). Identical output contract to
+    batch ``cms_counter_state`` over the full key log (pinned in
+    tests/test_streaming.py). Retry idempotence mirrors
+    ``read_rollup_state``: a retried foreachBatch re-appends the SAME
+    batch_id's identical slice, so one row per (batch_id, r, col)
+    before the SUM keeps the read side exactly-once; the dedup
+    shuffles only counter rows (batches x D x W), never keys."""
+    log = spark.read.parquet(state_path).dropDuplicates(
+        ["batch_id", "r", "col"]
+    )
+    return (
+        log.groupBy("r", "col")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
