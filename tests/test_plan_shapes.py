@@ -442,3 +442,68 @@ def test_gap_fill_spine_is_narrow_single_window(spark):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert cols <= {"ts", "event_type", "value"}, cols
+
+
+def test_histogram_equi_depth_no_single_partition_over_corpus(spark):
+    """histogram_equi_depth inherits text_length_trim's rank-
+    decomposition contract: the per-row rank window partitions BY value
+    (distributed), and any SinglePartition exchange aggregates before
+    exchanging (the <=50-row per-value count table), never sits over
+    the lineitem scan."""
+    from erathia_market_etl_spark.plans.profile_queries import (
+        histogram_equi_depth,
+    )
+
+    plan = plan_of(histogram_equi_depth(spark, SF_T2))
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(v#\d+", plan
+    ), plan
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    for i in sp:
+        below = "\n".join(lines[i + 1:])
+        agg_pos = below.find("HashAggregate")
+        scan_pos = below.find("FileScan")
+        assert 0 <= agg_pos < scan_pos, (
+            f"SinglePartition exchange not fed by an aggregate:\n{plan}"
+        )
+
+
+def test_sketch_exchanges_are_state_sized(spark):
+    """The mergeable-sketch selling point must be visible in the plan:
+    both the HLL register aggregate and the CMS counter aggregate plan
+    as two-phase HashAggregates (map-side partial BEFORE the exchange),
+    so each map partition ships at most state-sized rows, and the CMS
+    probe join is a BroadcastHashJoin (the top-k workload never
+    shuffles the counters)."""
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        agg_cms_frequencies,
+        agg_hll_registers,
+    )
+
+    hll_plan = plan_of(agg_hll_registers(spark, SF_T2))
+    # the register build sits behind a localCheckpoint (it feeds two
+    # consumers), so the visible two-phase aggregate is the MERGE over
+    # the register table: partial_max(r) before the idx exchange
+    assert re.search(r"partial_max\(r#", hll_plan), hll_plan
+
+    cms_plan = plan_of(agg_cms_frequencies(spark, SF_T2))
+    assert "partial_count" in cms_plan, cms_plan
+    assert "BroadcastHashJoin" in cms_plan, cms_plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Every join and aggregate in the ordered funnel keys on user_id;
+    the plan must contain no cartesian/broadcast-nested-loop join and
+    no join on any other key."""
+    from erathia_market_etl_spark.plans.temporal_queries import (
+        funnel_ordered_conversion,
+    )
+
+    plan = plan_of(funnel_ordered_conversion(spark, SF_T2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # all equi-joins key on user_id
+    for m in re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                         r" \[([a-z_#0-9]+)\]", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
