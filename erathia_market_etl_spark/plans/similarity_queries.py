@@ -1134,3 +1134,94 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_cells = max(SEM_MIN_CELLS, math.isqrt(emb.count()))
     return semantic_cell_pairs(emb, n_cells)
+
+
+# ---------------------------------------------------------------------------
+# emb_random_projection: Johnson-Lindenstrauss sign projection 64 -> 16.
+# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16
+
+def _jl_sign_sql(pos: str, j: str, spark_side: bool) -> str:
+    """±1 sign of projection cell (pos, j): low bit of the shared
+    32-bit avalanche over the cell index — deterministic, engine-
+    portable, and never materialized as a matrix."""
+    from .sketch_queries import _hash32_spark_sql, _hash32_sql
+
+    h = (_hash32_spark_sql if spark_side else _hash32_sql)(
+        f"({pos}) * {JL_DIM} + ({j})"
+    )
+    return f"(1 - 2 * (({h}) % 2))"
+
+
+EMB_RANDOM_PROJECTION_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(SIGN(CAST(embedding[u.i] AS DOUBLE))
+                    * FLOOR(ABS(CAST(embedding[u.i] AS DOUBLE))
+                            * 1000000 + 0.5e0) AS BIGINT) AS micro
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS i) u
+        WHERE len(embedding) = 64
+    ),
+    cells AS (
+        SELECT e.vec_id, j.j,
+               e.micro * {_jl_sign_sql('e.pos', 'j.j', spark_side=False)}
+                   AS term
+        FROM e, (SELECT unnest(generate_series(0, {JL_DIM - 1})) AS j) j
+    )
+    SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS proj_micro
+    FROM cells
+    GROUP BY vec_id, j
+    ORDER BY vec_id, j
+    """
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> JL_DIM (16)
+    by a deterministic ±1 sign matrix (Achlioptas 2003's database-
+    friendly projection): cell sign (i, j) is the low bit of the shared
+    32-bit avalanche over i*16+j, so the matrix is NEVER materialized
+    or broadcast — each executor recomputes signs as column arithmetic.
+    Elements are micro-quantized once (the emb_label_centroids idiom),
+    so every projected coordinate is an exact ±micro long SUM and the
+    DuckDB twin is hash-exact. The twin deliberately uses a DIFFERENT
+    formulation (explicit 64x16 cell expansion + GROUP BY) than the
+    Spark side (16 conditional SUMs in ONE vec_id aggregation over the
+    64 posexploded rows — map-side combinable, no j-expansion ever
+    rides a shuffle): identical integers from independent shapes.
+
+    This is the standard cheap pre-step in front of every distance
+    operator in this package — at 100 TB, projecting 64-d floats to
+    16 dims cuts ANN/LSH/SemDeDup shuffle bytes 4x while preserving
+    pairwise distances within the JL envelope (distance-correlation
+    pin in tests/test_similarity.py). Output long rows (vec_id, j,
+    proj_micro) per the registry's scalar-column contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    val = F.col("val").cast("double")
+    micro = (
+        F.signum(val) * F.floor(F.abs(val) * F.lit(1000000.0) + F.lit(0.5))
+    ).cast("long")
+    e = (
+        emb.filter(F.size("embedding") == 64)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "pos", micro.alias("micro"))
+    )
+    sums = e.groupBy("vec_id").agg(*[
+        F.sum(
+            F.col("micro")
+            * F.expr(_jl_sign_sql("pos", str(j), spark_side=True))
+        ).cast("long").alias(f"p{j}")
+        for j in range(JL_DIM)
+    ])
+    stack = ", ".join(f"{j}, p{j}" for j in range(JL_DIM))
+    return (
+        sums.select(
+            "vec_id",
+            F.expr(f"stack({JL_DIM}, {stack}) AS (j, proj_micro)"),
+        )
+        .select("vec_id", F.col("j").cast("long").alias("j"), "proj_micro")
+        .orderBy("vec_id", "j")
+    )

@@ -54,8 +54,13 @@ _EST_NUM = 389977532918661120
 
 def _hash32_sql(x: str) -> str:
     """The avalanche hash as engine-portable SQL (DuckDB spelling uses
-    xor(); Spark's twin below uses ^). Input must be < 2^32."""
-    h1 = f"(xor({x} // 65536, {x}) * {_MIX}) % {_MOD32}"
+    xor(); Spark's twin below uses ^). Input must be < 2^32. The input
+    expression is re-parenthesized before the `// 65536` shift — a
+    compound input like `a * 16 + b` would otherwise bind as
+    `a*16 + (b // 65536)` and fold the xor to zero (caught by the JL
+    projection's cross-engine compare; the Spark twin always
+    parenthesized)."""
+    h1 = f"(xor(({x}) // 65536, ({x})) * {_MIX}) % {_MOD32}"
     h2 = f"(xor(({h1}) // 65536, ({h1})) * {_MIX}) % {_MOD32}"
     return f"xor(({h2}) // 65536, ({h2}))"
 

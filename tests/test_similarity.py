@@ -529,3 +529,53 @@ def test_semdedup_sqrt_cells_recovers_capped_pair(spark):
     assert (1022, 1023) in with_sqrt  # sqrt(n) cells recover the pair
     rec = with_sqrt[(1022, 1023)]
     assert rec["cid"] == 20 and not rec["truncated"] and rec["cell_n"] == 3
+
+
+def test_jl_projection_matches_python_and_preserves_norms(spark):
+    """emb_random_projection semantics: (1) every projected coordinate
+    equals the pure-Python sign projection over the same micro-
+    quantized elements — catches both the hash and the quantization
+    drifting; (2) the JL norm-preservation envelope: for every fixture
+    vector, sum_j proj_j^2 / JL_DIM stays within a generous
+    concentration band of the original micro-norm^2 (this is the
+    property that makes the projection usable as a distance pre-step
+    at all; the precedence bug this query's compare caught produced
+    sign matrices that FAIL this test)."""
+    import math
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        JL_DIM,
+        emb_random_projection,
+    )
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    M32 = 1 << 32
+
+    def h32(x):
+        x %= M32
+        x = ((x >> 16) ^ x) * 0x45D9F3B % M32
+        x = ((x >> 16) ^ x) * 0x45D9F3B % M32
+        return (x >> 16) ^ x
+
+    def sign(pos, j):
+        return 1 - 2 * (h32(pos * JL_DIM + j) % 2)
+
+    def micro(v):
+        return int(math.copysign(math.floor(abs(float(v)) * 1e6 + 0.5), v))
+
+    emb = {
+        r["vec_id"]: [micro(v) for v in r["embedding"]]
+        for r in load_table(spark, sf, "embeddings").limit(20).collect()
+    }
+    got = {}
+    for r in emb_random_projection(spark, sf).collect():
+        got.setdefault(r["vec_id"], {})[r["j"]] = r["proj_micro"]
+
+    for vid, m in emb.items():
+        for j in range(JL_DIM):
+            want = sum(m[i] * sign(i, j) for i in range(64))
+            assert got[vid][j] == want, (vid, j)
+        norm2 = sum(x * x for x in m)
+        proj2 = sum(got[vid][j] ** 2 for j in range(JL_DIM)) / JL_DIM
+        assert 0.3 * norm2 <= proj2 <= 2.2 * norm2, (vid, proj2 / norm2)
