@@ -80,6 +80,10 @@ def _queued():
         _ivfpq_oracle,
         sim_ivfpq_topk,
     )
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        EMB_RANDOM_PROJECTION_ORACLE,
+        emb_random_projection,
+    )
     from erathia_market_etl_spark.plans.streaming_queries import (
         stream_bloom_gate,
         stream_quality_gate,
@@ -223,6 +227,13 @@ def _queued():
         ),
         "histogram_equi_depth": (
             histogram_equi_depth, HISTOGRAM_EQUI_DEPTH_ORACLE,
+        ),
+        # r9-implemented JL sign projection 64->16: hash-derived ±1
+        # matrix never materialized; Spark's 16 conditional sums vs the
+        # oracle's explicit cell expansion — identical exact integers
+        # from independent formulations
+        "emb_random_projection": (
+            emb_random_projection, EMB_RANDOM_PROJECTION_ORACLE,
         ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
