@@ -579,3 +579,21 @@ def test_jl_projection_matches_python_and_preserves_norms(spark):
         norm2 = sum(x * x for x in m)
         proj2 = sum(got[vid][j] ** 2 for j in range(JL_DIM)) / JL_DIM
         assert 0.3 * norm2 <= proj2 <= 2.2 * norm2, (vid, proj2 / norm2)
+
+
+def test_jl_rerank_recall_floor(spark):
+    """The JL-shortlist composition must actually retrieve: recall@10
+    vs the exact brute-force top-10 stays >= 0.5 on the fixture (the
+    adversarial random-vector case; measured 0.8 at sf0.001 with
+    d'=32 / shortlist 128 — the (16, 64) configuration scores 0.3 and
+    FAILS this floor, which is why retrieval gets its own dim)."""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        sim_topk_bruteforce,
+        sim_topk_jl_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    jl = {r["vec_id"] for r in sim_topk_jl_rerank(spark, sf).collect()}
+    bf = {r["vec_id"] for r in sim_topk_bruteforce(spark, sf).collect()}
+    assert len(jl) == 10
+    assert len(jl & bf) / 10 >= 0.5, jl & bf
