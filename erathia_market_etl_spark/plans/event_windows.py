@@ -927,3 +927,71 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_event_transitions: first-order behavior model of the event
+# stream. UNREGISTERED (r9 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+MARKOV_EVENT_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total
+        FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, tot.from_total,
+           t.n * 1000000 // tot.from_total AS prob_ppm
+    FROM t JOIN tot ON t.from_type = tot.from_type
+    ORDER BY t.from_type, t.to_type
+    """
+
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event behavior:
+    for each (from_type, to_type) pair, the count of consecutive
+    occurrences within a user's (ts, event_id)-ordered stream and the
+    transition probability as exact parts-per-million (integer
+    multiply-then-DIV). The standard product-analytics behavior model —
+    next-action prediction baselines, funnel-shape discovery, bot
+    detection (near-deterministic rows stand out).
+
+    Plan: ONE user_id exchange feeds the LEAD window; the transition
+    aggregate is map-side combinable down to |types|^2 rows; totals
+    derive from THAT table (group-count-sized, never a second corpus
+    scan). Output is strings/longs only — hash-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    t = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("from_total")
+    )
+    return (
+        t.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "from_total",
+            F.expr("n * 1000000 DIV from_total").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

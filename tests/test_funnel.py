@@ -94,3 +94,32 @@ def test_cohort_daily_retention_planted(spark, tmp_path):
         ("2024-01-01", 2, 2, 2, 1000000),
         ("2024-01-02", 0, 1, 1, 1000000),
     ]
+
+
+def test_markov_transitions_planted(spark, tmp_path):
+    """Hand-checkable transition matrix: u1's a->a->b->a and u2's b->b
+    yield known counts; transitions never cross users; ppm rows are
+    exact integer divisions and sum to <= 1e6 per from_type."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        markov_event_transitions,
+    )
+
+    rows = [
+        (1, "a", 0), (1, "a", 10), (1, "b", 20), (1, "a", 30),
+        (2, "b", 0), (2, "b", 10),
+    ]
+    out = [tuple(r) for r in markov_event_transitions(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()]
+    # u1 transitions: a->a, a->b, b->a ; u2: b->b. No cross-user b->?
+    # from u1's trailing 'a' to u2's leading 'b'.
+    assert out == [
+        ("a", "a", 1, 2, 500000),
+        ("a", "b", 1, 2, 500000),
+        ("b", "a", 1, 2, 500000),
+        ("b", "b", 1, 2, 500000),
+    ]
+    per_from: dict[str, int] = {}
+    for f, _t, _n, _tot, ppm in out:
+        per_from[f] = per_from.get(f, 0) + ppm
+    assert all(v <= 1_000_000 for v in per_from.values())
