@@ -82,7 +82,9 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         EMB_RANDOM_PROJECTION_ORACLE,
+        SIM_TOPK_JL_RERANK_ORACLE,
         emb_random_projection,
+        sim_topk_jl_rerank,
     )
     from erathia_market_etl_spark.plans.streaming_queries import (
         stream_bloom_gate,
@@ -90,11 +92,13 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.event_windows import (
         COHORT_DAILY_RETENTION_ORACLE,
+        MARKOV_EVENT_TRANSITIONS_ORACLE,
         ROLLUP_MULTIRESOLUTION_ORACLE,
         SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
         cohort_daily_retention,
+        markov_event_transitions,
         rollup_multiresolution,
         scd2_user_tier_history,
         timeseries_gap_fill,
@@ -234,6 +238,17 @@ def _queued():
         # from independent formulations
         "emb_random_projection": (
             emb_random_projection, EMB_RANDOM_PROJECTION_ORACLE,
+        ),
+        # r9-implemented JL-shortlist retrieval: the third pruning
+        # composition (vs IVF / IVF+PQ) — every stage integer-exact, so
+        # the WHOLE retrieval incl. shortlist membership hash-attests
+        "sim_topk_jl_rerank": (
+            sim_topk_jl_rerank, SIM_TOPK_JL_RERANK_ORACLE,
+        ),
+        # r9-implemented first-order Markov transition matrix over
+        # per-user event sequences, exact ppm probabilities
+        "markov_event_transitions": (
+            markov_event_transitions, MARKOV_EVENT_TRANSITIONS_ORACLE,
         ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
