@@ -1830,3 +1830,94 @@ def phrase_search_frame(docs: DataFrame,
         )
         .orderBy("phrase", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_top_terms_tfidf: per-document keyword extraction. UNREGISTERED
+# (r9 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+TEXT_TOP_TERMS_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(COUNT(*) OVER (PARTITION BY tf.term) AS BIGINT) AS df,
+               n.n_docs
+        FROM tf, n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(tf * (2 * (n_docs - df) + 1) AS DOUBLE)
+                            / (2 * df + 1) DESC,
+                            term
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, rank
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """
+
+
+def text_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the TFIDF_TOP_K (5) most
+    distinctive terms per document by tf-idf, with the BM25-style
+    RATIONAL idf — score = tf * (2*(N - df) + 1) / (2*df + 1), an
+    integer numerator and denominator whose single IEEE division is
+    correctly rounded on both engines (the `ln()` formulation is not;
+    bm25_topk_postings established the idiom). Deterministic term
+    tie-break makes the rank hash-exact.
+
+    Plan: the corpus is tokenized ONCE into (doc, term) tf counts (one
+    map-side-combinable aggregate); df is a window over the SAME
+    subtree partitioned by term (single tokenization — the
+    bm25_topk_postings discipline, no second corpus scan); the final
+    rank window partitions by doc_id and its rank <= k cut pushes into
+    the window sort as WindowGroupLimit. Nothing wider than
+    (doc_id, term, counts) rides any exchange. At 100 TB keyword
+    extraction is exactly this pipeline with a stopword/df-floor
+    pre-filter (one WHERE on the tf table — the same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.parquet_io import fan_out
+
+    tf = (
+        fan_out(docs)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w_df = Window.partitionBy("term")
+    # n_docs is the distinct doc count, a scalar: a broadcast 1-row
+    # cross join, never a global window over the term table
+    n_docs = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    score = (
+        (F.col("tf") * (2 * (F.col("n_docs") - F.col("df")) + 1))
+        .cast("double") / (2 * F.col("df") + 1)
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df).cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    )

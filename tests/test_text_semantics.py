@@ -651,3 +651,36 @@ def test_phrase_search_single_corpus_pass(spark):
     assert "FileScan" not in plan          # corpus read happened at checkpoint
     assert plan.count("Scan ExistingRDD") == 2  # fit + probe, same RDD
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_downranks_corpus_wide_terms(spark, tmp_path):
+    """Keyword-extraction semantics on a planted corpus: a term in
+    EVERY document ('the') must rank below a document-unique term even
+    when its tf is higher, and the rational-idf score ordering is the
+    hand-computed one."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_top_terms_tfidf,
+    )
+
+    docs = [
+        (1, "the the the zebra", "en", "s", 0),
+        (2, "the apple", "en", "s", 0),
+        (3, "the banana banana", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/documents.parquet")
+    got = {}
+    for r in text_top_terms_tfidf(spark, p).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"])
+        )
+    # doc 1: zebra (tf=1, df=1) must outrank the (tf=3, df=3):
+    # zebra = 1*(2*(3-1)+1)/(2*1+1) = 5/3 ; the = 3*(2*0+1)/7 = 3/7
+    assert got[1][0][1] == "zebra"
+    assert got[1][1][1] == "the"
+    # doc 3: banana (tf=2, df=1) -> 2*5/3 = 10/3 outranks the
+    assert got[3][0][1] == "banana"
