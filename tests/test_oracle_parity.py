@@ -67,8 +67,10 @@ _RETIRED = [
 # compare artifact; see tools/localcheck.py).
 def _queued():
     from erathia_market_etl_spark.plans.sampling_queries import (
+        SAMPLE_K_PER_GROUP_ORACLE,
         SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
         _leakage_safe_oracle,
+        sample_k_per_group,
         sample_leakage_safe_splits,
         sample_temperature_mixture,
     )
@@ -140,12 +142,14 @@ def _queued():
         TEXT_LM_FAMILIARITY_ORACLE,
         TEXT_PHRASE_SEARCH_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
+        TEXT_TOP_TERMS_TFIDF_ORACLE,
         text_bpe_compression,
         text_bpe_merges,
         text_chunk_overlap,
         text_duplicate_spans,
         text_lm_familiarity,
         text_phrase_search,
+        text_top_terms_tfidf,
     )
 
     return {
@@ -249,6 +253,16 @@ def _queued():
         # per-user event sequences, exact ppm probabilities
         "markov_event_transitions": (
             markov_event_transitions, MARKOV_EVENT_TRANSITIONS_ORACLE,
+        ),
+        # r9-implemented per-stratum fixed-size sample: deterministic
+        # hash order, WindowGroupLimit plan pin
+        "sample_k_per_group": (
+            sample_k_per_group, SAMPLE_K_PER_GROUP_ORACLE,
+        ),
+        # r9-implemented per-doc keyword extraction: rational-idf
+        # tf-idf top-k, single tokenization, hash-exact ranks
+        "text_top_terms_tfidf": (
+            text_top_terms_tfidf, TEXT_TOP_TERMS_TFIDF_ORACLE,
         ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits

@@ -507,3 +507,15 @@ def test_funnel_reuses_user_partitioning(spark):
     for m in re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
                          r" \[([a-z_#0-9]+)\]", plan):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_sample_k_per_group_uses_window_group_limit(spark):
+    """The rn <= k cut must push into the window sort (WindowGroupLimit)
+    so each map task keeps a running top-k per source before the
+    exchange — the topk_per_group discipline applied to sampling."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        sample_k_per_group,
+    )
+
+    plan = plan_of(sample_k_per_group(spark, SF_T2))
+    assert "WindowGroupLimit" in plan, plan
