@@ -995,3 +995,144 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting_daily: DAU split into new / returning (+ WAU).
+# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+GROWTH_ACCOUNTING_DAILY_ORACLE = """
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS first_day FROM daily GROUP BY user_id
+    ),
+    flagged AS (
+        SELECT daily.d, daily.user_id,
+               daily.d = f.first_day AS is_new
+        FROM daily JOIN firsts f ON daily.user_id = f.user_id
+    ),
+    dau AS (
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users
+        FROM flagged GROUP BY d
+    ),
+    wau AS (
+        SELECT a.d, CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT d FROM daily) a
+        JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d
+        GROUP BY a.d
+    )
+    SELECT dau.d AS day, dau.dau, dau.new_users,
+           dau.dau - dau.new_users AS returning_users,
+           wau.wau,
+           dau.dau * 1000000 // wau.wau AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """
+
+
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the DAU/WAU board metric): per day, the
+    distinct active users split into NEW (first-ever-seen that day) and
+    RETURNING, the trailing-7-day WAU, and DAU/WAU stickiness as exact
+    parts-per-million. All counts are exact integers over (user, day)
+    facts — hash-exact.
+
+    Plan: the (user, day) dedup and first-day table are the cohort
+    query's stages (one user-keyed aggregate each); the WAU term is a
+    bounded self-RANGE-join of the deduped day table against the
+    distinct-days spine — the join expands each (user, day) row into
+    at most 7 spine days, so the intermediate is 7x the deduped table,
+    never events x days. At 100 TB the deduped (user, day) table is
+    the only corpus-derived input to every stage."""
+    daily = (
+        load_events(spark, sf_dir)
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint()  # feeds firsts, dau, and the WAU range join
+    )
+    firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    flagged = daily.join(firsts, "user_id").select(
+        "d", "user_id", (F.col("d") == F.col("first_day")).alias("is_new")
+    )
+    dau = flagged.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long").alias("new_users"),
+    )
+    spine = daily.select("d").distinct().select(F.col("d").alias("sd"))
+    wau = (
+        spine.join(
+            daily,
+            (F.col("d") >= F.date_sub(F.col("sd"), 6))
+            & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["sd"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).alias("returning_users"),
+            "wau",
+            F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# path_trigrams_top: most common 3-step behavior paths. UNREGISTERED
+# (r9 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+PATH_TRIGRAMS_TOP_ORACLE = f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {PATH_TOP_K}
+    """
+
+
+def path_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PATH_TOP_K (20) most common 3-step event paths across users
+    (the path-analysis complement of the first-order Markov matrix —
+    trigrams expose patterns transition pairs factor away, e.g.
+    view->click->purchase vs view->click->error). Same shape economics
+    as markov_event_transitions: ONE user_id exchange feeds both LEAD
+    windows (same spec — one Window node), counts fold map-side to at
+    most |types|^3 rows, and the cut is TakeOrderedAndProject with a
+    full deterministic tiebreak."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(PATH_TOP_K)
+    )

@@ -123,3 +123,48 @@ def test_markov_transitions_planted(spark, tmp_path):
     for f, _t, _n, _tot, ppm in out:
         per_from[f] = per_from.get(f, 0) + ppm
     assert all(v <= 1_000_000 for v in per_from.values())
+
+
+def test_growth_accounting_planted(spark, tmp_path):
+    """Hand-computed growth grid: day 1 all-new; a returning user and a
+    fresh user on day 2; WAU accumulates the trailing 7 days; dau =
+    new + returning identically."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        growth_accounting_daily,
+    )
+
+    day = 86400
+    rows = [
+        (1, "view", 0), (2, "view", 10),                  # day 1: u1, u2
+        (1, "click", day), (3, "view", day + 5),          # day 2: u1 ret, u3 new
+        (3, "view", 9 * day),                             # day 10: u3 ret (WAU window reset)
+    ]
+    out = {str(r["day"]): r.asDict() for r in growth_accounting_daily(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()}
+    d1, d2, d10 = out["2024-01-01"], out["2024-01-02"], out["2024-01-10"]
+    assert (d1["dau"], d1["new_users"], d1["returning_users"], d1["wau"]) == (2, 2, 0, 2)
+    assert (d2["dau"], d2["new_users"], d2["returning_users"], d2["wau"]) == (2, 1, 1, 3)
+    # day 10: only u3 active; days 4-10 window contains only day 10
+    assert (d10["dau"], d10["new_users"], d10["returning_users"], d10["wau"]) == (1, 0, 1, 1)
+    for r in out.values():
+        assert r["dau"] == r["new_users"] + r["returning_users"]
+        assert r["stickiness_ppm"] == r["dau"] * 1_000_000 // r["wau"]
+
+
+def test_path_trigrams_planted(spark, tmp_path):
+    """Trigrams never cross users and count overlapping windows: u1's
+    a,b,a,b yields (a,b,a) and (b,a,b) once each; u2's c,c,c,c yields
+    (c,c,c) twice."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        path_trigrams_top,
+    )
+
+    rows = [
+        (1, "a", 0), (1, "b", 1), (1, "a", 2), (1, "b", 3),
+        (2, "c", 0), (2, "c", 1), (2, "c", 2), (2, "c", 3),
+    ]
+    out = {(r["e1"], r["e2"], r["e3"]): r["n"] for r in path_trigrams_top(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()}
+    assert out == {("c", "c", "c"): 2, ("a", "b", "a"): 1, ("b", "a", "b"): 1}
