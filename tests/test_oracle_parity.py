@@ -99,8 +99,12 @@ def _queued():
         SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
+        GROWTH_ACCOUNTING_DAILY_ORACLE,
+        PATH_TRIGRAMS_TOP_ORACLE,
         cohort_daily_retention,
+        growth_accounting_daily,
         markov_event_transitions,
+        path_trigrams_top,
         rollup_multiresolution,
         scd2_user_tier_history,
         timeseries_gap_fill,
@@ -263,6 +267,14 @@ def _queued():
         # tf-idf top-k, single tokenization, hash-exact ranks
         "text_top_terms_tfidf": (
             text_top_terms_tfidf, TEXT_TOP_TERMS_TFIDF_ORACLE,
+        ),
+        # r9-implemented growth-accounting pair: DAU new/returning split
+        # + trailing-7d WAU, and the top 3-step behavior paths
+        "growth_accounting_daily": (
+            growth_accounting_daily, GROWTH_ACCOUNTING_DAILY_ORACLE,
+        ),
+        "path_trigrams_top": (
+            path_trigrams_top, PATH_TRIGRAMS_TOP_ORACLE,
         ),
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
