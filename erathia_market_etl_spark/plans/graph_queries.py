@@ -234,3 +234,89 @@ def graph_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), "part_key")
         .limit(TRIANGLE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# basket_pair_lift: market-basket association strength (support + lift).
+# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 20
+
+BASKET_PAIR_LIFT_ORACLE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+    freq AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY p
+    ),
+    pairs AS (
+        SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS support
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT pr.x, pr.y, pr.support,
+           fx.cnt AS cnt_x, fy.cnt AS cnt_y,
+           pr.support * n.n_orders * 1000000 // (fx.cnt * fy.cnt)
+               AS lift_ppm
+    FROM pairs pr
+    JOIN freq fx ON pr.x = fx.p
+    JOIN freq fy ON pr.y = fy.p
+    CROSS JOIN n
+    ORDER BY support DESC, x, y
+    LIMIT {BASKET_TOP_K}
+    """
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the BASKET_TOP_K (20) most
+    co-purchased part pairs with their support (co-occurrence count)
+    and LIFT — support(x,y)·N / (cnt(x)·cnt(y)) as exact
+    parts-per-million (lift > 1e6 means the pair co-occurs more than
+    independence predicts; the Apriori/recommender association
+    strength). The pair table is the SAME bounded per-order expansion
+    the triangle query builds its edges from — O(basket²) per order,
+    never corpus-quadratic — kept WITH its co-occurrence counts here
+    instead of deduplicated.
+
+    Plan: one orderkey exchange for the distinct (order, part) table
+    feeding both the pair self-join and the part-frequency aggregate;
+    the pair aggregate folds map-side; part frequencies ride BROADCAST
+    joins back onto the top pairs; the single-row N is a broadcast
+    cross join. max product support·N·1e6 ~ 2e14 — inside int64.
+    Production adds a min-support HAVING on the pair aggregate (the
+    same knob the triangle query documents)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # feeds pairs, freq, and N
+    )
+    n = li.agg(F.countDistinct("o").cast("long").alias("n_orders"))
+    freq = li.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = li.select("o", F.col("p").alias("x"))
+    b = li.select("o", F.col("p").alias("y"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.desc("support"), "x", "y")
+        .limit(BASKET_TOP_K)
+    )
+    fx = freq.select(F.col("p").alias("x"), F.col("cnt").alias("cnt_x"))
+    fy = freq.select(F.col("p").alias("y"), F.col("cnt").alias("cnt_y"))
+    return (
+        pairs.join(F.broadcast(fx), "x")
+        .join(F.broadcast(fy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x", "y", "support", "cnt_x", "cnt_y",
+            F.expr(
+                "support * n_orders * 1000000 DIV (cnt_x * cnt_y)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("support"), "x", "y")
+    )

@@ -408,3 +408,39 @@ def test_triangle_counts_match_bruteforce_random(spark):
     got = {r["v"]: (r["degree"], r["triangles"])
            for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+def test_basket_pair_lift_planted(spark, tmp_path):
+    """Lift semantics: a pair that ALWAYS co-occurs scores lift 2e6
+    (twice independence) while a pair involving a part present in
+    every order scores exactly 1e6 (independence) — the association
+    measure frequency alone cannot express."""
+    from erathia_market_etl_spark.plans.graph_queries import (
+        basket_pair_lift,
+    )
+
+    # 4 orders; parts 1,2 co-occur in exactly orders 1,2; part 3 rides
+    # every order. One duplicate (o1, p1) line pins the DISTINCT.
+    rows = [
+        (1, 1), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3),
+        (3, 3), (4, 3),
+    ]
+    df = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01")
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", __import__("pyspark").sql.functions.col("l_shipdate").cast("date"))
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/lineitem.parquet")
+    out = {(r["x"], r["y"]): r.asDict() for r in
+           basket_pair_lift(spark, p).collect()}
+    # pair (1,2): support 2, cnt 2/2, N=4 -> lift = 2*4e6/4 = 2e6
+    assert out[(1, 2)]["support"] == 2
+    assert out[(1, 2)]["lift_ppm"] == 2_000_000
+    # pair (1,3): support 2, cnt_1=2, cnt_3=4 -> 2*4e6/8 = 1e6 exactly
+    assert out[(1, 3)]["lift_ppm"] == 1_000_000
+    assert out[(2, 3)]["lift_ppm"] == 1_000_000
