@@ -117,8 +117,10 @@ def _queued():
         dedup_fuzzy_prefix_block,
     )
     from erathia_market_etl_spark.plans.graph_queries import (
+        BASKET_PAIR_LIFT_ORACLE,
         GRAPH_PAGERANK_INFLUENCE_ORACLE,
         GRAPH_TRIANGLE_COHESION_ORACLE,
+        basket_pair_lift,
         graph_pagerank_influence,
         graph_triangle_cohesion,
     )
@@ -211,6 +213,9 @@ def _queued():
         "graph_triangle_cohesion": (
             graph_triangle_cohesion, GRAPH_TRIANGLE_COHESION_ORACLE,
         ),
+        # r9-implemented market-basket association mining: support +
+        # exact-ppm lift over the same bounded per-order pair expansion
+        "basket_pair_lift": (basket_pair_lift, BASKET_PAIR_LIFT_ORACLE),
         # r9-implemented mergeable HLL register algebra: integer-exact
         # registers/denominator/estimate, merged 'all' row attesting
         # the max-merge law; the avalanche hash stays inside int64 on
