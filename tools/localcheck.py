@@ -83,11 +83,15 @@ def main() -> None:
         status = "OK" if out[name]["hash_match"] else "FAIL"
         print(f"  {name} [{tag}]: {status}", file=sys.stderr)
 
+    green = sum(1 for v in out.values() if v["hash_match"])
+    # self-describing artifact: record which SF produced these rows
+    # (r9 added an sf0.1 twin next to the per-round sf0.01 artifact)
+    out["_meta"] = {"round": rnd, "sf_dir": sf_dir,
+                    "green": green, "total": len(out)}
     path = root / f"LOCALCHECK_r{rnd:02d}.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
-    green = sum(1 for v in out.values() if v["hash_match"])
     print(json.dumps({"round": rnd, "sf_dir": sf_dir, "green": green,
-                      "total": len(out), "artifact": str(path)}))
+                      "total": len(out) - 1, "artifact": str(path)}))
     spark.stop()
 
 
