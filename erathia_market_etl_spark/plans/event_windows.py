@@ -1136,3 +1136,169 @@ def path_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# ohlc_hourly + twap_daily: market-data aggregation shapes over the
+# irregular event stream. UNREGISTERED (r9 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+OHLC_HOURLY_ORACLE = """
+    WITH px AS (
+        SELECT event_type, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start, cents,
+               ROW_NUMBER() OVER w_asc AS rn_open,
+               ROW_NUMBER() OVER w_desc AS rn_close
+        FROM px
+        WINDOW w_asc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                         ORDER BY ts, event_id),
+               w_desc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                          ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, hour_start,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM ranked
+    GROUP BY event_type, hour_start
+    ORDER BY event_type, hour_start
+    """
+
+
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks per event type — the market-data
+    aggregation the reference's domain (a market ETL) implies but never
+    ships: open/close are the first/last tick under the deterministic
+    total order (ts, event_id) (a bare arg_min/first over ts would be
+    tie-nondeterministic and engines would disagree), high/low are
+    plain MIN/MAX, prices ride exact cents. Formulated as two
+    row_number windows over ONE (type, hour) partitioning feeding a
+    single aggregate — both windows and the groupBy reuse the same
+    exchange.
+
+    At 100 TB tick volume this is the standard first rollup: one
+    exchange on (instrument, hour), everything downstream
+    candle-count-sized. The close of hour h and open of h+1 stitch into
+    the continuous series the rollup_multiresolution family then
+    compacts upward."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    px = load_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", cents.alias("cents"), hour
+    )
+    w_asc = Window.partitionBy("event_type", "hour_start").orderBy(
+        "ts", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "hour_start").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = px.select(
+        "event_type",
+        "hour_start",
+        "cents",
+        F.row_number().over(w_asc).alias("rn_open"),
+        F.row_number().over(w_desc).alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("event_type", "hour_start")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+            .cast("long").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+            .cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+TWAP_DAILY_ORACLE = """
+    WITH px AS (
+        SELECT event_type, ts, event_id,
+               CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT) AS cents
+        FROM events
+    ),
+    held AS (
+        SELECT event_type, day, cents,
+               epoch_us(COALESCE(
+                   LEAD(ts) OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id),
+                   CAST(day + 1 AS TIMESTAMP))) - epoch_us(ts)
+                   AS held_us
+        FROM px
+    )
+    SELECT event_type, day,
+           CAST(SUM(cents * held_us) AS BIGINT) AS cents_us,
+           CAST(SUM(held_us) AS BIGINT) AS held_total_us,
+           CAST(CAST(SUM(cents * held_us) AS BIGINT)
+                // CAST(SUM(held_us) AS BIGINT) AS BIGINT) AS twap_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM held
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average price per event type over the
+    IRREGULAR tick stream (TimescaleDB's time_weight shape): each tick
+    holds its price until the next tick in the same (type, day), the
+    last tick holds until midnight, and TWAP = sum(price x held
+    seconds) / sum(held seconds) — the estimator a plain AVG gets wrong
+    whenever sampling density correlates with level (burst-heavy
+    streams). All integer arithmetic: cents x whole seconds, truncating
+    DIV — hash-exact.
+
+    Day-boundary convention (deliberate, mirrored in the oracle): the
+    holding clock starts at each type's FIRST tick of the day, not at
+    midnight — no carry-in from the previous day's close, so days are
+    independently computable (embarrassingly parallel at 100 TB; a
+    carried-LOCF variant would chain days and is the gap-fill family's
+    job). One (type, day)-keyed exchange serves the LEAD window and the
+    aggregate."""
+    px = load_events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w),
+        F.date_add(F.col("day"), 1).cast("timestamp"),
+    )
+    held = px.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.unix_micros(nxt) - F.unix_micros("ts"))
+        .cast("long").alias("held_us"),
+    )
+    return (
+        held.groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("cents") * F.col("held_us"))
+            .cast("long").alias("cents_us"),
+            F.sum("held_us").cast("long").alias("held_total_us"),
+            F.expr(
+                "CAST(sum(cents * held_us) AS BIGINT)"
+                " DIV sum(held_us)"
+            ).alias("twap_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "day")
+    )

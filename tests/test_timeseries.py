@@ -361,3 +361,71 @@ def test_scd2_planted_run_compaction(spark, tmp_path):
             assert a["tier"] != b["tier"], uid             # maximal runs
         assert ivs[-1]["valid_to"] is None
     assert sum(r["n_events"] for r in out) == len(rows)    # conservation
+
+
+def test_ohlc_planted_with_timestamp_tie(spark, tmp_path):
+    """Hand-checkable candle: open/close pick the first/last tick under
+    (ts, event_id) — including a same-timestamp tie where event_id
+    decides — and high/low are plain extremes."""
+    import datetime as dt
+
+    from erathia_market_etl_spark.plans.event_windows import ohlc_hourly
+
+    t0 = dt.datetime(2024, 2, 1, 9, 0, 0)
+
+    def ev(eid, sec, price):
+        return (eid, t0 + dt.timedelta(seconds=sec), 1, "trade",
+                float(price), "{}")
+
+    rows = [
+        ev(2, 0, 10.00),   # same ts as eid 1 -> eid 1 is the true open
+        ev(1, 0, 11.00),
+        ev(3, 60, 25.50),  # high
+        ev(4, 120, 5.25),  # low
+        ev(5, 3599, 20.00),  # close
+        ev(6, 3600, 99.0),   # next hour
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/events.parquet")
+    out = {str(r["hour_start"]): r.asDict()
+           for r in ohlc_hourly(spark, p).collect()}
+    c = out["2024-02-01 09:00:00"]
+    assert (c["open_cents"], c["high_cents"], c["low_cents"],
+            c["close_cents"], c["n_ticks"]) == (1100, 2550, 525, 2000, 5)
+    assert out["2024-02-01 10:00:00"]["open_cents"] == 9900
+
+
+def test_twap_density_bias_and_exact_weights(spark, tmp_path):
+    """The reason TWAP exists: a price level sampled densely must NOT
+    dominate. One tick at 1.00 held 23h then two ticks at 2.00 held
+    0.5h each -> TWAP 104 cents where the naive mean of ticks is 166.
+    Weights are exact: the holding clock runs tick->next-tick and
+    last-tick->midnight."""
+    import datetime as dt
+
+    from erathia_market_etl_spark.plans.event_windows import twap_daily
+
+    t0 = dt.datetime(2024, 2, 1)
+    rows = [
+        (1, t0, 1, "trade", 1.00, "{}"),
+        (2, t0 + dt.timedelta(hours=23), 1, "trade", 2.00, "{}"),
+        (3, t0 + dt.timedelta(hours=23, minutes=30), 1, "trade", 2.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(p + "/events.parquet")
+    r = twap_daily(spark, p).collect()[0]
+    h = 3600 * 1_000_000
+    assert r["held_total_us"] == 24 * h       # full day covered
+    assert r["cents_us"] == 100 * 23 * h + 200 * h
+    assert r["twap_cents"] == (100 * 23 + 200) // 24   # == 104
+    assert r["twap_cents"] != (100 + 200 + 200) // 3   # naive mean 166
