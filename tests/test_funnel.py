@@ -168,3 +168,151 @@ def test_path_trigrams_planted(spark, tmp_path):
         spark, _write_events(spark, tmp_path, rows)
     ).collect()}
     assert out == {("c", "c", "c"): 2, ("a", "b", "a"): 1, ("b", "a", "b"): 1}
+
+
+def test_scd2_matches_python_reference_generative(spark, tmp_path):
+    """Generative equality of the SCD2 compaction against an
+    independent pure-Python run-compactor over random event sequences
+    (random users, shuffled insertion order, duplicate timestamps with
+    id tiebreaks) — the test class that catches shared-algebra bugs
+    cross-engine parity can't (the gap-fill precedent)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        scd2_user_tier_history,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def tier(v):
+        return "low" if v < 5 else ("mid" if v < 15 else "high")
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(2, 24))
+        rows = []
+        for eid in range(n):
+            uid = data.draw(st.integers(1, 3))
+            minute = data.draw(st.integers(0, 10))
+            value = data.draw(
+                st.sampled_from([0.0, 4.9, 5.0, 14.9, 15.0, 30.0])
+            )
+            rows.append((eid, t0 + dt.timedelta(minutes=minute), uid,
+                         "e", value, "{}"))
+
+        # python reference: sort per user by (ts, id), compact runs
+        expected = {}
+        by_user: dict[int, list] = {}
+        for eid, ts, uid, _t, v, _p in rows:
+            by_user.setdefault(uid, []).append((ts, eid, tier(v)))
+        for uid, seq in by_user.items():
+            seq.sort()
+            runs = []
+            for ts, _eid, t in seq:
+                if runs and runs[-1][0] == t:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([t, ts, 1])
+            ivs = []
+            for i, (t, vf, cnt) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else None
+                ivs.append((t, vf, vt, vt is None, cnt))
+            expected[uid] = ivs
+
+        sub = str(tmp_path / f"g{abs(hash(tuple(rows))) % 10**9}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(sub + "/events.parquet")
+        got: dict[int, list] = {}
+        for r in scd2_user_tier_history(spark, sub).collect():
+            got.setdefault(r["user_id"], []).append(
+                (r["tier"], r["valid_from"], r["valid_to"],
+                 r["is_current"], r["n_events"])
+            )
+        assert got == expected
+
+    run()
+
+
+def test_funnel_matches_python_reference_generative(spark, tmp_path):
+    """Generative equality of the windowed ordered funnel against a
+    pure-Python earliest-qualifying walker over random per-user event
+    streams (types shuffled, windows straddled)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.plans.temporal_queries import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_SECONDS,
+        funnel_ordered_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    w = FUNNEL_WINDOW_SECONDS
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(3, 28))
+        rows = []
+        for eid in range(n):
+            uid = data.draw(st.integers(1, 4))
+            sec = data.draw(st.sampled_from(
+                [0, 1, 50, w - 1, w, w + 1, 2 * w, 3 * w + 7]
+            ))
+            et = data.draw(st.sampled_from(
+                list(FUNNEL_STAGES) + ["error"]
+            ))
+            rows.append((eid, t0 + dt.timedelta(seconds=sec), uid, et,
+                         1.0, "{}"))
+
+        # python reference
+        by_user: dict[int, list] = {}
+        for eid, ts, uid, et, _v, _p in rows:
+            by_user.setdefault(uid, []).append((ts, eid, et))
+        stats = {s: [0, 0] for s in FUNNEL_STAGES}  # users, sum_seconds
+        for uid, seq in by_user.items():
+            seq.sort()
+            t1 = min((ts for ts, _e, et in seq if et == "view"),
+                     default=None)
+            if t1 is None:
+                continue
+            stats["view"][0] += 1
+            t2 = min((ts for ts, _e, et in seq
+                      if et == "click" and t1 < ts
+                      <= t1 + dt.timedelta(seconds=w)), default=None)
+            if t2 is None:
+                continue
+            stats["click"][0] += 1
+            stats["click"][1] += int((t2 - t1).total_seconds())
+            t3 = min((ts for ts, _e, et in seq
+                      if et == "purchase" and t2 < ts
+                      <= t2 + dt.timedelta(seconds=w)), default=None)
+            if t3 is None:
+                continue
+            stats["purchase"][0] += 1
+            stats["purchase"][1] += int((t3 - t1).total_seconds())
+
+        sub = str(tmp_path / f"f{abs(hash(tuple(rows))) % 10**9}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(sub + "/events.parquet")
+        got = {r["stage"]: (r["users"], r["seconds_to_here"])
+               for r in funnel_ordered_conversion(spark, sub).collect()}
+        for stage in FUNNEL_STAGES:
+            users, total = stats[stage]
+            want_sec = 0 if stage == "view" or users == 0 \
+                else total // users
+            assert got[stage] == (users, want_sec), stage
+
+    run()
