@@ -445,3 +445,45 @@ def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
         log.groupBy("r", "col")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+def streaming_candle_append(events: DataFrame, state_path: str) -> list[int]:
+    """Candle maintenance under tick ingest — the OHLC member of the
+    mergeable-state family (rollup sums, count-min counters, candles):
+    each micro-batch appends its (type, hour) candle slice with
+    attributed open/close keys; serving merges on read. Same
+    append-only / batch_id rationale as the other two sinks."""
+    from ..plans.event_windows import candle_state
+
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            candle_state(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
+def read_candle_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming candle log: dedup retried slices
+    per (batch_id, event_type, hour_start), then the candle monoid
+    merge. Identical output contract to batch candle_state over the
+    full tick log (pinned in tests/test_streaming.py)."""
+    from ..plans.event_windows import merge_candle_states
+
+    log = spark.read.parquet(state_path).dropDuplicates(
+        ["batch_id", "event_type", "hour_start"]
+    )
+    return merge_candle_states(log.drop("batch_id"))

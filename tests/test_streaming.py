@@ -351,3 +351,40 @@ def test_streaming_cms_append_merges_to_batch_state(spark, staged_dir, tmp_path)
     ).collect()
     cdict = {(r, c): n for r, c, n in merged}
     assert all(cdict[(row["r"], row["col"])] >= 8 for row in probe)
+
+
+def test_streaming_candle_append_merges_to_batch_state(spark, staged_dir, tmp_path):
+    """Candle maintenance: three micro-batches (one hour split across
+    two of them) append candle slices; merge-on-read equals the batch
+    candle_state over all ticks, and a retried slice re-append does not
+    corrupt the merge (open/close re-decided, extremes idempotent)."""
+    from erathia_market_etl_spark.plans.event_windows import candle_state
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_candle_state,
+        streaming_candle_append,
+    )
+
+    b0 = [(1, _ts(9, 5), 1, "trade", 20.0), (2, _ts(9, 10), 1, "trade", 5.0)]
+    b1 = [(3, _ts(9, 0), 1, "trade", 10.0), (4, _ts(9, 59), 1, "trade", 7.5)]
+    b2 = [(5, _ts(10, 0), 1, "trade", 50.0)]
+    _write_batch_file(spark, b0, f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, b1, f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, b2, f"{staged_dir}/b2.parquet", 1_000_200)
+
+    state_path = str(tmp_path / "candle_state")
+    batches = streaming_candle_append(
+        _read_stream(spark, staged_dir), state_path
+    )
+    assert len(batches) == 3
+
+    merged = sorted(map(tuple, read_candle_state(spark, state_path).collect()))
+    full = spark.createDataFrame(b0 + b1 + b2, TS_SCHEMA)
+    want = sorted(map(tuple, candle_state(full).collect()))
+    assert merged == want
+
+    log = spark.read.parquet(state_path)
+    log.filter(F.col("batch_id") == batches[0]).write.mode("append").parquet(
+        state_path
+    )
+    retried = sorted(map(tuple, read_candle_state(spark, state_path).collect()))
+    assert retried == want
