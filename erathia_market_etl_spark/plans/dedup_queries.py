@@ -255,9 +255,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_lsh_bucket_stats",
-    oracle=f"""
+# Driver slot retired r10 (slot economics — frees the budget that lets
+# r11 register the ohlc_hourly/twap_daily market-data pair): the plan is
+# a strict subset of dedup_minhash_lsh_pairs' — the SAME
+# minhash_band_table feeds both, this one stops at two hash aggregates
+# where the pairs query continues into the bucket-join expansion (its
+# oracle embeds the same _BANDS_CTE), and the overflow-accounting output
+# convention stays driver-attested by sim_bucket_stats (sign-LSH
+# family). Oracle keeps running locally in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+DEDUP_LSH_BUCKET_STATS_ORACLE = f"""
     WITH {_BANDS_CTE},
     sizes AS (
         SELECT band_idx, band_key, COUNT(*) AS sz
@@ -273,8 +280,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sizes
     GROUP BY band_idx
     ORDER BY band_idx
-    """,
-)
+    """
+
+
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-size profile + truncation accounting: the 'logged
     overflow' companion to the hot-bucket cap (operators/dedup.py:

@@ -160,9 +160,15 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_resize_passthrough",
-    oracle="""
+# Driver slot retired r10 (slot economics — frees the budget that lets
+# r11 register the ohlc_hourly/twap_daily market-data pair): the plan is
+# a strict subset of media_bmp_real_resize's — the identical
+# image-filter → mapInPandas → binary round-trip plumbing, except the
+# staying sibling ALSO decodes, resamples, and re-encodes inside the
+# same pandas loop (registered r8, r8/r10-green). Oracle keeps running
+# locally in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+MEDIA_RESIZE_PASSTHROUGH_ORACLE = """
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
@@ -170,8 +176,9 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE doc_id % 3 = 0
     ORDER BY media_id
-    """,
-)
+    """
+
+
 def media_resize_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing under driver check: image payloads cross the
     Arrow boundary through resize_stub's mapInPandas and come back

@@ -125,6 +125,18 @@ _CHANGED: dict[str, int] = {
     "stream_session_stats": 6,
     "stream_user_running_totals": 6,
     "stream_dedup_keys": 6,
+    # r10 (VERDICT r9 item 1): dropped the forced F.broadcast hints on
+    # the SF-scaling customer/part/supplier tables — the threshold/AQE
+    # now picks the strategy (still broadcast at fixture SFs, shuffle at
+    # 100 TB); only region/nation keep hints. Values unchanged, but the
+    # green rows must re-attest the hint-free plans. q1-q3 are r9-fresh
+    # (3 ≤ the 4-per-round displacement cap); q4/q5 are r8-aged and run
+    # this round regardless.
+    "q1_net_revenue_by_nation": 10,
+    "q2_monthly_price_history": 10,
+    "q3_top_customers": 10,
+    "q4_part_popularity": 10,
+    "q5_regional_local_supplier_volume": 10,
 }
 
 _CANARIES: list[str] = [

@@ -8,8 +8,19 @@ dim_faction→nation(+region), dim_product→part, dim_date→o_orderdate).
 The four ``q1..q4`` marts mirror the reference's gold data marts
 (src/gold_aggregator.py:27-48,56-75,83-101,106-125) shape-for-shape:
 snowflake joins → conditional aggregates → rounded money → sorted/top-k
-output. All joins on dims carry an explicit ``broadcast`` hint — at
-100 TB the fact side never shuffles for these stars.
+output.
+
+Broadcast policy (r10, VERDICT r9 item 1): only the genuinely
+FIXED-CARDINALITY dims — region (5 rows) and nation (25 rows) — carry
+an explicit ``broadcast`` hint. customer, part, and supplier grow 10×
+per SF decade in this dataset (measured across /root/testdata/sf*),
+i.e. they scale WITH the fact like TPC-H's scaled dims, and a forced
+hint bypasses ``autoBroadcastJoinThreshold`` and AQE's size check
+entirely — at 100 TB that is a multi-GB forced broadcast and an
+executor OOM. Those joins are left unhinted: the size threshold/AQE
+broadcasts them at every fixture SF (plan-pinned hint-free in
+``tests/test_plan_shapes.py``) and falls back to a shuffled join at
+scale, exactly the treatment ``q1``'s docstring always gave orders.
 """
 
 from __future__ import annotations
@@ -69,11 +80,11 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gold_aggregator.py:27-48) — star join, spend-vs-earn conditional
     SUMs in one pass, derived net metric, DESC sort.
 
-    Plan at scale: lineitem scans with pruned columns; customer/nation
-    broadcast (true dims); lineitem⋈orders left to AQE (broadcast at
-    small SF, shuffle or bucketed co-located join at scale — orders
-    grows with the fact, forcing broadcast would OOM a real cluster);
-    single shuffle for the groupBy."""
+    Plan at scale: lineitem scans with pruned columns; nation broadcast
+    (hinted — 25 rows at any SF); customer and lineitem⋈orders left to
+    the threshold/AQE (broadcast at small SF, shuffle or bucketed
+    co-located join at scale — BOTH grow with the fact, a forced hint
+    would OOM a real cluster); single shuffle for the groupBy."""
     lineitem = T(spark, sf_dir, "lineitem")
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
@@ -93,7 +104,8 @@ def q1_net_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcasts at small SF, shuffles (or bucket-joins) at scale
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        # customer scales 10×/SF-decade — no hint; threshold/AQE decides
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -140,8 +152,9 @@ def q2_monthly_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         lineitem.filter(F.col("l_returnflag") != "R")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")
-                          .select("p_partkey", "p_name")),
+        # part scales 10×/SF-decade — no hint; threshold/AQE decides
+        .join(part.filter(F.col("p_type") == "STANDARD")
+              .select("p_partkey", "p_name"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -192,8 +205,9 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")
-                          .select("c_custkey", "c_name", "c_nationkey")),
+        # customer scales 10×/SF-decade — no hint; threshold/AQE decides
+        .join(customer.filter(F.col("c_mktsegment") == "BUILDING")
+              .select("c_custkey", "c_name", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -235,8 +249,9 @@ def q4_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         lineitem.filter(F.col("l_returnflag") != "R")
         .select("l_orderkey", "l_partkey", "l_extendedprice")
-        .join(F.broadcast(part.filter(F.col("p_type").isin("PROMO", "LARGE"))
-                          .select("p_partkey", "p_brand", "p_type")),
+        # part scales 10×/SF-decade — no hint; threshold/AQE decides
+        .join(part.filter(F.col("p_type").isin("PROMO", "LARGE"))
+              .select("p_partkey", "p_brand", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
     )
     return (
@@ -1211,11 +1226,10 @@ def q5_regional_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
     """TPC-H Q5 shape: 6-table snowflake with the 'local supplier'
     correlation (supplier and customer share a nation) — the deepest
     join tree in the surface, exercising the region dim for the first
-    time. Plan at scale: region+nation+customer+supplier all broadcast
-    (true dims), so the nation/region predicate prunes customers inside
-    the broadcast hash join probe; lineitem⋈orders is the only
-    shuffle-eligible join and AQE picks its strategy; one final shuffle
-    for the groupBy."""
+    time. Plan at scale: region+nation broadcast (hinted — 5/25 rows at
+    any SF); customer, supplier and lineitem⋈orders are unhinted (all
+    three scale 10×/SF-decade) so the threshold/AQE broadcasts them at
+    small SF and shuffles at scale; one final shuffle for the groupBy."""
     lineitem = T(spark, sf_dir, "lineitem")
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
@@ -1232,9 +1246,10 @@ def q5_regional_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        # customer/supplier scale 10×/SF-decade — no hints; AQE decides
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("s_nationkey") == F.col("c_nationkey")))
         .join(F.broadcast(nations_in_region),

@@ -39,10 +39,15 @@ def test_entry_smoke(spark):
     assert "nation_name" in df.columns
 
 
-# Driver slots retired r5/r7/r8 (slot economics — one out per query
+# Driver slots retired r5/r7/r8/r10 (slot economics — one out per query
 # added): the functions and oracles stay; they just run through the SAME
 # compare here instead of consuming one of the driver's 50 per-round
 # slots. Each retiree's rationale is documented at its definition site.
+# r10 retired dedup_lsh_bucket_stats and media_resize_passthrough (both
+# strict-subset plans of staying siblings, both r8-aged so the must-run
+# budget shrinks immediately) to free exactly the two slots r11 needs to
+# register ohlc_hourly + twap_daily without displacing a never-green
+# registration past the 50-slot cap.
 _RETIRED = [
     "dedup_distinct_rows",
     "sample_split_assign",
@@ -53,6 +58,8 @@ _RETIRED = [
     "sample_mixture_weighted",
     "window_moving_frame",
     "topk_parts_by_revenue",
+    "dedup_lsh_bucket_stats",
+    "media_resize_passthrough",
 ]
 
 
@@ -344,8 +351,14 @@ def test_quality_gate_splits_corpus(spark):
 
 def _retired():
     from erathia_market_etl_spark.plans.dedup_queries import (
+        DEDUP_LSH_BUCKET_STATS_ORACLE,
         SIMHASH_FINGERPRINT_ORACLE,
+        dedup_lsh_bucket_stats,
         dedup_simhash_fingerprint,
+    )
+    from erathia_market_etl_spark.plans.multimodal_queries import (
+        MEDIA_RESIZE_PASSTHROUGH_ORACLE,
+        media_resize_passthrough,
     )
     from erathia_market_etl_spark.plans.event_windows import (
         WINDOW_MOVING_FRAME_ORACLE,
@@ -386,6 +399,12 @@ def _retired():
             window_moving_frame, WINDOW_MOVING_FRAME_ORACLE,
         ),
         "topk_parts_by_revenue": (topk_parts_by_revenue, TOPK_PARTS_ORACLE),
+        "dedup_lsh_bucket_stats": (
+            dedup_lsh_bucket_stats, DEDUP_LSH_BUCKET_STATS_ORACLE,
+        ),
+        "media_resize_passthrough": (
+            media_resize_passthrough, MEDIA_RESIZE_PASSTHROUGH_ORACLE,
+        ),
     }
 
 

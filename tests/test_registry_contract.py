@@ -56,16 +56,18 @@ def test_no_complex_top_level_columns(spark, name):
 def test_rotation_priority_rules():
     from erathia_market_etl_spark.plans.registry import _CHANGED, _priority
 
+    # the synthetic canary must be one WITHOUT a pending _CHANGED entry
+    # (q1 was used here until its r10 re-attestation made it `changed`)
     names = ["zz_fresh", "aa_fresh", "old_r1", "old_r2", "never_seen",
-             "q1_net_revenue_by_nation"]
+             "dedup_exact_hash"]
     green = {"zz_fresh": 3, "aa_fresh": 3, "old_r1": 1, "old_r2": 2,
-             "q1_net_revenue_by_nation": 3}
+             "dedup_exact_hash": 3}
     order = _priority(names, green)
     # aged greens oldest-first (staleness breaks the 2-round evidence
     # policy), then never-green (nothing to go stale yet), then
     # canaries, then fresh greens alphabetically
     assert order == ["old_r1", "old_r2", "never_seen",
-                     "q1_net_revenue_by_nation", "aa_fresh", "zz_fresh"]
+                     "dedup_exact_hash", "aa_fresh", "zz_fresh"]
     # a _CHANGED entry outranks everything while its green row predates
     # the change, and self-expires once the driver re-greens it
     changed_name, changed_round = next(iter(_CHANGED.items()))
