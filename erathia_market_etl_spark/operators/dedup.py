@@ -452,11 +452,19 @@ def bloom_probe(items: DataFrame, fp_col: str, words: DataFrame,
         # join the SAME words DataFrame each round with the rename in a
         # Project ABOVE the join — the broadcast subtree stays
         # byte-identical, so exchange reuse builds the word table once
-        # and the remaining k-1 joins consume a ReusedExchange
+        # and the remaining k-1 joins consume a ReusedExchange. The
+        # broadcast side gets a PER-ITERATION alias so each condition
+        # names its own join's right side unambiguously — referencing
+        # words["word_idx"] would lean on Spark's ambiguous-self-join
+        # disambiguation once `words` also sits in the left lineage
+        # (r9 ADVICE, low; SubqueryAlias is erased in analysis, so the
+        # physical broadcast subtree — and its reuse — is unchanged,
+        # pinned by test_bloom's single-broadcast plan check).
+        w = words.alias(f"_bw{i}")
         out = (
             out.join(
-                F.broadcast(words),
-                on=out[f"_wi{i}"] == words["word_idx"],
+                F.broadcast(w),
+                on=out[f"_wi{i}"] == F.col(f"_bw{i}.word_idx"),
                 how="left",
             )
             .drop("word_idx")

@@ -141,13 +141,22 @@ FUNNEL_ORDERED_CONVERSION_ORACLE = f"""
                CAST(0 AS BIGINT) AS seconds_to_here
         FROM per_user
         UNION ALL
+        -- floor each timestamp to whole epoch seconds BEFORE the
+        -- per-row subtraction, exactly like Spark's unix_timestamp():
+        -- fixture timestamps carry sub-second parts, so DuckDB's
+        -- fractional epoch() under CAST (round-half-even) genuinely
+        -- diverges per row; parity previously survived only because
+        -- the final integer division landed on the same quotient
+        -- (r9 ADVICE, medium)
         SELECT 2, 'click', CAST(COUNT(t2) AS BIGINT),
-               COALESCE(CAST(SUM(CAST(epoch(t2) - epoch(t1) AS BIGINT))
+               COALESCE(CAST(SUM(epoch_us(t2) // 1000000
+                                 - epoch_us(t1) // 1000000)
                              AS BIGINT) // NULLIF(COUNT(t2), 0), 0)
         FROM per_user
         UNION ALL
         SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT),
-               COALESCE(CAST(SUM(CAST(epoch(t3) - epoch(t1) AS BIGINT))
+               COALESCE(CAST(SUM(epoch_us(t3) // 1000000
+                                 - epoch_us(t1) // 1000000)
                              AS BIGINT) // NULLIF(COUNT(t3), 0), 0)
         FROM per_user
     ) ORDER BY ord
@@ -166,7 +175,11 @@ def funnel_ordered_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     history). Output:
     one row per stage with users reached and the mean seconds from
     funnel entry, as a truncating integer division so the contract is
-    hash-exact (timestamps subtract to exact integer epoch seconds).
+    hash-exact. Per-row seconds are whole-second differences of
+    FLOORED timestamps — Spark's unix_timestamp() floors each
+    timestamp, and the oracle mirrors it with epoch_us // 1_000_000
+    per side (fixture timestamps carry sub-second parts, so flooring
+    the difference instead would diverge; r9 ADVICE).
 
     Plan: each stage is one type-filtered aggregate on user_id joined
     against the previous stage's attainment table — the join key and
