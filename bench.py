@@ -91,6 +91,38 @@ CONSTRUCTION_TIMED = {
 }
 
 
+# Host-calibration probe (r10, VERDICT r9 item 3): r9's bench sat in a
+# persistent ~1.3-1.5x whole-machine inflation band for the entire round
+# (every query including six hard-pinned untouched plan shapes moved
+# +20-70% uniformly), which made cross-round totals unreadable and had
+# to be argued from uniformity instead of measured. This probe times a
+# fixed single-threaded, BLAS-free numpy kernel (element-wise
+# multiply/add/sqrt + sum over 20M float64 — FPU + memory-bandwidth
+# bound, no OpenBLAS thread-count variance) min-of-5 immediately before
+# the headline loop, so every BENCH_r*.json carries a machine-attested
+# host-speed sample taken at measurement time. PROBE_REF_SEC is the
+# r10 anchor: min over 4×(5-run) sessions on the quiet round-10 host
+# (load <0.2; per-session mins 0.130-0.151, i.e. a ±8% session band —
+# coarser than the 1.3-1.5x inflation it is built to flag, which is the
+# resolution that matters). host_factor = probe/ref > 1 means the host
+# was slow when THIS bench ran; value_probe_normalized divides the raw
+# total by host_factor. Raw stays the headline metric — the normalized
+# figure exists to separate machine drift from plan drift.
+PROBE_REF_SEC = 0.130
+
+
+def _calibration_probe() -> float:
+    import numpy as np
+
+    a = np.arange(20_000_000, dtype=np.float64)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.sqrt(a * 1.000001 + 1.5).sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -132,6 +164,8 @@ def main() -> None:
         "noop"
     ).save()
 
+    probe_sec = _calibration_probe()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # min of N executions: first run absorbs one-off costs (parquet
@@ -160,12 +194,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    host_factor = probe_sec / PROBE_REF_SEC
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": {
+            "probe_sec": round(probe_sec, 4),
+            "probe_ref_sec": PROBE_REF_SEC,
+            "host_factor": round(host_factor, 3),
+        },
+        "value_probe_normalized": round(total / host_factor, 3),
     }
 
     # per-query ratio vs the frozen round-1 baseline (BASELINE_BENCH.json,
