@@ -332,7 +332,61 @@ def run_foreach_batch_to_parquet(df: DataFrame, path: str) -> list[int]:
     return seen
 
 
-def streaming_rollup_append(events: DataFrame, state_path: str) -> list[int]:
+def _run_state_append(
+    source: DataFrame,
+    state_path: str,
+    slice_fn: Any,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
+    """Shared runner for the three maintenance sinks: per micro-batch,
+    compute ``slice_fn(batch_df)``'s mergeable state slice, stamp
+    ``batch_id``, APPEND it to the parquet state log, then call
+    ``after_write(batch_id)`` (commit callback — metrics/alerting in
+    production; the retry test raises there to crash the query AFTER
+    the slice landed but BEFORE the checkpoint commit, which is exactly
+    the window a real sink retry duplicates). ``checkpoint`` makes the
+    run resumable: a restart replays the uncommitted batch with the
+    SAME batch_id and identical content — the duplication the
+    ``read_*_state`` batch_id dedup exists to absorb. Returns the
+    batch ids processed by THIS run."""
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            slice_fn(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+        if after_write is not None:
+            after_write(batch_id)
+
+    writer = (
+        source.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    except Exception:
+        # a crashed foreachBatch surfaces as StreamingQueryException; the
+        # caller (retry test / supervisor) restarts from the checkpoint
+        q.stop()
+        raise
+    return seen
+
+
+def streaming_rollup_append(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
     """Continuous-aggregate maintenance under ingest: for every
     micro-batch, compute the batch's mergeable day-rollup state
     (plans.event_windows.day_rollup_state) and APPEND it to the state
@@ -350,25 +404,9 @@ def streaming_rollup_append(events: DataFrame, state_path: str) -> list[int]:
     day-local rollup rows, the monoid merge does the rest."""
     from ..plans.event_windows import day_rollup_state
 
-    seen: list[int] = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        seen.append(batch_id)
-        (
-            day_rollup_state(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(state_path)
-        )
-
-    q = (
-        events.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_state_append(
+        events, state_path, day_rollup_state, checkpoint, after_write
     )
-    q.awaitTermination()
-    return seen
 
 
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -394,7 +432,12 @@ def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     return merge_rollup_states(log.drop("batch_id"))
 
 
-def streaming_cms_append(keys: DataFrame, state_path: str) -> list[int]:
+def streaming_cms_append(
+    keys: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
     """Sketch-state maintenance under ingest — the count-min twin of
     ``streaming_rollup_append``: for every micro-batch of keys
     (column ``x``), compute the batch's D x W counter state
@@ -408,25 +451,9 @@ def streaming_cms_append(keys: DataFrame, state_path: str) -> list[int]:
     unbounded stream maintained without ever re-touching history."""
     from ..plans.sketch_queries import cms_counter_state
 
-    seen: list[int] = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        seen.append(batch_id)
-        (
-            cms_counter_state(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(state_path)
-        )
-
-    q = (
-        keys.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_state_append(
+        keys, state_path, cms_counter_state, checkpoint, after_write
     )
-    q.awaitTermination()
-    return seen
 
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -447,7 +474,12 @@ def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def streaming_candle_append(events: DataFrame, state_path: str) -> list[int]:
+def streaming_candle_append(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
     """Candle maintenance under tick ingest — the OHLC member of the
     mergeable-state family (rollup sums, count-min counters, candles):
     each micro-batch appends its (type, hour) candle slice with
@@ -455,25 +487,9 @@ def streaming_candle_append(events: DataFrame, state_path: str) -> list[int]:
     append-only / batch_id rationale as the other two sinks."""
     from ..plans.event_windows import candle_state
 
-    seen: list[int] = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        seen.append(batch_id)
-        (
-            candle_state(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(state_path)
-        )
-
-    q = (
-        events.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_state_append(
+        events, state_path, candle_state, checkpoint, after_write
     )
-    q.awaitTermination()
-    return seen
 
 
 def read_candle_state(spark: SparkSession, state_path: str) -> DataFrame:

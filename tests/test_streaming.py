@@ -388,3 +388,97 @@ def test_streaming_candle_append_merges_to_batch_state(spark, staged_dir, tmp_pa
     )
     retried = sorted(map(tuple, read_candle_state(spark, state_path).collect()))
     assert retried == want
+
+
+def test_maintenance_sinks_exactly_once_under_real_retry(spark, staged_dir, tmp_path):
+    """End-to-end forced retry (r9 VERDICT item 6): unlike the hand
+    re-append in the three tests above, here the ENGINE produces the
+    duplicate — the sink's after-write commit callback raises while
+    processing batch 1, crashing the query AFTER batch 1's slice landed
+    in the state log but BEFORE its checkpoint commit (the exact window
+    a real executor/driver failure duplicates). The restarted query
+    replays batch 1 from the checkpoint under the SAME batch_id, so the
+    log genuinely holds the slice twice; each family's merge-on-read
+    must still equal its batch state over the full input — the
+    exactly-once claim pinned through the streaming machinery, not just
+    the dedup algebra."""
+    from erathia_market_etl_spark.plans.event_windows import (
+        candle_state,
+        day_rollup_state,
+    )
+    from erathia_market_etl_spark.plans.sketch_queries import cms_counter_state
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_candle_state,
+        read_cms_state,
+        read_rollup_state,
+        streaming_candle_append,
+        streaming_cms_append,
+        streaming_rollup_append,
+    )
+
+    b0 = [(1, _ts(9, 5), 7, "trade", 20.0), (2, _ts(9, 10), 7, "buy", 5.0)]
+    b1 = [(3, _ts(9, 50), 7, "trade", 10.0), (4, _ts(10, 5), 8, "trade", 7.5)]
+    b2 = [(5, _ts(10, 30), 7, "trade", 50.0)]
+
+    def run_with_forced_retry(family, append_fn, src_select=None):
+        src_dir = f"{staged_dir}/{family}_src"
+        for i, rows in enumerate([b0, b1, b2]):
+            _write_batch_file(
+                spark, rows, f"{src_dir}/b{i}.parquet", 1_000_000 + 100 * i
+            )
+        state_path = str(tmp_path / f"{family}_state")
+        ckpt = str(tmp_path / f"{family}_ckpt")
+        crashed = {"done": False}
+
+        def crash_once(batch_id):
+            if batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected post-write failure")
+
+        def src():
+            s = _read_stream(spark, src_dir)
+            return src_select(s) if src_select else s
+
+        with pytest.raises(Exception, match="injected post-write failure"):
+            append_fn(src(), state_path, checkpoint=ckpt, after_write=crash_once)
+        # restart resumes from the checkpoint and REPLAYS batch 1
+        resumed = append_fn(src(), state_path, checkpoint=ckpt)
+        assert resumed == [1, 2]
+
+        # non-vacuity: batch 1's slice is physically in the log twice —
+        # every one of its state rows has exactly 2 copies
+        log = spark.read.parquet(state_path)
+        b1_rows = log.filter(F.col("batch_id") == 1)
+        key_cols = [c for c in b1_rows.columns]
+        dup_counts = [
+            r["count"]
+            for r in b1_rows.groupBy(*key_cols).count().collect()
+        ]
+        assert dup_counts and set(dup_counts) == {2}
+        return state_path
+
+    # rollup family
+    p = run_with_forced_retry("rollup", streaming_rollup_append)
+    full = spark.createDataFrame(b0 + b1 + b2, TS_SCHEMA)
+    assert sorted(map(tuple, read_rollup_state(spark, p).collect())) == sorted(
+        map(tuple, day_rollup_state(full).collect())
+    )
+
+    # count-min family (keys ride user_id -> x)
+    p = run_with_forced_retry(
+        "cms",
+        streaming_cms_append,
+        src_select=lambda s: s.select(F.col("user_id").alias("x")),
+    )
+    full_keys = spark.createDataFrame(
+        [(r[2],) for r in b0 + b1 + b2], "x long"
+    )
+    assert sorted(map(tuple, read_cms_state(spark, p).collect())) == sorted(
+        map(tuple, cms_counter_state(full_keys).collect())
+    )
+
+    # candle family
+    p = run_with_forced_retry("candle", streaming_candle_append)
+    assert sorted(map(tuple, read_candle_state(spark, p).collect())) == sorted(
+        map(tuple, candle_state(full).collect())
+    )
