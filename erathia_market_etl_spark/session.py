@@ -37,6 +37,18 @@ def get_spark(cfg: EngineConfig | None = None, **extra_conf: str) -> SparkSessio
         # scans fan out across local[32] while large files still split at
         # maxPartitionBytes — at cluster scale this conf is a no-op.
         .config("spark.sql.files.openCostInBytes", "262144")
+        # ANSI stays ON (the Spark 4 default, pinned so a future default
+        # flip or a legacy-configured host session can't silently change
+        # arithmetic semantics): integer overflow/invalid-cast RAISE
+        # instead of wrapping. Every integer-heavy operator (pagerank
+        # fixed-point, z-order interleave, bloom hashing, HLL registers)
+        # carries a hand-proved non-wrap envelope — under ANSI those
+        # proofs are load-bearing (they are why the queries never
+        # throw), and a latent overflow becomes a loud runtime error
+        # instead of silent corruption. Deliberate wraparound mod 2^64
+        # (winnowing) lives in numpy uint64 inside Arrow UDFs, outside
+        # ANSI's reach. See SCALE.md "ANSI mode".
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
@@ -54,4 +66,6 @@ def harden_session(spark: SparkSession) -> SparkSession:
     # keeps exact integer math (sources.events.load_events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.files.openCostInBytes", "262144")
+    # pin ANSI on in handed-in sessions too (see get_spark's rationale)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark

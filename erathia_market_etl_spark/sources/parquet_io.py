@@ -147,6 +147,42 @@ def write_range_clustered(
     )
 
 
+def write_partitioned_clustered(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """THE composed 100 TB fact layout (SCALE.md "Data layout"): hive
+    ``partitionBy(partition_cols)`` directories — directory-name pruning
+    on the low-cardinality axis (date) — with range-clustered
+    ``cluster_cols`` files INSIDE each directory, so footer min/max
+    pruning covers the high-cardinality axis (key) the directory tree
+    can't.
+
+    One range exchange on (partition_cols ++ cluster_cols) does both
+    jobs: tasks are ordered lexicographically, so each partition
+    directory's files come from consecutive tasks whose cluster-key
+    sub-ranges are pairwise disjoint (equal keys never split across
+    tasks; adjacent files may touch at a boundary value but never
+    interleave). ``sortWithinPartitions`` makes the row-group stats
+    tight inside each file. A date-range + key-range predicate then
+    prunes directories first and skips files/row-groups second — the
+    two-axis pruning a 100 TB fact scan lives on.
+    tests/test_layout.py verifies the composed property from real
+    parquet footers on the sf0.1 events table."""
+    keys = [*partition_cols, *cluster_cols]
+    (
+        df.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
 
 
@@ -189,9 +225,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
             )
         span = max(int(mx) - int(mn), 0) + 1
         # Overflow envelope (r8 self-review; boundary tightened r9 per
-        # ADVICE): (v - mn) * 2^bits must stay inside int64 — Spark's
-        # non-ANSI long multiply would wrap silently and garbage the
-        # key. The largest product is (span - 1) * 2^bits, so
+        # ADVICE): (v - mn) * 2^bits must stay inside int64 — under the
+        # pinned ANSI mode (SCALE.md) an overflow would raise mid-job;
+        # this guard turns it into a named, actionable error up front.
+        # The largest product is (span - 1) * 2^bits, so
         # span - 1 < 2^(63 - bits) keeps it <= 2^63 - 2^bits < 2^63;
         # at span - 1 == 2^(63 - bits) the product is exactly 2^63 and
         # wraps. Epoch-micros decades or hash-id columns exceed the
