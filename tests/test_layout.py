@@ -181,3 +181,55 @@ def test_zorder_overflow_guard_boundary(spark):
     # the max-value row must scale to the top bucket, not a wrapped key
     top = below.select(key.alias("k")).agg({"k": "max"}).first()[0]
     assert top >= 0
+
+
+def test_composed_layout_partition_dirs_with_disjoint_key_files(spark, tmp_path):
+    """The 100 TB layout rehearsal (r9 VERDICT item 8): SCALE.md
+    prescribes partitionBy(date) x range-clustered(key) for the fact
+    table; the tools were pinned separately — this composes them on the
+    REAL sf0.1 events table and verifies both pruning axes from actual
+    parquet footers: hive date directories exist, and within every
+    directory the user_id footer ranges are pairwise disjoint (touching
+    at a boundary value allowed, never interleaved), so a
+    date-range + user-range predicate prunes dirs first and skips files
+    second."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.sources.events import load_events
+    from erathia_market_etl_spark.sources.parquet_io import (
+        write_partitioned_clustered,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.1").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "fact_composed")
+    # 64 range tasks over 30 dates -> ~2 files per date dir, so the
+    # within-dir disjointness below is exercised, not vacuous
+    write_partitioned_clustered(
+        ev, out, ["event_date"], ["user_id"], n_files=64
+    )
+
+    date_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("event_date=")
+    )
+    assert len(date_dirs) == 30  # one hive dir per fixture day
+
+    multi_file_dirs = 0
+    for d in date_dirs:
+        ranges = _file_ranges(os.path.join(out, d), "user_id")
+        if len(ranges) >= 2:
+            multi_file_dirs += 1
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next, f"interleaved key ranges in {d}"
+    # the composition is only proven if dirs really hold several
+    # range-clustered files
+    assert multi_file_dirs >= 15
+
+    # nothing lost in the rewrite, and the partition column survives
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    assert one_day.count() == ev.filter(
+        F.col("event_date") == "2024-01-05"
+    ).count()
