@@ -1371,3 +1371,136 @@ def present_candles(state: DataFrame) -> DataFrame:
         F.col("close_k.k_cents").alias("close_cents"),
         "n_ticks",
     ).orderBy("event_type", "hour_start")
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_changepoints: CUSUM change-point detection over the daily
+# value series. UNREGISTERED (r10 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+CUSUM_H_MULT = 4  # threshold = CUSUM_H_MULT x mean |deviation|, in cents
+
+TS_CUSUM_CHANGEPOINTS_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS daily_cents
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(SUM(daily_cents) // COUNT(*) AS BIGINT) AS mu FROM daily
+    ),
+    dev AS (
+        SELECT day, daily_cents,
+               daily_cents - m.mu AS dev_cents
+        FROM daily, m
+    ),
+    h AS (
+        SELECT CAST({CUSUM_H_MULT} * SUM(ABS(dev_cents)) // COUNT(*)
+                    AS BIGINT) AS h
+        FROM dev
+    ),
+    p AS (
+        SELECT day, daily_cents, dev_cents,
+               CAST(SUM(dev_cents) OVER (ORDER BY day) AS BIGINT) AS pref
+        FROM dev
+    ),
+    s AS (
+        SELECT day, daily_cents, dev_cents,
+               pref - LEAST(0, MIN(pref) OVER (ORDER BY day)) AS cusum_up,
+               GREATEST(0, MAX(pref) OVER (ORDER BY day)) - pref AS cusum_down
+        FROM p
+    )
+    SELECT s.day, s.daily_cents, s.dev_cents,
+           CAST(s.cusum_up AS BIGINT) AS cusum_up,
+           CAST(s.cusum_down AS BIGINT) AS cusum_down,
+           (s.cusum_up > h.h OR s.cusum_down > h.h) AS flagged
+    FROM s, h
+    ORDER BY day
+    """
+
+
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM (Page 1954) change-point detection over the daily total
+    value series — the level-shift monitor a metrics warehouse runs on
+    every KPI. Entirely integer-exact: daily sums in cents, the
+    reference level mu = total DIV n_days, one-sided cumulative sums,
+    and a data-derived threshold H = CUSUM_H_MULT x mean |deviation|,
+    so the DuckDB twin is hash-exact including the flag booleans.
+
+    The clamped CUSUM recursion S+_i = max(0, S+_{{i-1}} + dev_i) is a
+    fold, not a window function — but it has a closed form over prefix
+    sums: with P_i the running sum of deviations,
+    S+_i = P_i - min(0, min_{{j<=i}} P_j) and
+    S-_i = max(0, max_{{j<=i}} P_j) - P_i
+    (induction: max(0, P_{{i-1}} - M_{{i-1}} + dev_i) = P_i - min(M_{{i-1}},
+    P_i) with M the clamped running min). That turns the sequential
+    recursion into two ordinary running-extreme windows — the same
+    trick that makes max-drawdown distributed-friendly.
+
+    Scale shape: the ONLY full-data operation is the map-side
+    combinable day-grain aggregate; everything after (the scalar mu/H
+    broadcasts and the SinglePartition running windows) rides the
+    day-grain series, whose row count is bounded by the calendar
+    (365/year) regardless of fact size — the justified exception to
+    the no-SinglePartition-window rule, same argument as the gap-fill
+    spine."""
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).cast("long").alias("daily_cents"))
+    )
+    return cusum_frame(daily)
+
+
+def cusum_frame(daily: DataFrame, h_mult: int = CUSUM_H_MULT) -> DataFrame:
+    """Core of ts_cusum_changepoints over any (day, daily_cents) series
+    — split out so the planted level-shift test can pin the
+    prefix-sum/running-extreme closed form against the sequential
+    clamped fold directly."""
+    mu = daily.agg(
+        F.expr("sum(daily_cents) DIV count(*)").cast("long").alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "daily_cents",
+        (F.col("daily_cents") - F.col("mu")).alias("dev_cents"),
+    )
+    h = dev.agg(
+        F.expr(f"{h_mult} * sum(abs(dev_cents)) DIV count(*)")
+        .cast("long")
+        .alias("h")
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = dev.withColumn("pref", F.sum("dev_cents").over(w_run).cast("long"))
+    s = p.select(
+        "day",
+        "daily_cents",
+        "dev_cents",
+        (
+            F.col("pref")
+            - F.least(F.lit(0).cast("long"), F.min("pref").over(w_run))
+        ).cast("long").alias("cusum_up"),
+        (
+            F.greatest(F.lit(0).cast("long"), F.max("pref").over(w_run))
+            - F.col("pref")
+        ).cast("long").alias("cusum_down"),
+    )
+    return (
+        s.crossJoin(F.broadcast(h))
+        .select(
+            "day",
+            "daily_cents",
+            "dev_cents",
+            "cusum_up",
+            "cusum_down",
+            (
+                (F.col("cusum_up") > F.col("h"))
+                | (F.col("cusum_down") > F.col("h"))
+            ).alias("flagged"),
+        )
+        .orderBy("day")
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..sources.events import load_events
 from ..sources.parquet_io import load_table
 
@@ -268,4 +269,141 @@ def equi_depth_frame(
             F.sum("v").cast("long").alias("sum_v"),
         )
         .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mad_robust: exact per-group median + median-absolute-deviation via
+# the value-histogram rank decomposition. UNREGISTERED (r10 — local-only
+# per the COVERAGE.md standing policy; driver-style evidence via
+# LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+AGG_MAD_ROBUST_ORACLE = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY event_type, c
+    ),
+    cum AS (
+        SELECT event_type, c, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM counts
+    ),
+    med AS (
+        SELECT event_type, n, c AS median_cents
+        FROM cum
+        WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt
+    ),
+    devs AS (
+        SELECT counts.event_type,
+               ABS(counts.c - med.median_cents) AS d,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM counts JOIN med USING (event_type)
+        GROUP BY counts.event_type, ABS(counts.c - med.median_cents)
+    ),
+    dcum AS (
+        SELECT event_type, d, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM devs
+    )
+    SELECT m.event_type, m.n, m.median_cents,
+           dc.d AS mad_cents
+    FROM dcum dc JOIN med m USING (event_type)
+    WHERE dc.below < (dc.n + 1) // 2 AND (dc.n + 1) // 2 <= dc.below + dc.cnt
+    ORDER BY m.event_type
+    """
+
+
+def _lower_median(counts: DataFrame, val: str) -> DataFrame:
+    """(event_type, val, cnt) histogram -> the group's LOWER median of
+    the expanded multiset: the value whose cumulative count range
+    contains rank (n+1) DIV 2 under val-ascending order. Lower (not
+    interpolated) median keeps every output an exact integer, so both
+    engines agree bit-for-bit at any group parity."""
+    w_below = Window.partitionBy("event_type").orderBy(val).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        val,
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+        .cast("long").alias("below"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    target = F.expr("(n + 1) DIV 2")
+    return cum.filter(
+        (F.col("below") < target) & (target <= F.col("below") + F.col("cnt"))
+    )
+
+
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group dispersion: exact LOWER median and exact median
+    absolute deviation (MAD) of the event value in cents, per
+    event_type — the outlier-resistant (location, scale) pair quality
+    monitors prefer over mean/stddev on heavy-tailed money columns.
+
+    Exactness: values become integer cents (money.py idiom); both
+    medians use the lower-median convention (rank (n+1) DIV 2), so
+    every output is an exact BIGINT and the DuckDB twin — written with
+    the SAME explicit rank arithmetic rather than its interpolating
+    median() — is hash-exact.
+
+    Scale shape (the text_length_trim / histogram_equi_depth rank
+    decomposition, applied twice): the only full-data pass is the
+    map-side-combinable (type, cents) histogram aggregate; the
+    cumulative windows ride that histogram (<= |types| x |distinct
+    cents| rows — the 2dp money domain is bounded), the median row is
+    selected by rank arithmetic without expanding the multiset, and
+    the second pass re-aggregates the SAME histogram under the
+    |c - median| transform (broadcast median join), never re-reading
+    events. No per-row window, no global sort, no second fact scan."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", cents("value").alias("c")
+    )
+    return mad_frame(ev)
+
+
+def mad_frame(ev: DataFrame) -> DataFrame:
+    """Core of agg_mad_robust over any (event_type, c: long) frame —
+    split out so planted even/odd-parity and duplicate-heavy tests can
+    pin the rank arithmetic against statistics.median conventions."""
+    counts = ev.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    med = _lower_median(counts, "c").select(
+        "event_type", "n", F.col("c").alias("median_cents")
+    )
+    devs = (
+        counts.join(
+            F.broadcast(med.select("event_type", "median_cents")),
+            "event_type",
+        )
+        .groupBy(
+            "event_type",
+            F.abs(F.col("c") - F.col("median_cents")).alias("d"),
+        )
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = _lower_median(devs, "d").select(
+        "event_type", F.col("d").alias("mad_cents")
+    )
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "median_cents", "mad_cents")
+        .orderBy("event_type")
     )

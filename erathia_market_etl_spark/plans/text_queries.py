@@ -1921,3 +1921,111 @@ def text_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage: tokenizer-vocabulary coverage / OOV-rate audit.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 16  # reference vocabulary: top-N terms by document frequency
+# (the fixture corpus has exactly 31 distinct whitespace terms at every
+# SF, so 16 leaves a REAL out-of-vocab population — a 32-term vocab
+# would make every coverage row vacuously 100%)
+
+TEXT_VOCAB_COVERAGE_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ) ORDER BY df DESC, term LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN v.term IS NOT NULL THEN t.tf END), 0)
+                AS BIGINT) AS n_in_vocab,
+           CAST((SUM(t.tf)
+                 - COALESCE(SUM(CASE WHEN v.term IS NOT NULL THEN t.tf END),
+                            0)) * 1000000 // SUM(t.tf)
+                AS BIGINT) AS oov_ppm,
+           CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT)
+               AS n_distinct_oov
+    FROM tf t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit — the tokenizer-fit check a
+    training pipeline runs before committing a vocab: against a
+    reference vocabulary (here self-derived: the VOCAB_SIZE terms with
+    the highest document frequency, term-asc tiebreak — in production a
+    fixed tokenizer vocab table), report per document the total token
+    count, in-vocab token count, the OOV rate in exact ppm
+    ((oov * 1e6) DIV total — integer, hash-exact), and the number of
+    DISTINCT out-of-vocab terms (the new-vocabulary-mass signal).
+
+    Plan: tokenize -> (doc, term, tf) map-side-combinable aggregate;
+    the vocabulary is a TakeOrderedAndProject over the term-df
+    aggregate (top-k never sorts globally) broadcast back as a
+    VOCAB_SIZE-row hash relation, so coverage is a broadcast LEFT join
+    + one per-doc aggregate — no pair of corpus-sized tables ever
+    meets at a shuffle. The tf subtree is evaluated once per branch
+    (vocab derivation + coverage join); at 100 TB the tf table is the
+    thing to materialize once and reuse — same discipline as
+    bm25_topk_postings' posting table."""
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_frame(fan_out(docs))
+
+
+def vocab_coverage_frame(
+    docs: "DataFrame", vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """Core of text_vocab_coverage over any (doc_id, text) frame —
+    split out so the planted-corpus test can drive known vocab/OOV
+    populations directly."""
+    tf = (
+        docs
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_v"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_v").isNotNull(), F.col("tf"))),
+                F.lit(0),
+            ).cast("long").alias("n_in_vocab"),
+            F.count(F.when(F.col("_v").isNull(), 1)).cast("long")
+            .alias("n_distinct_oov"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("(n_tokens - n_in_vocab) * 1000000 DIV n_tokens"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_in_vocab", "oov_ppm", "n_distinct_oov"
+        )
+        .orderBy("doc_id")
+    )

@@ -106,6 +106,7 @@ def _queued():
         SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
+        TS_CUSUM_CHANGEPOINTS_ORACLE,
         GROWTH_ACCOUNTING_DAILY_ORACLE,
         OHLC_HOURLY_ORACLE,
         PATH_TRIGRAMS_TOP_ORACLE,
@@ -120,6 +121,7 @@ def _queued():
         scd2_user_tier_history,
         timeseries_gap_fill,
         timeseries_rolling_zscore,
+        ts_cusum_changepoints,
     )
     from erathia_market_etl_spark.plans.dedup_queries import (
         DEDUP_BLOOM_INCREMENTAL_ORACLE,
@@ -146,8 +148,10 @@ def _queued():
         funnel_ordered_conversion,
     )
     from erathia_market_etl_spark.plans.profile_queries import (
+        AGG_MAD_ROBUST_ORACLE,
         HISTOGRAM_EQUI_DEPTH_ORACLE,
         PROFILE_FACT_COLUMNS_ORACLE,
+        agg_mad_robust,
         histogram_equi_depth,
         profile_fact_columns,
     )
@@ -160,6 +164,7 @@ def _queued():
         TEXT_PHRASE_SEARCH_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
         TEXT_TOP_TERMS_TFIDF_ORACLE,
+        TEXT_VOCAB_COVERAGE_ORACLE,
         text_bpe_compression,
         text_bpe_merges,
         text_chunk_overlap,
@@ -167,6 +172,7 @@ def _queued():
         text_lm_familiarity,
         text_phrase_search,
         text_top_terms_tfidf,
+        text_vocab_coverage,
     )
 
     return {
@@ -330,6 +336,20 @@ def _queued():
         # r9-implemented positional phrase search with a self-derived
         # top-bigram workload — the exact-phrase complement of BM25
         "text_phrase_search": (text_phrase_search, TEXT_PHRASE_SEARCH_ORACLE),
+        # r10-implemented CUSUM level-shift detection over the daily
+        # series: the clamped fold rewritten as prefix-sum minus
+        # running extreme, integer cents end-to-end incl. the flag
+        "ts_cusum_changepoints": (
+            ts_cusum_changepoints, TS_CUSUM_CHANGEPOINTS_ORACLE,
+        ),
+        # r10-implemented tokenizer-vocab coverage / OOV-rate audit:
+        # top-df vocab via TakeOrdered, broadcast membership, exact-ppm
+        "text_vocab_coverage": (
+            text_vocab_coverage, TEXT_VOCAB_COVERAGE_ORACLE,
+        ),
+        # r10-implemented robust location/scale pair: exact lower
+        # median + MAD via the value-histogram rank decomposition x2
+        "agg_mad_robust": (agg_mad_robust, AGG_MAD_ROBUST_ORACLE),
     }
 
 

@@ -89,3 +89,27 @@ def test_equi_depth_population_and_conservation_laws(spark):
     assert sum(r["sum_v"] for r in got) == sum(vals)
     for a, b in zip(got, got[1:]):
         assert a["hi"] <= b["lo"]   # value-ordered buckets
+
+
+def test_mad_planted_group_parities(spark):
+    """Lower-median convention at every parity: odd group, even group
+    (lower of the middle two, never interpolated), and a
+    duplicate-heavy group whose MAD collapses to 0."""
+    from erathia_market_etl_spark.plans.profile_queries import mad_frame
+
+    rows = (
+        [("g_odd", v) for v in (1, 3, 9)]
+        + [("g_even", v) for v in (1, 2, 3, 10)]
+        + [("g_dup", v) for v in (5, 5, 5, 5, 7)]
+    )
+    out = {
+        r["event_type"]: (r["n"], r["median_cents"], r["mad_cents"])
+        for r in mad_frame(
+            spark.createDataFrame(rows, "event_type string, c long")
+        ).collect()
+    }
+    assert out == {
+        "g_odd": (3, 3, 2),    # devs {2,0,6} -> lower median 2
+        "g_even": (4, 2, 1),   # median = lower of (2,3); devs {1,0,1,8} -> 1
+        "g_dup": (5, 5, 0),
+    }

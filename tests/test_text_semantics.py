@@ -684,3 +684,29 @@ def test_tfidf_downranks_corpus_wide_terms(spark, tmp_path):
     assert got[1][1][1] == "the"
     # doc 3: banana (tf=2, df=1) -> 2*5/3 = 10/3 outranks the
     assert got[3][0][1] == "banana"
+
+
+def test_vocab_coverage_planted_counts_and_tiebreak(spark):
+    """Hand-checkable OOV accounting: df ranks a(3) > b(2) = y(2) >
+    c(1) = x(1); vocab_size=2 must take {a, b} (term-asc tiebreak at
+    the df boundary), and every per-doc count / exact-ppm rate follows
+    by hand."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        vocab_coverage_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b c y"), (1, "a b y"), (2, "a x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_in_vocab"], r["oov_ppm"], r["n_distinct_oov"]
+        )
+        for r in vocab_coverage_frame(docs, vocab_size=2).collect()
+    }
+    assert out == {
+        0: (5, 3, 400000, 2),   # oov: c, y
+        1: (3, 2, 333333, 1),   # oov: y  (1e6 DIV 3 floors)
+        2: (2, 1, 500000, 1),   # oov: x
+    }

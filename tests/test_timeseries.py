@@ -483,3 +483,48 @@ def test_candle_state_merge_equals_full(spark, tmp_path):
     assert sorted(map(tuple, present_candles(full).collect())) == sorted(
         map(tuple, ohlc_hourly(spark, p).collect())
     )
+
+
+def test_cusum_closed_form_equals_clamped_fold_on_level_shift(spark):
+    """cusum_frame computes S+/S- via the prefix-sum/running-extreme
+    closed form; this pins it against the textbook sequential clamped
+    fold on a planted level shift (10 days at 1.00, 10 at 3.00), and
+    checks the shift is actually flagged while the early stable days
+    are not."""
+    import datetime
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        CUSUM_H_MULT,
+        cusum_frame,
+    )
+
+    cents_series = [100] * 10 + [300] * 10
+    rows = [
+        (datetime.date(2024, 1, i + 1), c)
+        for i, c in enumerate(cents_series)
+    ]
+    out = cusum_frame(
+        spark.createDataFrame(rows, "day date, daily_cents long")
+    ).collect()
+    assert [r["day"].day for r in out] == list(range(1, 21))
+
+    # reference: the sequential clamped fold
+    n = len(cents_series)
+    mu = sum(cents_series) // n
+    devs = [c - mu for c in cents_series]
+    h = CUSUM_H_MULT * sum(abs(d) for d in devs) // n
+    s_up = s_dn = 0
+    expect = []
+    for d in devs:
+        s_up = max(0, s_up + d)
+        s_dn = max(0, s_dn - d)
+        expect.append((s_up, s_dn, s_up > h or s_dn > h))
+
+    got = [(r["cusum_up"], r["cusum_down"], r["flagged"]) for r in out]
+    assert got == expect
+    # the shift is detected, the first stable days are clean
+    assert any(r["flagged"] for r in out)
+    assert not any(r["flagged"] for r in out[:4])
+    # dev sign structure matches the plant
+    assert all(r["dev_cents"] == -100 for r in out[:10])
+    assert all(r["dev_cents"] == 100 for r in out[10:])
