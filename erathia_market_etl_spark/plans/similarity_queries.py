@@ -1344,3 +1344,147 @@ def sim_topk_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_int8_quantization: scalar int8 embedding-compression audit.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+EMB_INT8_QUANTIZATION_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, u.i AS pos1,
+               CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, {{dim}})) AS i) u
+        WHERE len(embedding) = {{dim}}
+    ),
+    s AS (SELECT vec_id, MAX(ABS(x)) AS s FROM e GROUP BY vec_id),
+    q AS (
+        SELECT e.vec_id, e.pos1, e.x, s.s,
+               CASE WHEN s.s = 0 THEN 0
+                    ELSE CAST(SIGN(e.x)
+                              * FLOOR(ABS(e.x) * 127 / s.s + 0.5e0)
+                              AS BIGINT)
+               END AS q
+        FROM e JOIN s USING (vec_id)
+    )
+    SELECT vec_id,
+           CAST(FLOOR(MAX(s) * 1000000 + 0.5e0) AS BIGINT) AS scale_micro,
+           CAST(SUM(q) AS BIGINT) AS code_sum,
+           CAST(SUM(pos1 * q) AS BIGINT) AS code_checksum,
+           CAST(COUNT(CASE WHEN ABS(q) = 127 THEN 1 END) AS BIGINT)
+               AS n_maxed,
+           CAST(SUM(CAST(FLOOR(ABS(x - q * s / 127) * 1000000000 + 0.5e0)
+                         AS BIGINT)) AS BIGINT) AS err_nano_sum
+    FROM q
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """.format(dim=64)
+
+
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit over the embedding corpus — the
+    4x-compression step (float32 -> int8, per-vector absmax scale)
+    every large vector store applies before indexing, with the
+    round-trip accounting that tells you whether it was safe: per
+    vector the quantization scale, an order-sensitive code checksum
+    (Σ (i+1)·q_i — detects any permutation/corruption of the code
+    bytes, not just value drift), the count of saturated codes, and
+    the total absolute reconstruction error in exact nano units.
+
+    Exactness: q_i = SIGN(x)·FLOOR(|x|·127/s + 0.5) is two correctly-
+    rounded IEEE ops and a FLOOR — bit-identical cross-engine; every
+    reported statistic is then integer arithmetic over the q_i (the
+    reconstruction term FLOOR(|x - q·s/127|·1e9 + 0.5) quantizes each
+    per-element error BEFORE the sum, so summation order is
+    irrelevant). Zero-vector guard: s = 0 -> all codes 0.
+
+    Scale shape: ENTIRELY narrow — scale, codes, checksums, and error
+    all fold per row with array higher-order functions (no explode, no
+    shuffle of any kind before the presentation sort); at 100 TB this
+    is a map-only pass at parquet-scan speed. The oracle formulation
+    unnests (the single-node spelling); Spark never does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantization_frame(emb, dim=64)
+
+
+def int8_quantization_frame(emb: DataFrame, dim: int) -> DataFrame:
+    """Core of emb_int8_quantization over any (vec_id, embedding)
+    frame — split out so planted hand-vector / zero-vector tests can
+    pin the code and error arithmetic directly.
+
+    Evaluation discipline: xd / s / q are materialized as REAL columns
+    in staged projections instead of inlined expression trees — four
+    output aggregates referencing an inlined q would each re-evaluate
+    the whole when+signum+floor chain per element (and s's array_max
+    inside every lambda step), a ~dim× constant-factor blowup measured
+    at 3.4× wall on the fixture. CollapseProject keeps the stages
+    separate because q/s are referenced more than once and are
+    non-cheap, so each computes exactly once per row."""
+    zero = F.lit(0).cast("long")
+    staged = (
+        emb.filter(F.size("embedding") == dim)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+            .alias("xd"),
+        )
+        .select(
+            "vec_id",
+            "xd",
+            F.array_max(F.transform("xd", lambda v: F.abs(v))).alias("s"),
+        )
+        .select(
+            "vec_id",
+            "xd",
+            "s",
+            F.transform(
+                "xd",
+                lambda v: F.when(
+                    F.col("s") == 0, zero
+                ).otherwise(
+                    (
+                        F.signum(v)
+                        * F.floor(F.abs(v) * 127 / F.col("s") + F.lit(0.5))
+                    ).cast("long")
+                ),
+            ).alias("q"),
+        )
+    )
+    s = F.col("s")
+    code_sum = F.aggregate(F.col("q"), zero, lambda acc, x: acc + x)
+    checksum = F.aggregate(
+        F.transform("q", lambda x, i: (i + 1) * x),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    n_maxed = F.aggregate(
+        F.transform(
+            "q",
+            lambda x: F.when(F.abs(x) == 127, F.lit(1).cast("long"))
+            .otherwise(zero),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    err_sum = F.aggregate(
+        F.zip_with(
+            "xd",
+            "q",
+            lambda x, qq: F.floor(
+                F.abs(x - qq * s / 127) * 1000000000 + F.lit(0.5)
+            ).cast("long"),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "vec_id",
+        F.floor(s * 1000000 + F.lit(0.5)).cast("long").alias("scale_micro"),
+        code_sum.alias("code_sum"),
+        checksum.alias("code_checksum"),
+        n_maxed.alias("n_maxed"),
+        err_sum.alias("err_nano_sum"),
+    ).orderBy("vec_id")

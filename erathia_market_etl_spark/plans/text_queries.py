@@ -2029,3 +2029,84 @@ def vocab_coverage_frame(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_simpson_diversity: exact lexical-diversity signals per document.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TEXT_SIMPSON_DIVERSITY_ORACLE = """
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) * 1000000 // SUM(tf) AS BIGINT) AS ttr_ppm,
+           CAST(CASE WHEN SUM(tf) > 1
+                     THEN SUM(tf * (tf - 1)) * 1000000
+                          // (SUM(tf) * (SUM(tf) - 1))
+                     ELSE 0 END AS BIGINT) AS simpson_ppm
+    FROM tf
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lexical-diversity signals per document: type-token ratio
+    and the Simpson repeat probability Σ tf·(tf−1) / (n·(n−1)) — the
+    probability two tokens drawn without replacement are the same
+    term. Entropy/perplexity is the usual diversity score but needs
+    log() (not correctly rounded — banned from oracled outputs); the
+    Simpson index is its Rényi-2 sibling and PURE integer arithmetic,
+    so both signals are hash-exact in ppm. Low diversity (high
+    simpson_ppm, low ttr_ppm) flags boilerplate/spam the way
+    text_repetition_signals' bigram fractions do, from the unigram
+    side.
+
+    Plan: one tokenize -> (doc, term, tf) map-side-combinable
+    aggregate, then one per-doc aggregate — both shuffles carry
+    (doc_id, term/counts) longs only; nothing else. At 100 TB this is
+    the cheapest useful corpus-quality pass after raw token counts."""
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity_frame(fan_out(docs))
+
+
+def simpson_diversity_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_simpson_diversity over any (doc_id, text) frame —
+    split out so the planted-corpus test can pin the ttr/simpson
+    arithmetic on hand-checkable documents."""
+    tf = (
+        docs
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("tf") * (F.col("tf") - 1)).cast("long").alias("_coll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr("n_distinct * 1000000 DIV n_tokens").alias("ttr_ppm"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.expr("_coll * 1000000 DIV (n_tokens * (n_tokens - 1))"),
+            ).otherwise(F.lit(0)).cast("long").alias("simpson_ppm"),
+        )
+        .orderBy("doc_id")
+    )

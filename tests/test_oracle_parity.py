@@ -90,8 +90,10 @@ def _queued():
         sim_ivfpq_topk,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
+        EMB_INT8_QUANTIZATION_ORACLE,
         EMB_RANDOM_PROJECTION_ORACLE,
         SIM_TOPK_JL_RERANK_ORACLE,
+        emb_int8_quantization,
         emb_random_projection,
         sim_topk_jl_rerank,
     )
@@ -163,6 +165,7 @@ def _queued():
         TEXT_LM_FAMILIARITY_ORACLE,
         TEXT_PHRASE_SEARCH_ORACLE,
         TEXT_QUALITY_GATE_ORACLE,
+        TEXT_SIMPSON_DIVERSITY_ORACLE,
         TEXT_TOP_TERMS_TFIDF_ORACLE,
         TEXT_VOCAB_COVERAGE_ORACLE,
         text_bpe_compression,
@@ -171,6 +174,7 @@ def _queued():
         text_duplicate_spans,
         text_lm_familiarity,
         text_phrase_search,
+        text_simpson_diversity,
         text_top_terms_tfidf,
         text_vocab_coverage,
     )
@@ -350,6 +354,18 @@ def _queued():
         # r10-implemented robust location/scale pair: exact lower
         # median + MAD via the value-histogram rank decomposition x2
         "agg_mad_robust": (agg_mad_robust, AGG_MAD_ROBUST_ORACLE),
+        # r10-implemented int8 embedding-compression audit: codes,
+        # order-sensitive checksum, saturation, nano-exact round-trip
+        # error — all map-only array HOFs, zero shuffle
+        "emb_int8_quantization": (
+            emb_int8_quantization, EMB_INT8_QUANTIZATION_ORACLE,
+        ),
+        # r10-implemented unigram diversity signals: type-token ratio +
+        # Simpson repeat probability in exact ppm (the log-free
+        # Renyi-2 stand-in for entropy)
+        "text_simpson_diversity": (
+            text_simpson_diversity, TEXT_SIMPSON_DIVERSITY_ORACLE,
+        ),
     }
 
 

@@ -597,3 +597,45 @@ def test_jl_rerank_recall_floor(spark):
     bf = {r["vec_id"] for r in sim_topk_bruteforce(spark, sf).collect()}
     assert len(jl) == 10
     assert len(jl & bf) / 10 >= 0.5, jl & bf
+
+
+def test_int8_quantization_planted_hand_vector(spark):
+    """Hand-checkable int8 codes on a 4-dim vector, plus the
+    zero-vector guard. The reconstruction-error expectation mirrors
+    the exact IEEE expression (floor(|x - q*s/127|*1e9 + 0.5)) in
+    Python, which follows the same correctly-rounded double semantics."""
+    import math
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        int8_quantization_frame,
+    )
+
+    x = [1.0, -0.5, 0.25, 0.0]
+    emb = spark.createDataFrame(
+        [(0, [float(v) for v in x]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in int8_quantization_frame(emb, dim=4).collect()
+    }
+
+    # s = 1.0; codes: 127, -floor(63.5+0.5)=-64, floor(31.75+0.5)=32, 0
+    r0 = rows[0]
+    assert r0["scale_micro"] == 1_000_000
+    assert r0["code_sum"] == 127 - 64 + 32
+    assert r0["code_checksum"] == 1 * 127 + 2 * -64 + 3 * 32
+    assert r0["n_maxed"] == 1
+    q = [127, -64, 32, 0]
+    expect_err = sum(
+        math.floor(abs(v - qq * 1.0 / 127) * 1e9 + 0.5)
+        for v, qq in zip(x, q)
+    )
+    assert r0["err_nano_sum"] == expect_err > 0
+
+    # zero vector: guard kicks in — all codes and errors exactly 0
+    r1 = rows[1]
+    assert (
+        r1["scale_micro"], r1["code_sum"], r1["code_checksum"],
+        r1["n_maxed"], r1["err_nano_sum"],
+    ) == (0, 0, 0, 0, 0)

@@ -710,3 +710,27 @@ def test_vocab_coverage_planted_counts_and_tiebreak(spark):
         1: (3, 2, 333333, 1),   # oov: y  (1e6 DIV 3 floors)
         2: (2, 1, 500000, 1),   # oov: x
     }
+
+
+def test_simpson_diversity_planted(spark):
+    """Hand-checkable diversity: heavy repetition, all-distinct, and a
+    single-token doc (n=1 guard)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        simpson_diversity_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c d"), (2, "a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct"], r["ttr_ppm"], r["simpson_ppm"]
+        )
+        for r in simpson_diversity_frame(docs).collect()
+    }
+    assert out == {
+        0: (4, 2, 500000, 500000),  # coll = 3*2 = 6; 6e6 DIV 12
+        1: (4, 4, 1000000, 0),
+        2: (1, 1, 1000000, 0),
+    }
