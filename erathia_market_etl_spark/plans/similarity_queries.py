@@ -1488,3 +1488,219 @@ def int8_quantization_frame(emb: DataFrame, dim: int) -> DataFrame:
         n_maxed.alias("n_maxed"),
         err_sum.alias("err_nano_sum"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_lloyd: fully-distributed exact-integer Lloyd k-means.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8     # Lloyd cluster count (first-K deterministic seeding)
+LLOYD_ROUNDS = 2   # unrolled assign->update cycles before the report
+
+
+def _lloyd_oracle() -> str:
+    """Chained-CTE DuckDB twin of emb_kmeans_lloyd: the same
+    LLOYD_ROUNDS assign->update cycles unrolled as (a{r}, m{r}, cn{r},
+    c{r}) CTE blocks — the BPE-merges / pagerank unrolling idiom."""
+    k, dim = K_CLUSTERS, 64
+    blocks = [f"""
+    pts AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(SIGN(CAST(embedding[u.i] AS DOUBLE))
+                    * FLOOR(ABS(CAST(embedding[u.i] AS DOUBLE))
+                            * 1000000 + 0.5e0) AS BIGINT) AS v
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, {dim})) AS i) u
+        WHERE len(embedding) = {dim}
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, v AS c FROM pts WHERE vec_id < {k})"""]
+    prev = "c0"
+    for r in range(1, LLOYD_ROUNDS + 1):
+        blocks.append(f"""
+    a{r} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d
+        FROM pts p JOIN {prev} c ON p.pos = c.pos
+        GROUP BY p.vec_id, c.cid
+    ),
+    m{r} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, cid
+                   ) AS rn
+            FROM a{r}
+        ) WHERE rn = 1
+    ),
+    cn{r} AS (
+        SELECT m.cid, p.pos,
+               CAST(SUM(p.v) // COUNT(*) AS BIGINT) AS c
+        FROM m{r} m JOIN pts p USING (vec_id)
+        GROUP BY m.cid, p.pos
+    ),
+    c{r} AS (
+        SELECT o.cid, o.pos, COALESCE(n.c, o.c) AS c
+        FROM {prev} o LEFT JOIN cn{r} n
+          ON o.cid = n.cid AND o.pos = n.pos
+    )""")
+        prev = f"c{r}"
+    return f"""
+    WITH {','.join(blocks)},
+    af AS (
+        SELECT p.vec_id, c.cid,
+               CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d
+        FROM pts p JOIN {prev} c ON p.pos = c.pos
+        GROUP BY p.vec_id, c.cid
+    ),
+    mf AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, cid
+                   ) AS rn
+            FROM af
+        ) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(d // 1000000) AS BIGINT) AS inertia_div1e6
+        FROM mf GROUP BY cid
+    ),
+    chk AS (
+        SELECT cid, CAST(SUM((pos + 1) * c) AS BIGINT) AS centroid_checksum
+        FROM {prev} GROUP BY cid
+    )
+    SELECT s.cid, s.n_members, s.inertia_div1e6, k.centroid_checksum
+    FROM sums s JOIN chk k USING (cid)
+    ORDER BY s.cid
+    """
+
+
+EMB_KMEANS_LLOYD_ORACLE = _lloyd_oracle()
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-DISTRIBUTED Lloyd k-means over the embedding corpus,
+    LLOYD_ROUNDS (2) unrolled assign→update cycles + a final
+    assignment, every number an exact integer so the chained-CTE
+    DuckDB twin is hash-exact — the full-corpus training loop
+    complementing `kmeans_centroids`' bounded-sample driver path (the
+    IVF coarse quantizer trains on a collected sample; THIS is the
+    shape you run when the model must see every row).
+
+    Exactness: elements micro-quantized once (the emb_label_centroids
+    idiom); assignment argmin on exact squared-L2 BIGINTs with a
+    (d, cid) tie order; centroid update SUM DIV count — both engines
+    truncate integer division toward zero (verified on negatives);
+    empty clusters keep their previous centroid (COALESCE in both
+    formulations). Overflow envelope: per-pair d ≤ 64·(2e6)² ≈ 2.6e14
+    ≪ 2^63; the reported inertia pre-scales each vector's d DIV 1e6
+    BEFORE summing (order-free), keeping the sum in-range to ~3e10
+    vectors.
+
+    Scale shape per round: assignment is NARROW — the K×64 centroid
+    table folds to ONE broadcast row and each vector scans it with
+    array HOFs (no K-way row expansion, no shuffle); the update is a
+    posexplode keyed (cid, pos) whose map-side combine collapses every
+    task to ≤ K·64 partial rows — the only thing that crosses the wire
+    is K·64·#tasks partials, independent of corpus size. The rounds
+    are a STATIC unrolled plan (no driver-side convergence loop —
+    fixed-round Lloyd, the pagerank/BPE discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_frame(emb, dim=64)
+
+
+def kmeans_lloyd_frame(
+    emb: DataFrame,
+    dim: int,
+    k: int = K_CLUSTERS,
+    rounds: int = LLOYD_ROUNDS,
+) -> DataFrame:
+    """Core of emb_kmeans_lloyd over any (vec_id, embedding) frame —
+    split out so planted two-cluster and duplicate-seed (empty-cluster
+    COALESCE) tests can drive the Lloyd dynamics directly."""
+    micro = lambda v: (  # noqa: E731
+        F.signum(v.cast("double"))
+        * F.floor(F.abs(v.cast("double")) * 1000000 + F.lit(0.5))
+    ).cast("long")
+    pts = emb.filter(F.size("embedding") == dim).select(
+        "vec_id",
+        F.transform("embedding", lambda v: micro(v)).alias("m"),
+    )
+    # centroid table (cid, pos, c) -> one-row broadcast of
+    # array<struct<cid, cm: array<long>>> sorted by cid
+    cent_tbl = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode("m").alias("pos", "c"),
+    )
+
+    def cents_row(tbl: DataFrame) -> DataFrame:
+        per_cid = tbl.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cm")
+        )
+        return per_cid.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cm"))).alias("cents")
+        )
+
+    def assign(points: DataFrame, crow: DataFrame) -> DataFrame:
+        dist_structs = F.transform(
+            F.col("cents"),
+            lambda cc: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        cc["cm"],
+                        F.col("m"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                cc["cid"].alias("cid"),
+            ),
+        )
+        return points.crossJoin(F.broadcast(crow)).select(
+            "vec_id", "m", F.array_min(dist_structs).alias("best")
+        ).select(
+            "vec_id",
+            "m",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d").alias("d"),
+        )
+
+    for _ in range(rounds):
+        assigned = assign(pts, cents_row(cent_tbl))
+        newc = (
+            assigned.select("cid", F.posexplode("m").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(v) DIV count(*)").cast("long").alias("c"))
+        )
+        cent_tbl = (
+            cent_tbl.alias("o")
+            .join(newc.alias("n"), ["cid", "pos"], "left")
+            .select(
+                "cid",
+                "pos",
+                F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"),
+            )
+        )
+
+    final = assign(pts, cents_row(cent_tbl))
+    sums = final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.expr("d DIV 1000000")).cast("long").alias("inertia_div1e6"),
+    )
+    chk = cent_tbl.groupBy("cid").agg(
+        F.sum((F.col("pos") + 1) * F.col("c")).cast("long")
+        .alias("centroid_checksum")
+    )
+    return (
+        sums.join(F.broadcast(chk), "cid")
+        .select("cid", "n_members", "inertia_div1e6", "centroid_checksum")
+        .orderBy("cid")
+    )

@@ -91,9 +91,11 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
         EMB_INT8_QUANTIZATION_ORACLE,
+        EMB_KMEANS_LLOYD_ORACLE,
         EMB_RANDOM_PROJECTION_ORACLE,
         SIM_TOPK_JL_RERANK_ORACLE,
         emb_int8_quantization,
+        emb_kmeans_lloyd,
         emb_random_projection,
         sim_topk_jl_rerank,
     )
@@ -360,6 +362,10 @@ def _queued():
         "emb_int8_quantization": (
             emb_int8_quantization, EMB_INT8_QUANTIZATION_ORACLE,
         ),
+        # r10-implemented distributed exact-integer Lloyd k-means:
+        # unrolled assign->update rounds, broadcast-row centroids,
+        # map-side-combinable updates, chained-CTE oracle
+        "emb_kmeans_lloyd": (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_ORACLE),
         # r10-implemented unigram diversity signals: type-token ratio +
         # Simpson repeat probability in exact ppm (the log-free
         # Renyi-2 stand-in for entropy)

@@ -639,3 +639,55 @@ def test_int8_quantization_planted_hand_vector(spark):
         r1["scale_micro"], r1["code_sum"], r1["code_checksum"],
         r1["n_maxed"], r1["err_nano_sum"],
     ) == (0, 0, 0, 0, 0)
+
+
+def test_kmeans_lloyd_planted_two_clusters(spark):
+    """Two planted tight groups in 2-dim micro space: Lloyd with k=2
+    must separate them, and the centroid checksums must equal the
+    hand-computed integer means of each group."""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        kmeans_lloyd_frame,
+    )
+
+    # seeds: vec 0 (low group), vec 1 (high group); two more per group
+    vecs = [
+        (0, [0.10, 0.10]),
+        (1, [0.90, 0.90]),
+        (2, [0.12, 0.10]),
+        (3, [0.10, 0.14]),
+        (4, [0.88, 0.90]),
+        (5, [0.90, 0.86]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["cid"]: r for r in kmeans_lloyd_frame(emb, dim=2, k=2).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 3
+
+    # integer centroid means (micro units; float32->double of these
+    # literals is exact enough that FLOOR lands on the same micro ints
+    # the engines compute — verified by the assertion itself)
+    lo = [(100000 + 120000 + 100000) // 3, (100000 + 100000 + 140000) // 3]
+    hi = [(900000 + 880000 + 900000) // 3, (900000 + 900000 + 860000) // 3]
+    assert out[0]["centroid_checksum"] == 1 * lo[0] + 2 * lo[1]
+    assert out[1]["centroid_checksum"] == 1 * hi[0] + 2 * hi[1]
+
+
+def test_kmeans_lloyd_duplicate_seed_empties_cluster(spark):
+    """Duplicate seed vectors: both initial centroids coincide, every
+    assignment ties and goes to the lower cid, so cluster 1 is EMPTY
+    from round 1 on. The COALESCE path must keep the run alive (no
+    div-by-zero, no dropped rows) and the report shows one cluster
+    holding everything."""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        kmeans_lloyd_frame,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.5, 0.5]), (2, [0.6, 0.6]), (3, [0.4, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_lloyd_frame(emb, dim=2, k=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["cid"] == 0 and rows[0]["n_members"] == 4
