@@ -1504,3 +1504,98 @@ def cusum_frame(daily: DataFrame, h_mult: int = CUSUM_H_MULT) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# trend_daily_regression: exact per-type OLS trend over the daily series.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TREND_DAILY_REGRESSION_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS slope_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+               AS slope_den,
+           CAST(CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) = 0
+                     THEN 0
+                     ELSE (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 100
+                          // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                END AS BIGINT) AS slope_centi_cents
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def trend_daily_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type trend detection: exact ordinary-least-squares slope of
+    the daily value series against the day index — the 'is this KPI
+    drifting' statistic next to ts_cusum_changepoints' 'did it jump'.
+    The OLS slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is a ratio of two
+    INTEGER quantities when x is the day ordinal and y exact cents, so
+    the report carries the exact numerator and denominator plus the
+    floor-divided slope in centi-cents/day — hash-exact, no float in
+    sight (the usual covariance/variance double formulation is
+    summation-order-dependent and cross-engine inexact).
+
+    Envelope: x ≤ days, y ≤ day-total cents; n·Σxy is bounded by
+    days²·Σy — at 1e6 days (2,700 years) and $10¹¹ daily cents it
+    stays under 2^63; real horizons are ≤ 10⁴ days.
+
+    Scale shape: the only full-data pass is the map-side-combinable
+    (type, day) aggregate; the regression itself is a second aggregate
+    over the day-grain series (calendar-bounded rows), all sums
+    integer and order-free. Degenerate single-day groups report
+    slope 0 with slope_den = 0 (both engines via the same CASE)."""
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("value")).cast("long").alias("y"))
+    )
+    return trend_frame(daily)
+
+
+def trend_frame(daily: DataFrame) -> DataFrame:
+    """Core of trend_daily_regression over any (event_type, x, y)
+    day-grain frame — split out so planted exact-slope /
+    negative-trend / single-day tests can pin the integer OLS
+    arithmetic directly."""
+    n = F.count(F.lit(1)).cast("long")
+    num = (n * F.sum(F.col("x") * F.col("y"))
+           - F.sum("x") * F.sum("y")).cast("long")
+    den = (n * F.sum(F.col("x") * F.col("x"))
+           - F.sum("x") * F.sum("x")).cast("long")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.alias("n_days"),
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "slope_num",
+            "slope_den",
+            F.when(F.col("slope_den") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("slope_num * 100 DIV slope_den"))
+            .alias("slope_centi_cents"),
+        )
+        .orderBy("event_type")
+    )

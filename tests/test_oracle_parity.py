@@ -110,6 +110,7 @@ def _queued():
         SCD2_USER_TIER_HISTORY_ORACLE,
         TIMESERIES_GAP_FILL_ORACLE,
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
+        TREND_DAILY_REGRESSION_ORACLE,
         TS_CUSUM_CHANGEPOINTS_ORACLE,
         GROWTH_ACCOUNTING_DAILY_ORACLE,
         OHLC_HOURLY_ORACLE,
@@ -125,6 +126,7 @@ def _queued():
         scd2_user_tier_history,
         timeseries_gap_fill,
         timeseries_rolling_zscore,
+        trend_daily_regression,
         ts_cusum_changepoints,
     )
     from erathia_market_etl_spark.plans.dedup_queries import (
@@ -347,6 +349,11 @@ def _queued():
         # running extreme, integer cents end-to-end incl. the flag
         "ts_cusum_changepoints": (
             ts_cusum_changepoints, TS_CUSUM_CHANGEPOINTS_ORACLE,
+        ),
+        # r10-implemented exact integer OLS trend per type: slope as an
+        # exact num/den pair + floor-divided centi-cents/day
+        "trend_daily_regression": (
+            trend_daily_regression, TREND_DAILY_REGRESSION_ORACLE,
         ),
         # r10-implemented tokenizer-vocab coverage / OOV-rate audit:
         # top-df vocab via TakeOrdered, broadcast membership, exact-ppm

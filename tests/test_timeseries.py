@@ -528,3 +528,31 @@ def test_cusum_closed_form_equals_clamped_fold_on_level_shift(spark):
     # dev sign structure matches the plant
     assert all(r["dev_cents"] == -100 for r in out[:10])
     assert all(r["dev_cents"] == 100 for r in out[10:])
+
+
+def test_trend_regression_planted_slopes(spark):
+    """Hand-checkable OLS: an exact +100-cents/day line, an exact
+    -50-cents/day line, and a single-day group (zero denominator -> 0
+    slope by convention)."""
+    from erathia_market_etl_spark.plans.event_windows import trend_frame
+
+    rows = (
+        [("up", x, 1000 + 100 * x) for x in range(5)]
+        + [("down", x, 5000 - 50 * x) for x in range(4)]
+        + [("flat1", 3, 777)]
+    )
+    out = {
+        r["event_type"]: (
+            r["n_days"], r["slope_num"], r["slope_den"],
+            r["slope_centi_cents"],
+        )
+        for r in trend_frame(
+            spark.createDataFrame(rows, "event_type string, x long, y long")
+        ).collect()
+    }
+    # perfect lines: num/den == slope exactly
+    n_up, nu, du, su = out["up"]
+    assert n_up == 5 and nu == 100 * du and su == 100 * 100
+    n_dn, nd, dd, sd = out["down"]
+    assert n_dn == 4 and nd == -50 * dd and sd == -50 * 100
+    assert out["flat1"] == (1, 0, 0, 0)
