@@ -503,3 +503,34 @@ def read_candle_state(spark: SparkSession, state_path: str) -> DataFrame:
         ["batch_id", "event_type", "hour_start"]
     )
     return merge_candle_states(log.drop("batch_id"))
+
+
+def streaming_hll_append(
+    keys: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
+    """Distinct-count sketch maintenance under ingest — the HLL member
+    of the mergeable-state family (rollup sums, count-min counters,
+    candles, HLL registers): each micro-batch of keys (column ``x``)
+    appends its (idx, r) register slice (≤ 64 rows regardless of batch
+    size); serving MAX-merges on read. Same append-only / batch_id
+    rationale as the other sinks, with one bonus: max-merge is
+    idempotent, so this state is retry-safe even before the read-side
+    dedup."""
+    from ..plans.sketch_queries import hll_register_state
+
+    return _run_state_append(
+        keys, state_path, hll_register_state, checkpoint, after_write
+    )
+
+
+def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming HLL register log: MAX per
+    register index across every appended slice. Identical output
+    contract to batch ``hll_register_state`` over the full key log
+    (pinned in tests/test_streaming.py). Retry dedup per
+    (batch_id, idx) mirrors the other sinks for contract uniformity."""
+    log = spark.read.parquet(state_path).dropDuplicates(["batch_id", "idx"])
+    return log.groupBy("idx").agg(F.max("r").cast("long").alias("r"))

@@ -390,6 +390,58 @@ def test_streaming_candle_append_merges_to_batch_state(spark, staged_dir, tmp_pa
     assert retried == want
 
 
+def test_streaming_hll_append_merges_to_batch_state(spark, staged_dir, tmp_path):
+    """HLL maintenance: three micro-batches of keys append their
+    (idx, r) register slices; MAX-merge-on-read must equal the batch
+    hll_register_state over the full key log EXACTLY, and a retried
+    slice re-append must not change anything (max-merge is idempotent
+    on top of the batch_id dedup)."""
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        hll_register_state,
+    )
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_hll_state,
+        streaming_hll_append,
+    )
+
+    def rows(keys, base_id):
+        return [(base_id + i, _ts(1), k, "a", 1.0) for i, k in enumerate(keys)]
+
+    k0 = list(range(0, 40))
+    k1 = list(range(30, 80))      # overlaps k0 — dedup across batches
+    k2 = list(range(1000, 1020))
+    _write_batch_file(spark, rows(k0, 0), f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, rows(k1, 100), f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, rows(k2, 200), f"{staged_dir}/b2.parquet", 1_000_200)
+
+    stream_keys = _read_stream(spark, staged_dir).select(
+        F.col("user_id").alias("x")
+    )
+    state_path = str(tmp_path / "hll_state")
+    batches = streaming_hll_append(stream_keys, state_path)
+    assert len(batches) == 3
+
+    merged = sorted(map(tuple, read_hll_state(spark, state_path).collect()))
+    full = spark.createDataFrame([(k,) for k in k0 + k1 + k2], "x long")
+    want = sorted(map(tuple, hll_register_state(full).collect()))
+    assert merged == want
+
+    # non-vacuity: the merge really maxes ACROSS batches — some register
+    # index must appear in more than one batch's slice
+    log = spark.read.parquet(state_path)
+    multi = (
+        log.groupBy("idx").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0
+
+    # retry idempotence: re-append batch 1's identical slice
+    log.filter(F.col("batch_id") == batches[1]).write.mode("append").parquet(
+        state_path
+    )
+    retried = sorted(map(tuple, read_hll_state(spark, state_path).collect()))
+    assert retried == want
+
+
 def test_maintenance_sinks_exactly_once_under_real_retry(spark, staged_dir, tmp_path):
     """End-to-end forced retry (r9 VERDICT item 6): unlike the hand
     re-append in the three tests above, here the ENGINE produces the
@@ -481,4 +533,22 @@ def test_maintenance_sinks_exactly_once_under_real_retry(spark, staged_dir, tmp_
     p = run_with_forced_retry("candle", streaming_candle_append)
     assert sorted(map(tuple, read_candle_state(spark, p).collect())) == sorted(
         map(tuple, candle_state(full).collect())
+    )
+
+    # HLL family (keys ride user_id -> x)
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        hll_register_state,
+    )
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_hll_state,
+        streaming_hll_append,
+    )
+
+    p = run_with_forced_retry(
+        "hll",
+        streaming_hll_append,
+        src_select=lambda s: s.select(F.col("user_id").alias("x")),
+    )
+    assert sorted(map(tuple, read_hll_state(spark, p).collect())) == sorted(
+        map(tuple, hll_register_state(full_keys).collect())
     )
