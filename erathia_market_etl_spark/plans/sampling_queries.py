@@ -733,3 +733,101 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "hkey", "rn")
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_quota_allocation: Hamilton largest-remainder budget allocation.
+# UNREGISTERED (r10 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+QUOTA_BUDGET = 997  # docs to sample corpus-wide (prime: real remainders)
+
+SAMPLE_QUOTA_ALLOCATION_ORACLE = f"""
+    WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM w),
+    base AS (
+        SELECT w.source, w.weight,
+               CAST(w.weight * {QUOTA_BUDGET} // t.total AS BIGINT) AS floor_q,
+               CAST(w.weight * {QUOTA_BUDGET} % t.total AS BIGINT) AS rem
+        FROM w, t
+    ),
+    leftover AS (
+        SELECT CAST({QUOTA_BUDGET} - SUM(floor_q) AS BIGINT) AS l FROM base
+    ),
+    ranked AS (
+        SELECT source, weight, floor_q, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        FROM base
+    )
+    SELECT r.source, r.weight, r.floor_q, r.rem,
+           CAST(r.floor_q + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked r, leftover l
+    ORDER BY r.source
+    """
+
+
+def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sampling
+    budget across corpus strata, weighted by total characters — the
+    'give every source its exact proportional share of a 997-doc eval
+    set' allocator. Proportional quotas are fractional; naive rounding
+    breaks Σquota == budget, and per-stratum float division isn't even
+    cross-engine stable. Hamilton is the classic integer-exact fix:
+    floor_q = weight·B DIV total, then the L = B − Σfloor leftover
+    units go to the L largest remainders (weight·B mod total,
+    source-asc tiebreak) — every column BIGINT, the oracle hash-exact,
+    and the Σquota == B / |quota − exact share| < 1 laws pinned in
+    tests. (Same algorithm as US-House seat apportionment 1852-1900 —
+    the alabama-paradox caveat is irrelevant for a fixed budget.)
+
+    Scale shape: one map-side-combinable (source, Σchars) aggregate is
+    the only full-data pass; the total is a broadcast scalar; the
+    remainder rank is a SinglePartition window over the STRATUM table
+    (bounded by the source vocabulary, not the corpus). The downstream
+    sampler feeding on these quotas is sample_k_per_group with k =
+    quota."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    return quota_frame(w, QUOTA_BUDGET)
+
+
+def quota_frame(w: DataFrame, budget: int) -> DataFrame:
+    """Core of sample_quota_allocation over any (source, weight) frame
+    — split out so planted exact-share / leftover / tie tests can pin
+    the Hamilton arithmetic directly."""
+    t = w.agg(F.sum("weight").cast("long").alias("total"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "weight",
+        F.expr(f"weight * {budget} DIV total").cast("long")
+        .alias("floor_q"),
+        F.expr(f"weight * {budget} % total").cast("long").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(budget) - F.sum("floor_q")).cast("long").alias("l")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), "source")
+    )
+    return (
+        base.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "weight",
+            "floor_q",
+            "rem",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -75,10 +75,12 @@ _RETIRED = [
 def _queued():
     from erathia_market_etl_spark.plans.sampling_queries import (
         SAMPLE_K_PER_GROUP_ORACLE,
+        SAMPLE_QUOTA_ALLOCATION_ORACLE,
         SAMPLE_TEMPERATURE_MIXTURE_ORACLE,
         _leakage_safe_oracle,
         sample_k_per_group,
         sample_leakage_safe_splits,
+        sample_quota_allocation,
         sample_temperature_mixture,
     )
     from erathia_market_etl_spark.plans.similarity_queries import (
@@ -378,6 +380,11 @@ def _queued():
         # Renyi-2 stand-in for entropy)
         "text_simpson_diversity": (
             text_simpson_diversity, TEXT_SIMPSON_DIVERSITY_ORACLE,
+        ),
+        # r10-implemented Hamilton largest-remainder budget allocation:
+        # char-weighted integer quotas summing exactly to the budget
+        "sample_quota_allocation": (
+            sample_quota_allocation, SAMPLE_QUOTA_ALLOCATION_ORACLE,
         ),
     }
 

@@ -364,3 +364,28 @@ def test_sample_k_per_group_exact_and_reproducible(spark):
     for src, rns in per_src.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), src
         assert len(rns) <= SAMPLE_K_PER_GROUP, src
+
+
+def test_quota_allocation_planted_hamilton(spark):
+    """Hand-checkable Hamilton apportionment: weights 5/3/2, budget 7
+    -> floors 3/2/1, one leftover unit to the largest remainder (a);
+    plus the equal-remainder tie (source-asc wins) and the two laws:
+    quotas sum exactly to the budget, and every quota is within one
+    unit of its exact fractional share."""
+    from erathia_market_etl_spark.plans.sampling_queries import quota_frame
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "source string, weight long"
+    )
+    out = {r["source"]: r for r in quota_frame(w, 7).collect()}
+    assert {k: v["quota"] for k, v in out.items()} == {"a": 4, "b": 2, "c": 1}
+    assert sum(v["quota"] for v in out.values()) == 7
+    for k, v in out.items():
+        assert abs(v["quota"] - v["weight"] * 7 / 10) < 1
+
+    # equal remainders: the leftover unit goes to the source-asc winner
+    w2 = spark.createDataFrame(
+        [("x", 1), ("y", 1)], "source string, weight long"
+    )
+    out2 = {r["source"]: r["quota"] for r in quota_frame(w2, 3).collect()}
+    assert out2 == {"x": 2, "y": 1}
