@@ -407,3 +407,119 @@ def mad_frame(ev: DataFrame) -> DataFrame:
         .select("event_type", "n", "median_cents", "mad_cents")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_percentile_bands: exact daily P50/P95/max bands per event type via
+# the histogram rank decomposition. UNREGISTERED (r10 — local-only per
+# the COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TS_PERCENTILE_BANDS_ORACLE = """
+    WITH c AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, day, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY event_type, day, c
+    ),
+    cum AS (
+        SELECT event_type, day, c, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY event_type, day ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type, day)
+                    AS BIGINT) AS n
+        FROM counts
+    ),
+    p50 AS (
+        SELECT event_type, day, n, c AS p50_cents FROM cum
+        WHERE below < (50 * n + 99) // 100
+          AND (50 * n + 99) // 100 <= below + cnt
+    ),
+    p95 AS (
+        SELECT event_type, day, c AS p95_cents FROM cum
+        WHERE below < (95 * n + 99) // 100
+          AND (95 * n + 99) // 100 <= below + cnt
+    ),
+    mx AS (
+        SELECT event_type, day, CAST(MAX(c) AS BIGINT) AS max_cents
+        FROM counts GROUP BY event_type, day
+    )
+    SELECT p50.event_type, p50.day, p50.n,
+           p50.p50_cents, p95.p95_cents, mx.max_cents
+    FROM p50
+    JOIN p95 USING (event_type, day)
+    JOIN mx USING (event_type, day)
+    ORDER BY event_type, day
+    """
+
+
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily percentile dashboard: exact P50 / P95 / max of the
+    event value per (event_type, day) — the latency/price band series
+    every monitoring stack draws, computed with EXACT nearest-rank
+    percentiles (rank ⌈q·n/100⌉ = (q·n + 99) DIV 100 — agrees with
+    agg_mad_robust's lower median at q=50) so the DuckDB twin is
+    hash-exact at any group parity, where interpolating
+    percentile_approx/quantile calls would differ engine-to-engine.
+
+    Scale shape (the rank decomposition a third time, now per
+    (type, day) group): the only full-data pass is the map-side
+    (type, day, cents) histogram aggregate; the cumulative windows and
+    both rank selections ride the histogram (≤ groups × distinct
+    cents rows); the band assembly joins are group-grain. Selecting
+    TWO quantiles re-filters the SAME cumulative table — each extra
+    band is one more filter, never another corpus pass."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        cents("value").alias("c"),
+    )
+    return percentile_bands_frame(ev)
+
+
+def percentile_bands_frame(ev: DataFrame) -> DataFrame:
+    """Core of ts_percentile_bands over any (event_type, day, c: long)
+    frame — split out so planted parity/duplicate tests can pin the
+    nearest-rank arithmetic directly."""
+    counts = ev.groupBy("event_type", "day", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_below = Window.partitionBy("event_type", "day").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("event_type", "day")
+    cum = counts.select(
+        "event_type",
+        "day",
+        "c",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+        .cast("long").alias("below"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+
+    def band(q: int, name: str) -> DataFrame:
+        target = F.expr(f"({q} * n + 99) DIV 100")
+        return cum.filter(
+            (F.col("below") < target)
+            & (target <= F.col("below") + F.col("cnt"))
+        ).select("event_type", "day", "n", F.col("c").alias(name))
+
+    p50 = band(50, "p50_cents")
+    p95 = band(95, "p95_cents").drop("n")
+    mx = counts.groupBy("event_type", "day").agg(
+        F.max("c").cast("long").alias("max_cents")
+    )
+    return (
+        p50.join(p95, ["event_type", "day"])
+        .join(mx, ["event_type", "day"])
+        .select(
+            "event_type", "day", "n", "p50_cents", "p95_cents", "max_cents"
+        )
+        .orderBy("event_type", "day")
+    )

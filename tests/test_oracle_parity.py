@@ -159,9 +159,11 @@ def _queued():
         AGG_MAD_ROBUST_ORACLE,
         HISTOGRAM_EQUI_DEPTH_ORACLE,
         PROFILE_FACT_COLUMNS_ORACLE,
+        TS_PERCENTILE_BANDS_ORACLE,
         agg_mad_robust,
         histogram_equi_depth,
         profile_fact_columns,
+        ts_percentile_bands,
     )
     from erathia_market_etl_spark.plans.text_queries import (
         TEXT_BPE_COMPRESSION_ORACLE,
@@ -385,6 +387,11 @@ def _queued():
         # char-weighted integer quotas summing exactly to the budget
         "sample_quota_allocation": (
             sample_quota_allocation, SAMPLE_QUOTA_ALLOCATION_ORACLE,
+        ),
+        # r10-implemented daily P50/P95/max bands: exact nearest-rank
+        # percentiles via the histogram rank decomposition per group
+        "ts_percentile_bands": (
+            ts_percentile_bands, TS_PERCENTILE_BANDS_ORACLE,
         ),
     }
 

@@ -113,3 +113,35 @@ def test_mad_planted_group_parities(spark):
         "g_even": (4, 2, 1),   # median = lower of (2,3); devs {1,0,1,8} -> 1
         "g_dup": (5, 5, 0),
     }
+
+
+def test_percentile_bands_planted_nearest_rank(spark):
+    """Nearest-rank percentiles by hand: n=4 (P50 at rank 2, P95 at
+    rank 4) and a duplicate-heavy n=20 group where the bucket
+    boundaries land inside repeated-value runs."""
+    import datetime
+
+    from erathia_market_etl_spark.plans.profile_queries import (
+        percentile_bands_frame,
+    )
+
+    d = datetime.date(2024, 1, 1)
+    rows = (
+        [("a", d, v) for v in (10, 20, 30, 40)]
+        + [("b", d, 5)] * 18
+        + [("b", d, 7), ("b", d, 9)]
+    )
+    out = {
+        r["event_type"]: (
+            r["n"], r["p50_cents"], r["p95_cents"], r["max_cents"]
+        )
+        for r in percentile_bands_frame(
+            spark.createDataFrame(
+                rows, "event_type string, day date, c long"
+            )
+        ).collect()
+    }
+    # a: ranks ceil(.5*4)=2 -> 20; ceil(.95*4)=4 -> 40
+    assert out["a"] == (4, 20, 40, 40)
+    # b: n=20, ceil(10)=10 -> 5 (inside the run); ceil(19)=19 -> 7
+    assert out["b"] == (20, 5, 7, 9)
