@@ -290,3 +290,64 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the lakehouse maintenance pass (Delta
+    OPTIMIZE / Iceberg rewrite_data_files analog): rewrite a parquet
+    dataset fragmented by streaming appends / tiny partition writes
+    into ~``target_bytes`` files, optionally re-establishing range
+    clustering on ``cluster_cols`` so the compaction also RESTORES the
+    footer-disjointness file skipping depends on (appends interleave
+    key ranges; plain coalesce would preserve the interleaving).
+
+    Sizing: the output file count is ceil(total_bytes / target) from
+    the INPUT's on-disk bytes — compressed parquet re-encodes at
+    roughly the same density, so input bytes are the right (and the
+    standard) estimator; exactness of file sizes is not the contract,
+    boundedness is. Local listing walks the directory; on a cluster
+    the same numbers come from the catalog / FS listing — one metadata
+    call either way, never a data read.
+
+    At 100 TB this runs per partition directory (compose with the
+    hive layout: compact each date dir independently — bounded work
+    per run, no global shuffle); the returned stats make the before /
+    after auditable. Returns {n_files_before, n_files_after,
+    total_bytes, rows}."""
+    import math
+    import os
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if cluster_cols:
+        out = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    n_after = sum(
+        1
+        for dp, _, fs in os.walk(out_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "n_files_before": len(files),
+        "n_files_after": n_after,
+        "total_bytes": total,
+        "rows": df.count(),
+    }

@@ -233,3 +233,46 @@ def test_composed_layout_partition_dirs_with_disjoint_key_files(spark, tmp_path)
     assert one_day.count() == ev.filter(
         F.col("event_date") == "2024-01-05"
     ).count()
+
+
+def test_compact_small_files_restores_clustering(spark, tmp_path):
+    """Compaction contract: a dataset fragmented into 64 interleaved
+    files comes back as ~total/target files with identical rows, and
+    with cluster_cols the rewrite also RESTORES footer disjointness on
+    the key (plain coalesce of interleaved appends cannot)."""
+    from erathia_market_etl_spark.sources.events import load_events
+    from erathia_market_etl_spark.sources.parquet_io import (
+        compact_small_files,
+    )
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "user_id")
+    frag = str(tmp_path / "fragmented")
+    # round-robin 64-way fragmentation interleaves user_id everywhere
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(_file_ranges(frag, "user_id")) == 64
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    stats = compact_small_files(
+        spark, frag, out, target_bytes=total // 4 + 1,
+        cluster_cols=["user_id"],
+    )
+    assert stats["n_files_before"] == 64
+    assert 2 <= stats["n_files_after"] <= 6
+    assert stats["rows"] == ev.count()
+
+    # row fidelity
+    back = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+
+    # clustering restored: disjoint (touching-allowed) user_id footers
+    ranges = _file_ranges(out, "user_id")
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
