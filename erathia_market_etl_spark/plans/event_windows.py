@@ -1599,3 +1599,80 @@ def trend_frame(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# user_lifetime_stats: the per-user lifetime mart. UNREGISTERED (r10 —
+# local-only per the COVERAGE.md standing policy; driver-style evidence
+# via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+USER_LIFETIME_STATS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(MIN(ts) AS DATE) AS first_day,
+           CAST(MAX(ts) AS DATE) AS last_day,
+           CAST(CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) + 1
+                AS BIGINT) AS lifetime_days,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS lifetime_cents,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) * 1000000
+                // (CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) + 1)
+                AS BIGINT) AS activity_ppm
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user LIFETIME mart every analytics stack materializes:
+    event count, distinct active days, first/last day, calendar
+    lifetime span, lifetime value in exact cents, and the activity
+    density (active_days / lifetime_days) in exact ppm — the
+    engagement statistic cohort models bucket on. Complements
+    growth_accounting_daily (corpus-grain DAU/WAU) with the user-grain
+    rollup.
+
+    Exactness: cents for money, dates for time, DIV for the density —
+    every column integer or date, hash-exact. Scale shape: ONE
+    map-side-combinable user_id aggregate is the whole query (the
+    distinct-days term rides the same exchange via partial distinct
+    aggregation); output is user-cardinality, the natural serving
+    grain."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        cents("value").alias("c"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("day").cast("long").alias("active_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.sum("c").cast("long").alias("lifetime_cents"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            "first_day",
+            "last_day",
+            (F.datediff("last_day", "first_day") + 1).cast("long")
+            .alias("lifetime_days"),
+            "lifetime_cents",
+            F.expr(
+                "active_days * 1000000"
+                " DIV (datediff(last_day, first_day) + 1)"
+            ).cast("long").alias("activity_ppm"),
+        )
+        .select(
+            "user_id", "n_events", "active_days", "first_day", "last_day",
+            "lifetime_days", "lifetime_cents", "activity_ppm",
+        )
+        .orderBy("user_id")
+    )

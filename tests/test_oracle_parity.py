@@ -114,6 +114,7 @@ def _queued():
         TIMESERIES_ROLLING_ZSCORE_ORACLE,
         TREND_DAILY_REGRESSION_ORACLE,
         TS_CUSUM_CHANGEPOINTS_ORACLE,
+        USER_LIFETIME_STATS_ORACLE,
         GROWTH_ACCOUNTING_DAILY_ORACLE,
         OHLC_HOURLY_ORACLE,
         PATH_TRIGRAMS_TOP_ORACLE,
@@ -130,6 +131,7 @@ def _queued():
         timeseries_rolling_zscore,
         trend_daily_regression,
         ts_cusum_changepoints,
+        user_lifetime_stats,
     )
     from erathia_market_etl_spark.plans.dedup_queries import (
         DEDUP_BLOOM_INCREMENTAL_ORACLE,
@@ -392,6 +394,11 @@ def _queued():
         # percentiles via the histogram rank decomposition per group
         "ts_percentile_bands": (
             ts_percentile_bands, TS_PERCENTILE_BANDS_ORACLE,
+        ),
+        # r10-implemented per-user lifetime mart: counts, active days,
+        # span, exact-cents LTV, activity density in exact ppm
+        "user_lifetime_stats": (
+            user_lifetime_stats, USER_LIFETIME_STATS_ORACLE,
         ),
     }
 
