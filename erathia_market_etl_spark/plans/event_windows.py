@@ -1140,8 +1140,9 @@ def path_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ohlc_hourly + twap_daily: market-data aggregation shapes over the
-# irregular event stream. UNREGISTERED (r9 — local-only per the
-# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# irregular event stream. Implemented r9 local-only; REGISTERED r11
+# into the two driver slots the r10 retirements freed (r10 VERDICT
+# "Next round" item 2) — green at both SFs in LOCALCHECK_r09/r10 first.
 # ---------------------------------------------------------------------------
 
 OHLC_HOURLY_ORACLE = """
@@ -1174,6 +1175,7 @@ OHLC_HOURLY_ORACLE = """
     """
 
 
+@query("ohlc_hourly", OHLC_HOURLY_ORACLE)
 def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candlesticks per event type — the market-data
     aggregation the reference's domain (a market ETL) implies but never
@@ -1251,6 +1253,7 @@ TWAP_DAILY_ORACLE = """
     """
 
 
+@query("twap_daily", TWAP_DAILY_ORACLE)
 def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average price per event type over the
     IRREGULAR tick stream (TimescaleDB's time_weight shape): each tick
@@ -1644,7 +1647,6 @@ def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         "user_id",
         F.to_date("ts").alias("day"),
-        "ts",
         cents("value").alias("c"),
     )
     return (

@@ -76,6 +76,17 @@ def _load_all() -> None:
 # (b)-(d) are DERIVED from the committed CORRECTNESS_r*.json files at
 # import time (r3 VERDICT item 2: bookkeeping is computed, not prose —
 # a hand-written priority list went stale and burned driver slots).
+#
+# Since r11, tools/localcheck.py sweeps the DISPLACED half of this
+# priority order (slots 51+) with the driver's exact compare at both
+# sf0.01 and sf0.1 (r10 VERDICT item 1). Evidence freshness is
+# therefore the newest of (CORRECTNESS green row, displaced-sweep
+# LOCALCHECK green row): every registered query gets driver-style
+# evidence EVERY round, and a value-preserving refactor of a
+# displaced query is re-attested by the same round's LOCALCHECK
+# without burning a _CHANGED slot. Semantics/oracle CHANGES still get
+# _CHANGED entries — a true behavior change must re-earn its
+# CORRECTNESS row, not just a local one.
 
 # name -> round in which its IMPLEMENTATION (plan shape / kernel) or
 # oracle changed. An entry is SELF-EXPIRING: it is prioritized only
@@ -103,7 +114,10 @@ _CHANGED: dict[str, int] = {
     "media_frame_sample": 4,     # SQL-expressible frame fingerprint + oracle
     "sim_similar_pairs": 4,      # new — non-vacuous banded-LSH evidence twin
     "sim_band_recall": 4,        # new — oracled recall@k contract for band-LSH
-    "media_resize_passthrough": 4,  # new — resize plumbing, md5-pinned round-trip
+    # (media_resize_passthrough's r4 entry removed r11: retired from the
+    # registry in r10, so the entry was dead bookkeeping — r10 ADVICE.
+    # Standing rule: delete a query's _CHANGED entry when its @query
+    # registration is deleted.)
     "text_length_trim": 5,  # distributed rank decomposition (r4 VERDICT #1)
     "pack_token_budget_shards": 5,  # hierarchical running sum (r4 VERDICT #2)
     "media_feature_extract": 5,  # oracle hardened: LEFT JOIN + COALESCE (r4 ADVICE)

@@ -801,8 +801,18 @@ def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quota_frame(w: DataFrame, budget: int) -> DataFrame:
     """Core of sample_quota_allocation over any (source, weight) frame
     — split out so planted exact-share / leftover / tie tests can pin
-    the Hamilton arithmetic directly."""
+    the Hamilton arithmetic directly.
+
+    Guards total > 0 with a named error (r10 ADVICE): an all-zero or
+    empty strata frame would otherwise surface as an unhelpful ANSI
+    DIV-by-zero deep in the quota expression."""
     t = w.agg(F.sum("weight").cast("long").alias("total"))
+    total_row = t.first()
+    if total_row is None or not total_row["total"]:
+        raise ValueError(
+            "quota_frame needs at least one stratum with weight > 0 "
+            f"(got total={None if total_row is None else total_row['total']})"
+        )
     base = w.crossJoin(F.broadcast(t)).select(
         "source",
         "weight",

@@ -46,6 +46,30 @@ def _query_vector(spark: SparkSession, sf_dir: str):
     )
 
 
+def collect_query_embedding(
+    emb: DataFrame, vec_id: int = QUERY_VEC_ID
+) -> list[float]:
+    """The ONE sanctioned driver-side collect in the similarity family
+    (r10 VERDICT item 5): fetch the single query vector that ships in
+    a UDF closure / literal array. ``limit(2)`` bounds the transfer
+    structurally and the length check turns the implicit "this collect
+    is bounded" into an enforced contract — a duplicated or missing
+    query id fails loudly instead of silently scoring against an
+    arbitrary row. tests/test_similarity.py pins both failure modes."""
+    rows = (
+        emb.filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .limit(2)
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"query vector vec_id={vec_id}: expected exactly one row, "
+            f"got {len(rows)}"
+        )
+    return [float(x) for x in rows[0]["embedding"]]
+
+
 @query(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -143,10 +167,7 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import vectorized_cosine_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
-    ]
+    qvec = collect_query_embedding(emb)
     scorer = vectorized_cosine_udf(qvec)
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -420,7 +441,7 @@ def sim_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     C = np.asarray(cents, dtype=np.float64)
     q = _query_vector(spark, sf_dir)
-    qvec = np.asarray(q.first()["query_vec"], dtype=np.float64)
+    qvec = np.asarray(collect_query_embedding(emb), dtype=np.float64)
     cscore = (C @ qvec) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qvec))
     probes = [int(i) for i in np.argsort(-cscore)[:IVF_NPROBE]]
 
@@ -815,7 +836,7 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # production retrieval: ADC shortlist over codes -> exact re-rank
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    q = collect_query_embedding(emb)
     qlit = F.array(*[F.lit(float(x)) for x in q])
     others = codes.filter(F.col("vec_id") != QUERY_VEC_ID)
     short = pq_adc_topk(others, q, books, top=PQ_SHORTLIST)
@@ -938,7 +959,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_assign(spark, cand, books).select(
         "vec_id", "embedding", "pq_code"
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    q = collect_query_embedding(emb)
     qlit = F.array(*[F.lit(float(x)) for x in q])
     short = pq_adc_topk(codes, q, books, top=IVFPQ_SHORTLIST)
     # re-rank probes the pre-encode candidate frame — the shortlist

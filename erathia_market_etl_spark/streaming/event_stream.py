@@ -349,7 +349,29 @@ def _run_state_append(
     run resumable: a restart replays the uncommitted batch with the
     SAME batch_id and identical content — the duplication the
     ``read_*_state`` batch_id dedup exists to absorb. Returns the
-    batch ids processed by THIS run."""
+    batch ids processed by THIS run.
+
+    A checkpoint is REQUIRED when appending to an already-populated
+    state log (r10 ADVICE): two independent checkpoint-free runs both
+    number their batches from 0, and the read-side (batch_id, keys)
+    dedup would then keep an arbitrary row when distinct runs' batches
+    collide on batch_id+key with different values. A fresh/empty
+    state_path may run checkpoint-free (single-run semantics)."""
+    if checkpoint is None:
+        import os
+
+        existing = os.path.isdir(state_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(state_path)
+            for f in fs
+        )
+        if existing:
+            raise ValueError(
+                f"state log at {state_path!r} is non-empty: appending "
+                "without a checkpoint restarts batch_id at 0 and breaks "
+                "the (batch_id, key) exactly-once dedup — pass the "
+                "checkpoint used by the previous run"
+            )
     seen: list[int] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -276,3 +276,100 @@ def test_compact_small_files_restores_clustering(spark, tmp_path):
     assert len(ranges) >= 2
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_compact_partitioned_is_per_dir(spark, tmp_path):
+    """Per-partition compaction contract (r10 VERDICT item 3): over a
+    two-partition fragmented hive layout, each date= dir is listed and
+    compacted INDEPENDENTLY (per-dir stats count only that dir's
+    files), per-dir file counts drop to the target, rows survive with
+    the partition column intact, and clustering is restored inside
+    each dir — never via a global root listing or cross-partition
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.sources.events import load_events
+    from erathia_market_etl_spark.sources.parquet_io import (
+        compact_partitioned,
+    )
+
+    ev = (
+        load_events(spark, SF_SMOKE)
+        .select("event_id", "user_id", F.to_date("ts").alias("day"))
+    )
+    days = [r["day"] for r in ev.select("day").distinct().limit(2).collect()]
+    two = ev.filter(F.col("day").isin(days))
+    frag = str(tmp_path / "hive_frag")
+    # 16-way round-robin inside each of the two date dirs: the
+    # streaming-append fragmentation pattern, interleaved user_id
+    two.repartition(16).write.partitionBy("day").mode("overwrite").parquet(frag)
+
+    part_dirs = sorted(d for d in os.listdir(frag) if d.startswith("day="))
+    assert len(part_dirs) == 2
+    before = {
+        d: sum(
+            1 for f in os.listdir(os.path.join(frag, d))
+            if f.endswith(".parquet")
+        )
+        for d in part_dirs
+    }
+    # each writer task emits a file per day it holds rows for; with 16
+    # round-robin tasks both dirs end up well-fragmented (not all tasks
+    # necessarily hold rows for both days)
+    assert all(n >= 8 for n in before.values())
+
+    out = str(tmp_path / "hive_compact")
+    dir_bytes = {
+        d: sum(
+            os.path.getsize(os.path.join(frag, d, f))
+            for f in os.listdir(os.path.join(frag, d))
+            if f.endswith(".parquet")
+        )
+        for d in part_dirs
+    }
+    stats = compact_partitioned(
+        spark, frag, out,
+        target_bytes=max(dir_bytes.values()) // 4 + 1,
+        cluster_cols=["user_id"],
+    )
+
+    # one stats entry per dir, and each n_files_before equals THAT
+    # dir's own file count — the listing was per-dir, not global
+    assert sorted(stats) == part_dirs
+    for d in part_dirs:
+        assert stats[d]["n_files_before"] == before[d]
+        assert stats[d]["n_files_after"] < before[d]
+        assert 1 <= stats[d]["n_files_after"] <= 6
+        # clustering restored independently inside each dir
+        ranges = _file_ranges(os.path.join(out, d), "user_id")
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next
+
+    # partition discovery on the compacted root: rows and the
+    # partition column both intact
+    back = spark.read.parquet(out)
+    assert "day" in back.columns
+    assert back.count() == two.count()
+    per_day = {
+        str(r["day"]): r["n"]
+        for r in back.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        str(r["day"]): r["n"]
+        for r in two.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_day == want
+
+
+def test_compact_partitioned_rejects_flat_dataset(spark, tmp_path):
+    import pytest
+
+    from erathia_market_etl_spark.sources.events import load_events
+    from erathia_market_etl_spark.sources.parquet_io import (
+        compact_partitioned,
+    )
+
+    flat = str(tmp_path / "flat")
+    load_events(spark, SF_SMOKE).limit(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="no hive partition dirs"):
+        compact_partitioned(spark, flat, str(tmp_path / "o"))

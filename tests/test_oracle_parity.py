@@ -116,16 +116,12 @@ def _queued():
         TS_CUSUM_CHANGEPOINTS_ORACLE,
         USER_LIFETIME_STATS_ORACLE,
         GROWTH_ACCOUNTING_DAILY_ORACLE,
-        OHLC_HOURLY_ORACLE,
         PATH_TRIGRAMS_TOP_ORACLE,
-        TWAP_DAILY_ORACLE,
         cohort_daily_retention,
         growth_accounting_daily,
         markov_event_transitions,
-        ohlc_hourly,
         path_trigrams_top,
         rollup_multiresolution,
-        twap_daily,
         scd2_user_tier_history,
         timeseries_gap_fill,
         timeseries_rolling_zscore,
@@ -312,10 +308,8 @@ def _queued():
         "path_trigrams_top": (
             path_trigrams_top, PATH_TRIGRAMS_TOP_ORACLE,
         ),
-        # r9-implemented market-data pair: deterministic-tiebreak OHLC
-        # candles and exact-microsecond time-weighted average price
-        "ohlc_hourly": (ohlc_hourly, OHLC_HOURLY_ORACLE),
-        "twap_daily": (twap_daily, TWAP_DAILY_ORACLE),
+        # (ohlc_hourly / twap_daily graduated to driver slots in r11 —
+        # the market-data pair now attests through CORRECTNESS)
         # r8-implemented record-linkage surface: prefix blocking +
         # capped within-block Levenshtein verify, exact-integer edits
         "dedup_fuzzy_prefix_block": (

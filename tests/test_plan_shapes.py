@@ -620,3 +620,68 @@ def test_kmeans_lloyd_no_corpus_expansion(spark):
             # only the tiny (cid, pos) centroid-table joins may SMJ —
             # they join on cid/pos keys, never vec_id
             assert "vec_id" not in line, plan
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE skew-handling rehearsal (r10 VERDICT item 6): q1-q5 now
+    trust AQE (not forced hints) for the too-big-to-broadcast regime,
+    and operators/skew.py covers MANUAL salting — this pins that
+    Spark's AUTOMATIC path actually fires. A planted hot key (~90% of
+    rows) under a lowered skewedPartitionFactor/threshold must come
+    back from execution with OptimizeSkewedJoin having split the hot
+    partition: the final adaptive plan's SortMergeJoin is annotated
+    skew=true. SCALE.md cites this test instead of asserting the
+    behavior."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # force the sort-merge regime and make the skew detector's
+        # thresholds reachable at fixture scale (defaults target
+        # multi-GB partitions)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+
+        # the payload must be non-constant (a literal pad would be
+        # constant-folded away, and the pruned hot partition then
+        # compresses below any reachable threshold) and the downstream
+        # consumer must NOT require the join's hash partitioning (a
+        # groupBy on the join key makes OptimizeSkewedJoin decline the
+        # split — it would force an extra shuffle); a global aggregate
+        # keeps the join stage free to split
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .cast("long")
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"))
+        joined = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.min("payload").alias("m")
+        )
+        plan = final_plan_of(joined)
+        smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+        assert smj, plan
+        assert any("skew=true" in ln for ln in smj), plan
+        assert "skewed" in plan  # AQEShuffleRead actually split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

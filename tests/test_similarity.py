@@ -691,3 +691,25 @@ def test_kmeans_lloyd_duplicate_seed_empties_cluster(spark):
     rows = kmeans_lloyd_frame(emb, dim=2, k=2).collect()
     assert len(rows) == 1
     assert rows[0]["cid"] == 0 and rows[0]["n_members"] == 4
+
+
+def test_collect_query_embedding_contract(spark):
+    """The shared one-row query-vector collect (r10 VERDICT item 5)
+    enforces its boundedness: exactly-one row comes back as floats,
+    a missing id and a duplicated id both fail loudly instead of
+    scoring against an arbitrary row."""
+    import pytest
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        collect_query_embedding,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (1, [5.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert collect_query_embedding(emb, 0) == [1.0, 2.0]
+    with pytest.raises(ValueError, match="got 0"):
+        collect_query_embedding(emb, 99)
+    with pytest.raises(ValueError, match="got 2"):
+        collect_query_embedding(emb, 1)

@@ -9,7 +9,11 @@ rows/schema/order-insensitive-value-hash checks) over both sets at
 sf0.01 — the driver's t2 scale, one decade above the pytest smoke SF —
 and writes ``LOCALCHECK_r{N}.json`` next to the CORRECTNESS artifacts,
 row format identical, so the judge gets the same per-round signal for
-the extension families (r8 VERDICT "Next round" #8).
+the extension families (r8 VERDICT "Next round" #8). Since r11 it also
+sweeps the DISPLACED half of the registered rotation (priority slots
+51+), so no registered query's evidence can silently age past the
+2-round window when re-attestations crowd the driver cap (r10 VERDICT
+item 1 — the winnowing displacement).
 
 Usage: python tools/localcheck.py [round] [sf_dir]
   round  defaults to (max committed CORRECTNESS round) + 1
@@ -52,6 +56,20 @@ def main() -> None:
         targets[name] = (fn, oracle, "local-only")
     for name, (fn, oracle) in _retired().items():
         targets[name] = (fn, oracle, "retired")
+
+    # r10 VERDICT item 1: also sweep every REGISTERED query that falls
+    # outside the driver's 50-slot cap this round — the displaced half
+    # of the rotation. Without this, a displacement silently ages the
+    # displaced query's newest green row (the r10 winnowing finding);
+    # with it, every registered query gets driver-style evidence every
+    # round: a CORRECTNESS row when slotted, a LOCALCHECK row when not.
+    from erathia_market_etl_spark.plans import all_oracles, all_queries
+
+    queries = all_queries()  # priority order == driver slot order
+    oracles = all_oracles()
+    for name in list(queries)[50:]:
+        if name not in targets and name in oracles:
+            targets[name] = (queries[name], oracles[name], "displaced")
 
     spark = get_spark(EngineConfig(app_name="erathia-localcheck"))
     spark.sparkContext.setLogLevel("ERROR")
