@@ -1678,3 +1678,84 @@ def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_dow_profile: day-of-week seasonal baseline + residuals
+# over the daily revenue series. UNREGISTERED (r11 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TS_SEASONAL_DOW_PROFILE_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               (EXTRACT(isodow FROM CAST(ts AS DATE)) - 1)::BIGINT AS dow,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS day_cents
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day, dow, day_cents,
+           CAST(SUM(day_cents) OVER w // COUNT(*) OVER w AS BIGINT)
+               AS base_cents,
+           CAST(day_cents
+                - SUM(day_cents) OVER w // COUNT(*) OVER w
+                AS BIGINT) AS residual_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type, dow)
+    ORDER BY event_type, day
+    """
+
+
+def ts_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily revenue series,
+    per event type: each day's exact-cents total, the SEASONAL BASELINE
+    for its weekday (mean of all same-weekday days, truncating integer
+    division), and the residual — the de-seasonalized signal anomaly
+    detectors should consume instead of the raw series (a quiet Sunday
+    is not an incident; a quiet Tuesday may be). Complements the
+    rolling-zscore and CUSUM queries, which are seasonality-blind.
+    Weekday rides the pinned Mon=0 convention (scalar_date_smart_key;
+    F.weekday == isodow - 1).
+
+    Exactness: cents in, truncating DIV for the mean, so baseline and
+    residual are exact longs. Plan: one (type, day) aggregate — the
+    same first rollup every series query pays — then one (type, dow)
+    window pass computing SUM/COUNT over the 7-bucket season; the
+    window reuses a day-grain frame that is already tiny (days x
+    types), so at 100 TB the only data-sized stage is the initial
+    rollup."""
+    ev = load_events(spark, sf_dir)
+    tick_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"),
+            tick_cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("day_cents"))
+        .select(
+            "event_type",
+            "day",
+            F.weekday("day").cast("long").alias("dow"),
+            "day_cents",
+        )
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "dow",
+            "day_cents",
+            F.expr(
+                "sum(day_cents) OVER (PARTITION BY event_type, dow)"
+                " DIV count(*) OVER (PARTITION BY event_type, dow)"
+            ).cast("long").alias("base_cents"),
+            F.expr(
+                "day_cents - sum(day_cents)"
+                " OVER (PARTITION BY event_type, dow)"
+                " DIV count(*) OVER (PARTITION BY event_type, dow)"
+            ).cast("long").alias("residual_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

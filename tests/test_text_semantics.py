@@ -734,3 +734,70 @@ def test_simpson_diversity_planted(spark):
         1: (4, 4, 1000000, 0),
         2: (1, 1, 1000000, 0),
     }
+
+
+def test_decon_ngram_contamination_splits_and_flags(spark):
+    """The contamination report must be non-vacuous on the fixture
+    corpus: some train docs carry test 4-grams and some do not, the
+    flag fires exactly at the DECON_CONTAMINATED_PPM threshold, and
+    n_hits can never exceed n_grams."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        DECON_CONTAMINATED_PPM,
+        decon_ngram_contamination,
+    )
+
+    rows = decon_ngram_contamination(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    hit = [r for r in rows if r["n_hits"] > 0]
+    assert 0 < len(hit) < len(rows)
+    flagged = [r for r in rows if r["contaminated"]]
+    assert 0 < len(flagged) < len(rows)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_grams"]
+        assert r["contaminated"] == (
+            r["contamination_ppm"] >= DECON_CONTAMINATED_PPM
+        )
+        assert r["train_doc"] >= 250
+
+
+def test_source_divergence_identical_and_disjoint_extremes(spark):
+    """Planted extremes pin the L1 arithmetic: two sources with the
+    SAME unigram distribution land at l1_ppm 0 (ppm truncation is
+    identical on both sides), two with DISJOINT vocabularies land at
+    the theoretical maximum = mass_a + mass_b (~2e6 less truncation
+    dust), and a half-overlapping pair lands strictly between."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_source_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a c", "x", "same1"),
+            (1, "c a b a", "x", "same2"),     # same multiset as same1
+            (2, "d d e e", "x", "disjoint"),
+            (3, "a b d e", "x", "half"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    # reuse the full query path on a planted documents table staged to
+    # a temp dir (load_table reads <dir>/documents.parquet)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("n_chars", F.length("text")).write.parquet(
+            d + "/documents.parquet"
+        )
+        out = {
+            (r["src_a"], r["src_b"]): r["l1_ppm"]
+            for r in text_source_divergence(spark, d).collect()
+        }
+    assert out[("same1", "same2")] == 0
+    # disjoint: both full masses (4 tokens at 250000 ppm each => 1e6
+    # per source, no truncation dust on these round counts)
+    assert out[("disjoint", "half")] > 0
+    full = out[("disjoint", "same1")]
+    assert full == 2_000_000
+    mid = out[("half", "same1")]
+    assert 0 < mid < full

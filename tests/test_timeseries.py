@@ -556,3 +556,41 @@ def test_trend_regression_planted_slopes(spark):
     n_dn, nd, dd, sd = out["down"]
     assert n_dn == 4 and nd == -50 * dd and sd == -50 * 100
     assert out["flat1"] == (1, 0, 0, 0)
+
+
+def test_seasonal_dow_profile_planted_weekday_pattern(spark):
+    """Planted two-week series with a known weekday effect: Mondays
+    always 100.00, Tuesdays alternate 50.00/70.00 — the Monday baseline
+    is exactly 10000 cents (residual 0 both weeks), the Tuesday
+    baseline is the truncated mean 6000 and the residuals split
+    -1000/+1000. Pins the Mon=0 dow convention and the truncating DIV."""
+    import datetime
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        ts_seasonal_dow_profile,
+    )
+
+    # 2024-01-01 is a Monday
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "a", 100.0),
+        (2, datetime.datetime(2024, 1, 8, 9), 1, "a", 100.0),
+        (3, datetime.datetime(2024, 1, 2, 9), 1, "a", 50.0),
+        (4, datetime.datetime(2024, 1, 9, 9), 1, "a", 70.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        out = {
+            (str(r["day"])): (r["dow"], r["day_cents"], r["base_cents"],
+                              r["residual_cents"])
+            for r in ts_seasonal_dow_profile(spark, d).collect()
+        }
+    assert out["2024-01-01"] == (0, 10000, 10000, 0)
+    assert out["2024-01-08"] == (0, 10000, 10000, 0)
+    assert out["2024-01-02"] == (1, 5000, 6000, -1000)
+    assert out["2024-01-09"] == (1, 7000, 6000, 1000)
