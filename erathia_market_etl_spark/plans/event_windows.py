@@ -1759,3 +1759,91 @@ def ts_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_smoothing: exact truncating-fold EWMA (alpha = 1/2) over the
+# daily series. UNREGISTERED (r11 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TS_EWMA_SMOOTHING_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS day_cents
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    arr AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS days,
+               list(day_cents ORDER BY day) AS cents
+        FROM daily GROUP BY event_type
+    ),
+    idx AS (
+        SELECT event_type, days, cents,
+               unnest(generate_series(1, len(cents))) AS t
+        FROM arr
+    )
+    SELECT event_type,
+           days[t] AS day,
+           cents[t] AS day_cents,
+           CAST(list_reduce(cents[1:t], (a, x) -> (a + x) // 2)
+                AS BIGINT) AS ewma_cents
+    FROM idx
+    ORDER BY event_type, day
+    """
+
+
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily revenue
+    series, alpha = 1/2, as an EXACT integer fold: S_1 = v_1,
+    S_t = (S_{t-1} + v_t) DIV 2 — the trend smoother dashboards layer
+    under the raw series. The float EWMA (v·α + S·(1−α) in doubles)
+    is summation-order-stable but rounding-divergent across engines;
+    halving with truncating DIV keeps every step a long, so the whole
+    smoothed series is hash-exact.
+
+    The fold is genuinely NON-ASSOCIATIVE (truncation each step), so
+    unlike CUSUM it cannot be rewritten as prefix sums: the kernel
+    collects each type's day-ordered series into an array (bounded by
+    the CALENDAR — ~365 rows/type/year — never by event volume, the
+    same bounded-grain argument as the rollup family) and evaluates
+    prefix folds with the aggregate HOF; per-type work is O(days²) on
+    the day grain, a few hundred thousand long-adds at worst. The only
+    event-volume-sized stage is the (type, day) rollup every series
+    query pays. DuckDB twin: list_reduce over the same prefix slices."""
+    ev = load_events(spark, sf_dir)
+    tick_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"),
+            tick_cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("day_cents"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "day_cents"))
+        ).alias("series")
+    )
+    return (
+        arr.select(
+            "event_type",
+            "series",
+            F.posexplode("series").alias("pos", "row"),
+        )
+        .select(
+            "event_type",
+            F.col("row.day").alias("day"),
+            F.col("row.day_cents").alias("day_cents"),
+            F.expr(
+                "aggregate(slice(series.day_cents, 2, pos),"
+                " series.day_cents[0],"
+                " (a, x) -> (a + x) DIV 2)"
+            ).cast("long").alias("ewma_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -7,7 +7,7 @@ near-dup pairs with recall/overflow audits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
@@ -1724,4 +1724,85 @@ def kmeans_lloyd_frame(
         sums.join(F.broadcast(chk), "cid")
         .select("cid", "n_members", "inertia_div1e6", "centroid_checksum")
         .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_rank_normalize: per-dimension rank (quantile) normalization of
+# the embedding matrix. UNREGISTERED (r11 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+EMB_RANK_NORMALIZE_ORACLE = """
+    WITH cells AS (
+        SELECT vec_id, i AS dim, embedding[i] AS val
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    ranked AS (
+        SELECT vec_id, dim,
+               RANK() OVER (PARTITION BY dim ORDER BY val) AS rk
+        FROM cells
+    ),
+    norm AS (
+        SELECT vec_id, dim,
+               CAST((rk - 1) * 1000000 // (n_vecs - 1) AS BIGINT) AS r_ppm
+        FROM ranked, n
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(r_ppm) AS BIGINT) AS sum_ppm,
+           CAST(MIN(r_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(r_ppm) AS BIGINT) AS max_ppm,
+           CAST(SUM(dim * r_ppm) AS BIGINT) AS checksum_weighted
+    FROM norm
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension RANK (quantile) normalization of the embedding
+    matrix — the heavy-tail-robust feature prep (each dimension's
+    values are replaced by their rank position scaled to [0, 1e6] ppm)
+    applied before distance computations when raw activations have
+    wildly different per-dimension scales. RANK() gives ties an equal
+    value on both engines (no tiebreak nondeterminism to pin), and the
+    ppm scaling is truncating integer division, so the per-vector
+    report — dims, sum/min/max of normalized values, and an
+    ORDER-SENSITIVE checksum Σ dim·r_ppm that breaks if any dimension's
+    ranks land on the wrong vector — is hash-exact.
+
+    Plan: posexplode to (vec, dim, val) cells, ONE window pass
+    partitioned by dim (64 partitions of n rows — at 100 TB this is
+    the standard per-dimension sort, and a dimension is the natural
+    parallel unit; a skew-prone variant would range-partition within
+    dim), then one vec-keyed reassembly aggregate. Only (id, dim,
+    long) triples ride the two exchanges."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()  # bounded scalar: one count, reused as literal
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    w = Window.partitionBy("dim").orderBy("val")
+    ranked = cells.select(
+        "vec_id", "dim", F.rank().over(w).alias("rk")
+    )
+    norm = ranked.select(
+        "vec_id",
+        "dim",
+        F.expr(f"(rk - 1) * 1000000 DIV ({n_vecs} - 1)").alias("r_ppm"),
+    )
+    return (
+        norm.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("r_ppm").cast("long").alias("sum_ppm"),
+            F.min("r_ppm").cast("long").alias("min_ppm"),
+            F.max("r_ppm").cast("long").alias("max_ppm"),
+            F.sum(F.col("dim") * F.col("r_ppm")).cast("long")
+            .alias("checksum_weighted"),
+        )
+        .orderBy("vec_id")
     )

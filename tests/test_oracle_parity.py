@@ -425,7 +425,25 @@ def _queued():
             _mq().media_wav_resample,
             _mq().MEDIA_WAV_RESAMPLE_ORACLE,
         ),
+        # r11-implemented exact truncating-fold EWMA (alpha=1/2) — the
+        # non-associative fold CUSUM's prefix-sum rewrite can't express
+        "ts_ewma_smoothing": (
+            _ew().ts_ewma_smoothing,
+            _ew().TS_EWMA_SMOOTHING_ORACLE,
+        ),
+        # r11-implemented per-dimension rank (quantile) normalization
+        # of the embedding matrix, order-sensitive checksum
+        "emb_rank_normalize": (
+            _sq().emb_rank_normalize,
+            _sq().EMB_RANK_NORMALIZE_ORACLE,
+        ),
     }
+
+
+def _sq():
+    from erathia_market_etl_spark.plans import similarity_queries
+
+    return similarity_queries
 
 
 def _tq():

@@ -713,3 +713,37 @@ def test_collect_query_embedding_contract(spark):
         collect_query_embedding(emb, 99)
     with pytest.raises(ValueError, match="got 2"):
         collect_query_embedding(emb, 1)
+
+
+def test_rank_normalize_planted_ranks_and_ties(spark):
+    """Planted 3-vector, 2-dim matrix pins the rank arithmetic: dim 1
+    values (1.0, 5.0, 9.0) rank to 0 / 500000 / 1000000 ppm; dim 2 has
+    a TIE (2.0, 2.0, 7.0) — RANK() gives both low values rank 1 (0
+    ppm) and the high one rank 3 (1000000), never a tiebreak on
+    vec_id. The weighted checksum separates per-dimension placement."""
+    import tempfile
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        emb_rank_normalize,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], 0),
+            (1, [5.0, 2.0], 0),
+            (2, [9.0, 7.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(d + "/embeddings.parquet")
+        out = {
+            r["vec_id"]: (r["sum_ppm"], r["checksum_weighted"])
+            for r in emb_rank_normalize(spark, d).collect()
+        }
+    # vec 0: dim1 rank 1 -> 0 ppm; dim2 rank 1 (tie) -> 0 ppm
+    assert out[0] == (0, 0)
+    # vec 1: dim1 rank 2 -> 500000; dim2 rank 1 (tie) -> 0
+    assert out[1] == (500_000, 1 * 500_000)
+    # vec 2: dim1 rank 3 -> 1e6; dim2 rank 3 -> 1e6
+    assert out[2] == (2_000_000, 1 * 1_000_000 + 2 * 1_000_000)

@@ -594,3 +594,43 @@ def test_seasonal_dow_profile_planted_weekday_pattern(spark):
     assert out["2024-01-08"] == (0, 10000, 10000, 0)
     assert out["2024-01-02"] == (1, 5000, 6000, -1000)
     assert out["2024-01-09"] == (1, 7000, 6000, 1000)
+
+
+def test_ewma_smoothing_planted_fold(spark):
+    """Hand-checkable fold: daily values 100, 200, 50 (cents 10000,
+    20000, 5000) give S1=10000, S2=(10000+20000)/2=15000,
+    S3=(15000+5000)/2=10000 — and truncation is per-step: values 1, 2
+    give (100+200) DIV 2 = 150 exactly, while 1, 2, 1 hits the odd
+    intermediate ((150+100) DIV 2 = 125, truncated)."""
+    import datetime
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        ts_ewma_smoothing,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "a", 100.0),
+        (2, datetime.datetime(2024, 1, 2, 9), 1, "a", 200.0),
+        (3, datetime.datetime(2024, 1, 3, 9), 1, "a", 50.0),
+        (4, datetime.datetime(2024, 1, 1, 9), 1, "b", 1.0),
+        (5, datetime.datetime(2024, 1, 2, 9), 1, "b", 2.0),
+        (6, datetime.datetime(2024, 1, 3, 9), 1, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        out = {
+            (r["event_type"], str(r["day"])): r["ewma_cents"]
+            for r in ts_ewma_smoothing(spark, d).collect()
+        }
+    assert out[("a", "2024-01-01")] == 10000
+    assert out[("a", "2024-01-02")] == 15000
+    assert out[("a", "2024-01-03")] == 10000
+    assert out[("b", "2024-01-01")] == 100
+    assert out[("b", "2024-01-02")] == 150
+    assert out[("b", "2024-01-03")] == 125
