@@ -1451,3 +1451,111 @@ def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionByName(partial, allowMissingColumns=True).orderBy(
         "s_suppkey", F.asc_nulls_first("s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# mart_rfm_segments: quartile RFM customer segmentation over orders.
+# UNREGISTERED (r11 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+MART_RFM_SEGMENTS_ORACLE = """
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_cents,
+               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+               NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_q
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q,
+           CASE WHEN r_q = 1 AND f_q = 1 AND m_q = 1 THEN 'champions'
+                WHEN r_q = 4 AND f_q = 4 THEN 'hibernating'
+                ELSE 'mid' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents_total
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """
+
+
+def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM mart: per customer the last order date, order
+    count, and lifetime spend in exact cents, each scored into
+    quartiles by NTILE(4) under a DETERMINISTIC total order
+    (metric direction, then custkey — a bare metric order would make
+    bucket boundaries tie-nondeterministic and the engines disagree),
+    then rolled up to the 64-cell segment grid with the two headline
+    labels (champions = best quartile on all three; hibernating =
+    worst recency x frequency). NTILE's uneven-bucket rule
+    (ceil-sized buckets first) is SQL-standard on both engines —
+    sf0.001's 150 customers / 4 force the uneven path, so the compare
+    attests the boundary rule itself.
+
+    Scale shape: the per-customer aggregate is the only
+    order-volume-sized stage (map-side combinable); the three NTILEs
+    run over the customer-GRAIN frame — at fixture scale a
+    single-partition window after the aggregate (lint rule R2's
+    sanctioned shape), and at 100 TB the quartile boundaries would come
+    from the histogram rank decomposition (histogram_equi_depth's
+    kernel) instead of a global sort: the segmentation rollup is
+    unchanged either way."""
+    orders = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rfm = (
+        orders.select("o_custkey", "o_orderdate", cents.alias("c"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("c").cast("long").alias("monetary_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy(F.desc("last_order"), "o_custkey")
+    f_w = Window.orderBy(F.desc("freq"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long")
+            .alias("monetary_cents_total"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "m_q",
+            F.when(
+                (F.col("r_q") == 1) & (F.col("f_q") == 1)
+                & (F.col("m_q") == 1),
+                F.lit("champions"),
+            )
+            .when(
+                (F.col("r_q") == 4) & (F.col("f_q") == 4),
+                F.lit("hibernating"),
+            )
+            .otherwise(F.lit("mid")).alias("segment"),
+            "n_customers",
+            "monetary_cents_total",
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -2335,3 +2335,103 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l1_ppm", "src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_url_canonicalize: URL parsing + canonicalization over
+# deterministically-synthesized messy URLs (the PII-injection
+# precedent: the fixture corpus has no URLs, so the evidence rides
+# planted ones). UNREGISTERED (r11 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TEXT_URL_CANONICALIZE_ORACLE = """
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               lower(CASE WHEN doc_id % 3 = 0
+                          THEN upper(source) || '.Example.COM'
+                          ELSE source || '.example.com' END)
+                   AS canon_host,
+               CASE WHEN doc_id % 3 = 0
+                    THEN upper(source) || '.Example.COM'
+                    ELSE source || '.example.com' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                   AS raw_authority,
+               rtrim('/' || lang || '/doc/' || doc_id
+                     || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+                     '/') AS canon_path
+        FROM documents
+    )
+    SELECT canon_host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_authority) AS BIGINT) AS n_raw_variants,
+           CAST(COUNT(DISTINCT canon_path) AS BIGINT) AS n_paths,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM u
+    GROUP BY canon_host
+    ORDER BY canon_host
+    """
+
+
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain rollup — the normalization pass
+    every crawl pipeline runs before domain-level filtering and URL
+    dedup: per document a MESSY url is synthesized deterministically
+    (case-shuffled scheme/host on doc_id residues, a redundant :443
+    port on every fifth doc, a trailing slash on every seventh — the
+    same planted-evidence pattern as text_pii_scrub, since the fixture
+    corpus carries no URLs), then Spark's REAL parser takes it apart —
+    parse_url(url, 'HOST') / 'FILE' — and the canonical form is
+    lower(host) + port-stripped authority + trailing-slash-trimmed
+    path. The rollup per canonical host counts docs, RAW authority
+    variants collapsed by canonicalization (> 1 per host proves the
+    messy forms genuinely differed), distinct canonical paths, and
+    total chars. DuckDB has no parse_url, so the oracle reconstructs
+    host/path from the synthesis formula directly — the compare
+    attests Spark's parser against arithmetic ground truth.
+
+    Scale shape: map-only expression work (parse_url is a JVM-side
+    expression, no UDF) into one host-keyed aggregate whose
+    cardinality is the domain count — the standard crawl-curation
+    rollup grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw_host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.upper("source"), F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    authority = F.concat(
+        raw_host,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+    )
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+        F.lit("HTTPS")
+    )
+    url = F.concat(scheme, F.lit("://"), authority, path)
+    parsed = docs.select(
+        "doc_id",
+        "n_chars",
+        url.alias("url"),
+        authority.alias("raw_authority"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "raw_authority",
+        F.lower(F.expr("parse_url(url, 'HOST')")).alias("canon_host"),
+        F.expr("rtrim('/', parse_url(url, 'FILE'))").alias("canon_path"),
+    )
+    return (
+        parsed.groupBy("canon_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_authority").cast("long")
+            .alias("n_raw_variants"),
+            F.countDistinct("canon_path").cast("long").alias("n_paths"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("canon_host")
+    )

@@ -437,7 +437,39 @@ def _queued():
             _sq().emb_rank_normalize,
             _sq().EMB_RANK_NORMALIZE_ORACLE,
         ),
+        # r11-implemented quartile RFM customer mart — NTILE under
+        # deterministic total orders, uneven-bucket rule attested
+        "mart_rfm_segments": (
+            _rq().mart_rfm_segments,
+            _rq().MART_RFM_SEGMENTS_ORACLE,
+        ),
+        # r11-implemented URL canonicalization + domain rollup: Spark's
+        # real parse_url attested against the synthesis formula
+        "text_url_canonicalize": (
+            _tq().text_url_canonicalize,
+            _tq().TEXT_URL_CANONICALIZE_ORACLE,
+        ),
+        # r11-implemented k-minimum-values distinct sketch: the Spark
+        # 'all' row MERGES the per-type sketches while the oracle
+        # computes global k-minimums raw — equality attests the KMV
+        # merge law (cms_frequencies precedent)
+        "agg_kmv_distinct": (
+            _kq().agg_kmv_distinct,
+            _kq().AGG_KMV_DISTINCT_ORACLE,
+        ),
     }
+
+
+def _kq():
+    from erathia_market_etl_spark.plans import sketch_queries
+
+    return sketch_queries
+
+
+def _rq():
+    from erathia_market_etl_spark.plans import relational
+
+    return relational
 
 
 def _sq():

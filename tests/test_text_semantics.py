@@ -801,3 +801,22 @@ def test_source_divergence_identical_and_disjoint_extremes(spark):
     assert full == 2_000_000
     mid = out[("half", "same1")]
     assert 0 < mid < full
+
+
+def test_url_canonicalize_collapses_planted_variants(spark):
+    """Canonicalization contract on the fixture synthesis: every host
+    that received BOTH a case-shuffled and a port-suffixed raw variant
+    reports n_raw_variants > 1 (the messy forms genuinely differed and
+    collapsed), hosts are all-lowercase, and no canonical path keeps a
+    trailing slash."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_url_canonicalize,
+    )
+
+    rows = text_url_canonicalize(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # one per source
+    assert all(r["canon_host"] == r["canon_host"].lower() for r in rows)
+    # every source sees doc_ids spanning the %3 and %5 residues at
+    # sf0.001 (25 docs/source), so every host collapsed >1 raw variant
+    assert all(r["n_raw_variants"] > 1 for r in rows)
+    assert all(r["n_docs"] > 0 and r["total_chars"] > 0 for r in rows)
