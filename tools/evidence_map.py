@@ -137,18 +137,35 @@ def main() -> None:
         + f"; newest round seen: r{newest}.",
         "",
     ]
+    # aged = evidence older than (newest - 1). A query sitting in the
+    # CURRENT driver slot order (priority[:50]) is attested by the
+    # in-flight round's CORRECTNESS pass — report it as pending, not
+    # aged: at round close this tool runs after LOCALCHECK (newest =
+    # the new round) but before the driver stamps CORRECTNESS_r{N}.
+    from erathia_market_etl_spark.plans import all_queries as _aq
+
+    slotted = set(list(_aq())[:50])
+    aged, pending = [], []
+    for n in sorted(sets):
+        if n in evidence and evidence[n]["round"] < newest - 1:
+            (pending if n in slotted else aged).append(
+                f"{n}(r{evidence[n]['round']})"
+            )
+    lines += [
+        f"Aged past the 2-round window: "
+        f"{', '.join(aged) if aged else 'none'}. "
+        f"Pending this round's driver pass (slotted, evidence from the "
+        f"previous rotation half): {len(pending)} queries.",
+        "",
+    ]
     out_path = root / "COVERAGE_EVIDENCE.md"
     out_path.write_text("\n".join(lines))
-    aged = sorted(
-        (n, evidence[n]["round"])
-        for n in sets
-        if n in evidence and evidence[n]["round"] < newest - 1
-    )
     print(json.dumps({
         "queries": len(sets),
         "green": len(stale),
         "never_green": missing,
-        "aged_past_window": [f"{n}(r{r})" for n, r in aged],
+        "aged_past_window": aged,
+        "pending_driver_slot": len(pending),
         "artifact": str(out_path),
     }))
 
