@@ -841,3 +841,225 @@ def quota_frame(w: DataFrame, budget: int) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_binpack_ffd: first-fit-decreasing sequence packing — the greedy
+# bin-packing pass training pipelines run to pack documents into
+# fixed-token context windows with minimal padding. UNREGISTERED (r11 —
+# local-only per the COVERAGE.md standing policy; driver-style evidence
+# via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+PACK_FFD_CAP = 128    # bin capacity in tokens (the context length)
+PACK_FFD_TOP_N = 64   # docs packed per source — the per-group contract
+
+_FFD_POS_SQL = (
+    "list_position(list_transform(acc, b -> b + xe[1] <= {cap}), true)"
+)
+
+PACK_BINPACK_FFD_ORACLE = f"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    top AS (
+        SELECT source, doc_id, n FROM (
+            SELECT source, doc_id, n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n DESC, doc_id) AS rn
+            FROM tok
+        ) WHERE rn <= {PACK_FFD_TOP_N}
+    ),
+    arr AS (
+        SELECT source,
+               list_transform(list(n ORDER BY n DESC, doc_id), x -> [x])
+                   AS items,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM top GROUP BY source
+    ),
+    packed AS (
+        SELECT source, n_docs, total_tokens,
+               list_reduce(items, (acc, xe) -> CASE
+                   WHEN {_FFD_POS_SQL.format(cap=PACK_FFD_CAP)} = 0
+                   THEN acc || xe
+                   ELSE list_transform(acc, (b, i) -> CASE
+                       WHEN i = {_FFD_POS_SQL.format(cap=PACK_FFD_CAP)}
+                       THEN b + xe[1] ELSE b END)
+               END) AS bins
+        FROM arr
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(len(bins) AS BIGINT) AS n_bins,
+           CAST(list_max(bins) AS BIGINT) AS max_bin,
+           CAST(list_min(bins) AS BIGINT) AS min_bin,
+           CAST(total_tokens * 1000000
+                // (len(bins) * {PACK_FFD_CAP}) AS BIGINT)
+               AS utilization_ppm
+    FROM packed
+    ORDER BY source
+    """
+
+
+def pack_binpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-FIT-DECREASING bin packing of documents into
+    PACK_FFD_CAP-token context windows, per source — THE standard
+    greedy for training-sequence packing (FFD wastes at most ~22%
+    over optimal; the token-budget shard query packs by running sum,
+    this one packs for minimal padding). The fold is sequential and
+    state-carrying (a list of open-bin loads), so like ts_ewma it
+    cannot be a window rewrite: docs are sorted tokens-DESC with a
+    doc_id tiebreak and folded through the aggregate HOF whose
+    accumulator is the bin-load array — place into the FIRST bin that
+    fits (array_position over a fits mask), else open a new bin. All
+    integer arithmetic, so n_bins/max/min/utilization are hash-exact;
+    the DuckDB twin is the same fold via list_reduce (accumulator and
+    element both LIST-typed — list_reduce demands matching types, so
+    elements ride as single-element lists).
+
+    Per-group boundedness contract: the fold packs each source's
+    PACK_FFD_TOP_N (64) largest documents — bin packing is inherently
+    sequential per group, so production packs per SHARD after the
+    token-budget sharder bounds group size; the per-source cap states
+    that bound explicitly at fixture scale. Only (source, n) pairs
+    shuffle; the WindowGroupLimit top-N is two-phase (lint R5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "doc_id")
+    top = (
+        tok.select("source", "doc_id", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= PACK_FFD_TOP_N)
+    )
+    arr = top.groupBy("source").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-n AS negn, doc_id, n)))"
+            ", s -> array(s.n))"
+        ).alias("items"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    cap = PACK_FFD_CAP
+    pos = (
+        f"array_position(transform(acc, b -> b + element_at(xe, 1)"
+        f" <= {cap}), true)"
+    )
+    bins_expr = (
+        f"aggregate(slice(items, 2, size(items) - 1), items[0],"
+        f" (acc, xe) -> IF({pos} = 0, concat(acc, xe),"
+        f" transform(acc, (b, i) -> IF(i + 1 = {pos},"
+        f" b + element_at(xe, 1), b))))"
+    )
+    packed = arr.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(bins_expr).alias("bins"),
+    )
+    return (
+        packed.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.size("bins").cast("long").alias("n_bins"),
+            F.array_max("bins").cast("long").alias("max_bin"),
+            F.array_min("bins").cast("long").alias("min_bin"),
+            F.expr(
+                f"total_tokens * 1000000 DIV (size(bins) * {cap})"
+            ).cast("long").alias("utilization_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic_interval: systematic (every k-th) sampling in a
+# deterministic hash order. UNREGISTERED (r11 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+SYSTEMATIC_K = 7  # keep every 7th document
+
+SAMPLE_SYSTEMATIC_ORACLE = f"""
+    WITH h AS (
+        -- ord composes (bucket, doc_id) into one sort key; identical
+        -- to the Spark side's lexicographic (bkt, doc_id) order while
+        -- doc_id < 1e6 (true at every fixture SF; the Spark side's
+        -- two-column order has no such envelope)
+        SELECT doc_id, source,
+               {_bucket_sql('doc_id', 104729)} * 1000000 + doc_id AS ord
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (ORDER BY ord) AS rn
+        FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn % {SYSTEMATIC_K} = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN rn % {SYSTEMATIC_K} = 1 THEN doc_id END)
+                AS BIGINT) AS first_kept_doc
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC sampling — keep every SYSTEMATIC_K-th document in a
+    deterministic pseudo-random order (the salted Knuth bucket, with
+    doc_id composed in as the total-order tiebreak): the
+    equal-interval design survey statisticians use when a stream
+    should be thinned at an exact 1/k rate — unlike the Bernoulli
+    hash-bucket splits (sample_split_assign), the kept count per k
+    consecutive ordered rows is EXACTLY one, so the rate holds in
+    every window, not just in expectation. The hash order stands in
+    for the 'random start' of textbook systematic sampling while
+    staying reproducible run-to-run.
+
+    Interval sampling needs a GLOBAL rank, but never a global sort:
+    the rank is decomposed hierarchically (the pack_token_budget_shards
+    pattern) with the hash BUCKET as the natural block — a per-bucket
+    row_number (100-way parallel) plus each bucket's offset from the
+    tiny post-aggregate count table broadcast back. The only
+    single-partition window runs over the 100-row bucket-count frame
+    (lint R2's sanctioned shape). Report: per source, total, kept, and
+    the first kept doc as the phase witness."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), salt=104729)
+    base = docs.select("doc_id", "source", b.alias("bkt"))
+    w_local = Window.partitionBy("bkt").orderBy("doc_id")
+    local = base.select(
+        "doc_id", "source", "bkt",
+        F.row_number().over(w_local).alias("local_rn"),
+    )
+    counts = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    r = local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id", "source",
+        (F.col("off") + F.col("local_rn")).alias("rn"),
+    )
+    kept = F.when(F.col("rn") % SYSTEMATIC_K == 1, 1).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.min(
+                F.when(F.col("rn") % SYSTEMATIC_K == 1, F.col("doc_id"))
+            ).cast("long").alias("first_kept_doc"),
+        )
+        .orderBy("source")
+    )

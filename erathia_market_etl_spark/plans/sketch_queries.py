@@ -1,5 +1,7 @@
-"""Mergeable-sketch queries: HyperLogLog and count-min register
-algebras with an exact-integer contract.
+"""Mergeable-sketch queries: HyperLogLog registers, count-min
+counters, and (r11) the k-minimum-values order-statistics sketch —
+three merge disciplines (max, sum, min-k-of-union), all with an
+exact-integer contract.
 
 The reference has no sketch surface beyond its exact aggregates; the
 registered ``agg_approx_sketches`` query covers Spark's built-in
@@ -495,4 +497,32 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact").alias("n_exact"),
         )
         .orderBy("grp")
+    )
+
+
+def kmv_sketch_state(keys: DataFrame) -> DataFrame:
+    """The KMV sketch of a key slice (column ``x``) as STATE ROWS: the
+    KMV_K smallest distinct avalanche hashes, one row per retained
+    hash. Min-k is a mergeable monoid — min-k(A ∪ B) =
+    min-k(min-k(A) ∪ min-k(B)) — so per-batch slices of ≤ k rows
+    merge on read without ever revisiting raw keys; like HLL's
+    max-merge (and unlike rollup sums), the merge is IDEMPOTENT, so a
+    retried slice is absorbed even before batch_id dedup."""
+    h = keys.select(_hash32_col("x").alias("h")).distinct()
+    return h.orderBy("h").limit(KMV_K)
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """Fold KMV state rows to the (n_sketch, kth_hash, est_distinct)
+    serving row — estimate = (k-1)·2^32 DIV kth, exact-count fallback
+    below k (agg_kmv_distinct's arithmetic over any state frame)."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").cast("long").alias("kth_hash"),
+    ).select(
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch"))
+        .otherwise(F.expr(f"({KMV_K} - 1) * {_MOD32} DIV kth_hash"))
+        .cast("long").alias("est_distinct"),
     )

@@ -556,3 +556,36 @@ def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
     (batch_id, idx) mirrors the other sinks for contract uniformity."""
     log = spark.read.parquet(state_path).dropDuplicates(["batch_id", "idx"])
     return log.groupBy("idx").agg(F.max("r").cast("long").alias("r"))
+
+
+def streaming_kmv_append(
+    keys: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
+    """KMV distinct-sketch maintenance under ingest — the fifth member
+    of the mergeable-state sink family (rollup sums, count-min
+    counters, candles, HLL registers, KMV order statistics): each
+    micro-batch of keys (column ``x``) appends its k-minimum-hash
+    slice (≤ KMV_K rows regardless of batch size); serving takes the
+    k smallest of the union on read. min-k merge is idempotent, so
+    like the HLL sink this state is retry-safe even before the
+    read-side batch_id dedup."""
+    from ..plans.sketch_queries import kmv_sketch_state
+
+    return _run_state_append(
+        keys, state_path, kmv_sketch_state, checkpoint, after_write
+    )
+
+
+def read_kmv_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming KMV log: k smallest distinct
+    hashes across every appended slice — identical rows to batch
+    ``kmv_sketch_state`` over the full key log (pinned in
+    tests/test_streaming.py). Retry dedup per (batch_id, h) mirrors
+    the other sinks for contract uniformity."""
+    from ..plans.sketch_queries import KMV_K
+
+    log = spark.read.parquet(state_path).dropDuplicates(["batch_id", "h"])
+    return log.select("h").distinct().orderBy("h").limit(KMV_K)

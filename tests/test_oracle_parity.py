@@ -457,7 +457,26 @@ def _queued():
             _kq().agg_kmv_distinct,
             _kq().AGG_KMV_DISTINCT_ORACLE,
         ),
+        # r11-implemented first-fit-decreasing context-window packing:
+        # the list-state fold (bin loads array) via aggregate HOF /
+        # DuckDB list_reduce, per-source bounded
+        "pack_binpack_ffd": (
+            _pq().pack_binpack_ffd,
+            _pq().PACK_BINPACK_FFD_ORACLE,
+        ),
+        # r11-implemented systematic every-k sampling in deterministic
+        # hash order — exact 1/k in every window, not just expectation
+        "sample_systematic_interval": (
+            _pq().sample_systematic_interval,
+            _pq().SAMPLE_SYSTEMATIC_ORACLE,
+        ),
     }
+
+
+def _pq():
+    from erathia_market_etl_spark.plans import sampling_queries
+
+    return sampling_queries
 
 
 def _kq():

@@ -552,3 +552,55 @@ def test_maintenance_sinks_exactly_once_under_real_retry(spark, staged_dir, tmp_
     assert sorted(map(tuple, read_hll_state(spark, p).collect())) == sorted(
         map(tuple, hll_register_state(full_keys).collect())
     )
+
+
+def test_streaming_kmv_append_merges_to_batch_state(spark, staged_dir, tmp_path):
+    """KMV maintenance (the fifth mergeable-state sink): three
+    micro-batches append their k-minimum-hash slices; min-k-of-union on
+    read must equal the batch kmv_sketch_state over the full key log
+    EXACTLY, and a retried slice re-append must change nothing (min-k
+    merge is idempotent on top of the batch_id dedup)."""
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        KMV_K,
+        kmv_sketch_state,
+    )
+    from erathia_market_etl_spark.streaming.event_stream import (
+        read_kmv_state,
+        streaming_kmv_append,
+    )
+
+    def rows(keys, base_id):
+        return [(base_id + i, _ts(1), k, "a", 1.0) for i, k in enumerate(keys)]
+
+    k0 = list(range(0, 40))
+    k1 = list(range(30, 80))      # overlaps k0 — dedup across batches
+    k2 = list(range(1000, 1020))
+    _write_batch_file(spark, rows(k0, 0), f"{staged_dir}/b0.parquet", 1_000_000)
+    _write_batch_file(spark, rows(k1, 100), f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, rows(k2, 200), f"{staged_dir}/b2.parquet", 1_000_200)
+
+    stream_keys = _read_stream(spark, staged_dir).select(
+        F.col("user_id").alias("x")
+    )
+    state_path = str(tmp_path / "kmv_state")
+    batches = streaming_kmv_append(stream_keys, state_path)
+    assert len(batches) == 3
+
+    merged = sorted(r["h"] for r in read_kmv_state(spark, state_path).collect())
+    full = spark.createDataFrame([(k,) for k in k0 + k1 + k2], "x long")
+    want = sorted(r["h"] for r in kmv_sketch_state(full).collect())
+    assert merged == want
+    assert len(merged) == KMV_K  # 110 distinct keys >> k
+
+    # non-vacuity: the global k-min really mixes batches — the winning
+    # set must draw hashes from at least two distinct batch slices
+    log = spark.read.parquet(state_path)
+    winners = log.filter(F.col("h").isin([int(h) for h in merged]))
+    assert winners.select("batch_id").distinct().count() >= 2
+
+    # retry idempotence: re-append batch 1's identical slice
+    log.filter(F.col("batch_id") == batches[1]).write.mode("append").parquet(
+        state_path
+    )
+    retried = sorted(r["h"] for r in read_kmv_state(spark, state_path).collect())
+    assert retried == want
