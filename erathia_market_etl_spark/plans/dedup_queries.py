@@ -655,3 +655,153 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_jaccard_estimate: the accuracy contract of the MinHash
+# sketch itself — signature-agreement estimate vs exact Jaccard per
+# candidate pair. UNREGISTERED (r11 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+_SIG_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+    for j in range(N_MINHASH)
+)
+
+DEDUP_MINHASH_JACCARD_ESTIMATE_ORACLE = f"""
+    WITH {_CANDIDATES_CTE},
+    da AS (
+        SELECT DISTINCT doc_id, unnest(s) AS sx FROM sh WHERE len(s) > 0
+    ),
+    szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM da GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM pairs p
+        JOIN da a ON a.doc_id = p.doc_a
+        JOIN da b ON b.doc_id = p.doc_b AND b.sx = a.sx
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({_SIG_MATCHES_SQL} AS BIGINT) AS n_matches,
+           CAST(({_SIG_MATCHES_SQL}) * 1000000 // {N_MINHASH} AS BIGINT)
+               AS est_jaccard_ppm,
+           CAST(COALESCE(i.n_inter, 0) * 1000000
+                // (za.n + zb.n - COALESCE(i.n_inter, 0)) AS BIGINT)
+               AS jaccard_ppm,
+           CAST(ABS(({_SIG_MATCHES_SQL}) * 1000000 // {N_MINHASH}
+                    - COALESCE(i.n_inter, 0) * 1000000
+                      // (za.n + zb.n - COALESCE(i.n_inter, 0)))
+                AS BIGINT) AS err_ppm
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN szs za ON za.doc_id = p.doc_a
+    JOIN szs zb ON zb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+def dedup_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash sketch's OWN accuracy contract (the
+    agg_approx_sketches philosophy applied to the dedup family): for
+    every LSH candidate pair, the signature-agreement estimate
+    (matching positions / 8, in ppm — the statistic whose expectation
+    IS the Jaccard similarity, Broder 1997) next to the EXACT shingle
+    Jaccard and the absolute error, so estimator drift shows up as a
+    red row rather than silently degraded dedup recall. Candidate
+    pairs, signatures, and shingle sets all reuse the family's shared
+    kernels/CTEs — one shingle-hash pipeline feeds everything.
+
+    Scale shape: the signature join attaches two 8-column rows per
+    pair (pair-table-sized); the exact-Jaccard verify joins the
+    distinct (doc, shingle) table ONLY for candidate-pair docs (the
+    dedup_ngram_jaccard discipline — at 100 TB the verify cost rides
+    the candidate count, never the corpus); the intersection join is
+    shingle-keyed with LEFT JOIN + COALESCE for the no-overlap edge
+    (media_feature_extract precedent)."""
+    from ..operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature_cols,
+        shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id").localCheckpoint()
+    # the verify cost must ride the CANDIDATE count, never the corpus
+    # (dedup_ngram_jaccard discipline): restrict the shingle/signature
+    # pipelines to pair members with keys-only semi joins before any
+    # aggregation or pair join
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    toked = fan_out(docs).select(
+        F.col("doc_id").alias("doc"),
+        shingles_from_tokens(tokens(F.col("text"))).alias("s"),
+    ).filter(F.size("s") > 0)
+    hashed = toked.join(pair_docs, "doc", "left_semi").select(
+        "doc",
+        F.explode("s").alias("sx"),
+    )
+    sig = (
+        hashed.select(
+            "doc", F.md5(F.concat(F.lit("mh|"), F.col("sx"))).alias("h")
+        )
+        .groupBy("doc")
+        .agg(*minhash_signature_cols())
+    )
+    da = hashed.distinct()
+    szs = da.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        pairs.join(da.select(F.col("doc").alias("doc_a"), "sx"), "doc_a")
+        .join(
+            da.select(F.col("doc").alias("doc_b"), "sx"),
+            ["doc_b", "sx"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    matches = sum(
+        F.when(F.col(f"a_h{j}") == F.col(f"b_h{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ).cast("long")
+    sa = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"a_h{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"b_h{j}") for j in range(N_MINHASH)],
+    )
+    est = F.expr(f"n_matches * 1000000 DIV {N_MINHASH}")
+    jac = F.expr("n_inter * 1000000 DIV (na + nb - n_inter)")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(szs.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(szs.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("n_matches"),
+            "na",
+            "nb",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+            .alias("n_inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matches",
+            est.cast("long").alias("est_jaccard_ppm"),
+            jac.cast("long").alias("jaccard_ppm"),
+            F.abs(est - jac).cast("long").alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1847,3 +1847,133 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_mad_flags: the composed anomaly detector — seasonal
+# residuals scored against a robust (median/MAD) envelope.
+# UNREGISTERED (r11 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+ANOMALY_MAD_MULT = 3  # flag |residual - median| > 3 * MAD
+
+TS_ANOMALY_MAD_FLAGS_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               (EXTRACT(isodow FROM CAST(ts AS DATE)) - 1)::BIGINT AS dow,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS day_cents
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    res AS (
+        SELECT event_type, day, day_cents,
+               CAST(day_cents
+                    - SUM(day_cents) OVER w // COUNT(*) OVER w
+                    AS BIGINT) AS residual_cents
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type, dow)
+    ),
+    arrs AS (
+        SELECT event_type,
+               list(residual_cents ORDER BY residual_cents) AS rs
+        FROM res GROUP BY event_type
+    ),
+    meds AS (
+        SELECT event_type, rs[(len(rs) + 1) // 2] AS med FROM arrs
+    ),
+    stats AS (
+        SELECT a.event_type, m.med,
+               list_sort(list_transform(a.rs, x -> ABS(x - m.med)))
+                   [(len(a.rs) + 1) // 2] AS mad
+        FROM arrs a JOIN meds m ON a.event_type = m.event_type
+    )
+    SELECT r.event_type, r.day, r.day_cents, r.residual_cents,
+           CAST(s.med AS BIGINT) AS med_residual_cents,
+           CAST(s.mad AS BIGINT) AS mad_cents,
+           (ABS(r.residual_cents - s.med)
+            > {ANOMALY_MAD_MULT} * s.mad) AS is_anomaly
+    FROM res r JOIN stats s ON r.event_type = s.event_type
+    ORDER BY r.event_type, r.day
+    """
+
+
+def ts_anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED anomaly detector the time-series family has been
+    building toward: de-seasonalize the daily revenue series against
+    its day-of-week baseline (ts_seasonal_dow_profile's residual), then
+    score each residual against a ROBUST envelope — the per-type lower
+    median and MAD of residuals (agg_mad_robust's estimator pair) —
+    flagging days where |residual − median| > 3·MAD. Each stage fixes
+    the previous one's blind spot: raw thresholds fire every weekend
+    (seasonality), mean/stddev envelopes get dragged by the outliers
+    they hunt (non-robust), and seasonal residuals alone have no
+    severity scale.
+
+    Exactness: cents + truncating DIV baselines + LOWER median via
+    sorted-array indexing — every column an exact long, boolean flag
+    CASE'd identically. The median/MAD per type ride ONE sorted
+    collect_list whose length is CALENDAR-bounded (the ts_ewma
+    argument): ~365 longs/type/year, never event-volume. The only
+    event-sized stage is the (type, day) rollup; the stats frame
+    broadcasts back onto day-grain rows."""
+    ev = load_events(spark, sf_dir)
+    tick_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"),
+            tick_cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("day_cents"))
+        .select(
+            "event_type", "day",
+            F.weekday("day").cast("long").alias("dow"),
+            "day_cents",
+        )
+    )
+    res = daily.select(
+        "event_type",
+        "day",
+        "day_cents",
+        F.expr(
+            "day_cents - sum(day_cents)"
+            " OVER (PARTITION BY event_type, dow)"
+            " DIV count(*) OVER (PARTITION BY event_type, dow)"
+        ).cast("long").alias("residual_cents"),
+    )
+    arrs = res.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("residual_cents")).alias("rs")
+    )
+    meds = arrs.select(
+        "event_type",
+        "rs",
+        F.expr(
+            "element_at(rs, CAST((size(rs) + 1) DIV 2 AS INT))"
+        ).alias("med"),
+    )
+    stats = meds.select(
+        "event_type",
+        "med",
+        F.expr(
+            "element_at(sort_array(transform(rs, x -> abs(x - med))),"
+            " CAST((size(rs) + 1) DIV 2 AS INT))"
+        ).alias("mad"),
+    )
+    return (
+        res.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "day_cents",
+            "residual_cents",
+            F.col("med").cast("long").alias("med_residual_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            (
+                F.abs(F.col("residual_cents") - F.col("med"))
+                > ANOMALY_MAD_MULT * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

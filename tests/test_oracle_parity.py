@@ -470,7 +470,25 @@ def _queued():
             _pq().sample_systematic_interval,
             _pq().SAMPLE_SYSTEMATIC_ORACLE,
         ),
+        # r11-implemented MinHash accuracy contract: per candidate
+        # pair, signature-agreement estimate vs exact shingle Jaccard
+        "dedup_minhash_jaccard_estimate": (
+            _dq().dedup_minhash_jaccard_estimate,
+            _dq().DEDUP_MINHASH_JACCARD_ESTIMATE_ORACLE,
+        ),
+        # r11-implemented composed anomaly detector: seasonal residuals
+        # scored against a robust median/MAD envelope
+        "ts_anomaly_mad_flags": (
+            _ew().ts_anomaly_mad_flags,
+            _ew().TS_ANOMALY_MAD_FLAGS_ORACLE,
+        ),
     }
+
+
+def _dq():
+    from erathia_market_etl_spark.plans import dedup_queries
+
+    return dedup_queries
 
 
 def _pq():

@@ -634,3 +634,57 @@ def test_ewma_smoothing_planted_fold(spark):
     assert out[("b", "2024-01-01")] == 100
     assert out[("b", "2024-01-02")] == 150
     assert out[("b", "2024-01-03")] == 125
+
+
+def test_anomaly_mad_flags_planted_spike(spark):
+    """Planted series: type 'a' is perfectly flat except ONE spiked
+    Wednesday — with a flat dow baseline and one-day residual spike,
+    the spike day must be the ONLY flagged row. Pins that the seasonal
+    stage doesn't flag ordinary weekday structure (every Monday is
+    high, but consistently so — residual 0) and that the MAD envelope
+    flags the genuine outlier."""
+    import datetime
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        ts_anomaly_mad_flags,
+    )
+
+    rows = []
+    eid = 0
+    # 4 weeks; Mondays always ~500, other days ~100 (plus a per-week
+    # +wk drift so residuals are non-degenerate and MAD > 0)
+    for wk in range(4):
+        for d in range(7):
+            day = datetime.datetime(2024, 1, 1 + wk * 7 + d, 9)
+            val = (500.0 if d == 0 else 100.0) + wk
+            # week 2's Wednesday (d=2) spikes 10x
+            if wk == 2 and d == 2:
+                val = 1000.0
+            eid += 1
+            rows.append((eid, day, 1, "a", val))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        out = ts_anomaly_mad_flags(spark, d).collect()
+    flagged = [str(r["day"]) for r in out if r["is_anomaly"]]
+    # the spike itself must flag...
+    assert "2024-01-17" in flagged
+    # ...and a mean baseline is CONTAMINATED by the spike it absorbs,
+    # so its same-weekday siblings may flag too (the honest behavior
+    # of a mean seasonal stage) — but nothing off-Wednesday may:
+    # Mondays are 5x the other days every single week (pure
+    # seasonality, residual ~0) and must never flag
+    wednesdays = {"2024-01-03", "2024-01-10", "2024-01-17", "2024-01-24"}
+    assert set(flagged) <= wednesdays
+    mondays = [
+        r for r in out
+        if str(r["day"]) in {"2024-01-01", "2024-01-08",
+                             "2024-01-15", "2024-01-22"}
+    ]
+    assert len(mondays) == 4
+    assert all(not r["is_anomaly"] for r in mondays)
