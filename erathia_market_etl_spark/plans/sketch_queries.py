@@ -468,9 +468,8 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
     all_h = per_type.select(F.lit("all").alias("grp"), "h").distinct()
-    w_all = Window.partitionBy("grp").orderBy("h")
     all_sketch = (
-        all_h.select("grp", "h", F.row_number().over(w_all).alias("rn"))
+        all_h.select("grp", "h", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= KMV_K)
         .select("grp", "h")
     )

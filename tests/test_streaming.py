@@ -586,11 +586,23 @@ def test_streaming_kmv_append_merges_to_batch_state(spark, staged_dir, tmp_path)
     batches = streaming_kmv_append(stream_keys, state_path)
     assert len(batches) == 3
 
-    merged = sorted(r["h"] for r in read_kmv_state(spark, state_path).collect())
+    merged_df = read_kmv_state(spark, state_path)
+    merged = sorted(r["h"] for r in merged_df.collect())
     full = spark.createDataFrame([(k,) for k in k0 + k1 + k2], "x long")
     want = sorted(r["h"] for r in kmv_sketch_state(full).collect())
     assert merged == want
     assert len(merged) == KMV_K  # 110 distinct keys >> k
+
+    # the serving estimate folds from the merged state and matches the
+    # same fold over the batch sketch (kmv_estimate is the shared path)
+    from erathia_market_etl_spark.plans.sketch_queries import kmv_estimate
+
+    est_stream = kmv_estimate(merged_df).collect()[0]
+    est_batch = kmv_estimate(kmv_sketch_state(full)).collect()[0]
+    assert est_stream == est_batch
+    assert est_stream["n_sketch"] == KMV_K
+    # 110 true distinct keys; KMV at k=16 should land within 4x
+    assert 27 <= est_stream["est_distinct"] <= 440
 
     # non-vacuity: the global k-min really mixes batches — the winning
     # set must draw hashes from at least two distinct batch slices

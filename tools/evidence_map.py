@@ -123,16 +123,14 @@ def main() -> None:
             f"| {name} | {sets[name]} | r{ev['round']} "
             f"| {ev['source']} | {sfs} |"
         )
-    stale = [
-        n for n in sets if n in evidence
-    ]
+    with_evidence = [n for n in sets if n in evidence]
     newest = max((e["round"] for e in evidence.values()), default=0)
     lines += [
         "",
         f"Totals: {len(sets)} queries ({sum(1 for v in sets.values() if v == 'registered')} "
         f"registered, {sum(1 for v in sets.values() if v == 'local-only')} local-only, "
         f"{sum(1 for v in sets.values() if v == 'retired')} retired); "
-        f"{len(stale)} with green evidence, {len(missing)} never-green"
+        f"{len(with_evidence)} with green evidence, {len(missing)} never-green"
         + (f" ({', '.join(missing)})" if missing else "")
         + f"; newest round seen: r{newest}.",
         "",
@@ -162,7 +160,7 @@ def main() -> None:
     out_path.write_text("\n".join(lines))
     print(json.dumps({
         "queries": len(sets),
-        "green": len(stale),
+        "green": len(with_evidence),
         "never_green": missing,
         "aged_past_window": aged,
         "pending_driver_slot": len(pending),
