@@ -2289,9 +2289,15 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     tot = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("tot"))
+    # stage the ppm frequency table ONCE (localCheckpoint): five
+    # consumers read it (both self-join sides, both mass totals, the
+    # pair assembly) and would otherwise each re-run the tokenize +
+    # (source, term) aggregate subtree — the staged frame is
+    # vocabulary-sized (distinct terms x sources), never corpus-sized,
+    # so materializing it is the cheap side of that trade at any SF
     p = tf.join(F.broadcast(tot), "source").select(
         "source", "term", F.expr("tf * 1000000 DIV tot").alias("p_ppm")
-    )
+    ).localCheckpoint()
     tp = p.groupBy("source").agg(
         F.sum("p_ppm").cast("long").alias("tot_ppm")
     )

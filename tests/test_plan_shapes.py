@@ -685,3 +685,40 @@ def test_aqe_skew_join_split_fires(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_decon_ngram_semi_join_and_no_text_shuffle(spark):
+    """decon_ngram_contamination (r11): the contamination count must
+    plan as a LEFT SEMI join from train gram occurrences into the
+    BROADCAST test vocabulary (the 100 TB regime: one eval suite's
+    grams are broadcast-sized), and no Exchange may carry the raw text
+    column — only doc ids and grams shuffle."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        decon_ngram_contamination,
+    )
+
+    plan = plan_of(decon_ngram_contamination(spark, SF_T2))
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert len(semi) == 1 and "BroadcastHashJoin" in semi[0], plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_source_divergence_staged_frequency_table(spark):
+    """text_source_divergence (r11): the vocabulary-sized ppm frequency
+    table is staged ONCE (localCheckpoint) for its five consumers — the
+    final plan must contain NO (source, term) hash exchange (each one
+    would be a full corpus re-tokenize), and the sources-squared pair
+    expansion must ride a BroadcastNestedLoopJoin, never a
+    CartesianProduct."""
+    import re
+
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_source_divergence,
+    )
+
+    plan = plan_of(text_source_divergence(spark, SF_T2))
+    assert not re.search(r"hashpartitioning\(source#\d+, term#\d+", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
