@@ -253,3 +253,113 @@ def funnel_ordered_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_row(3, "purchase", "t3"))
     )
     return out.orderBy("ord").select("stage", "users", "seconds_to_here")
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert: the conversion-latency SLA report — as-of
+# matched purchase←click latencies rolled into exact daily percentile
+# bands. UNREGISTERED (r11 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+FUNNEL_TIME_TO_CONVERT_ORACLE = """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    ),
+    conv AS (
+        SELECT CAST(p.ts AS DATE) AS day,
+               (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lat_sec
+        FROM (SELECT user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    counts AS (
+        SELECT day, lat_sec, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM conv GROUP BY day, lat_sec
+    ),
+    cum AS (
+        SELECT day, lat_sec, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY day ORDER BY lat_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below,
+               CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+        FROM counts
+    ),
+    p50 AS (
+        SELECT day, n, lat_sec AS p50_sec FROM cum
+        WHERE below < (50 * n + 99) // 100
+          AND (50 * n + 99) // 100 <= below + cnt
+    ),
+    p95 AS (
+        SELECT day, lat_sec AS p95_sec FROM cum
+        WHERE below < (95 * n + 99) // 100
+          AND (95 * n + 99) // 100 <= below + cnt
+    ),
+    mx AS (
+        SELECT day, CAST(MAX(lat_sec) AS BIGINT) AS max_sec
+        FROM counts GROUP BY day
+    )
+    SELECT p50.day, CAST(p50.n AS BIGINT) AS n_conversions,
+           CAST(p50.p50_sec AS BIGINT) AS p50_sec,
+           CAST(p95.p95_sec AS BIGINT) AS p95_sec,
+           mx.max_sec
+    FROM p50 JOIN p95 USING (day) JOIN mx USING (day)
+    ORDER BY day
+    """
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT SLA bands: every purchase is as-of matched to
+    the user's most recent click at or before it (the reverse
+    direction of asof_click_to_purchase — here the PURCHASE is the
+    probe, because the report is about realized conversions), the
+    latency is truncated to whole seconds (the duplication that makes
+    the per-day value histogram bounded), and each day gets EXACT
+    nearest-rank P50/P95/max latency — the funnel counterpart of
+    ts_percentile_bands' price bands, and the latency report a
+    marketing/SLA dashboard actually draws. Composition: asof_join
+    (tagged-union window, one user_id shuffle) feeding the
+    percentile_bands_frame rank decomposition (one histogram pass,
+    both quantiles re-filter the same cumulative table).
+
+    Unmatched purchases (no prior click) are EXCLUDED — latency is
+    undefined, and both engines drop them identically (inner ASOF)."""
+    from ..plans.profile_queries import percentile_bands_frame
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    matched = asof_join(
+        purchases, clicks, on="user_id", ts="ts", right_cols=["event_id"]
+    ).filter(F.col("ts_matched").isNotNull())
+    conv = matched.select(
+        F.lit("conv").alias("event_type"),
+        F.to_date("ts").alias("day"),
+        (F.unix_micros("ts") - F.unix_micros("ts_matched"))
+        .cast("long").alias("us"),
+    ).select(
+        "event_type", "day", F.expr("us DIV 1000000").alias("c")
+    )
+    bands = percentile_bands_frame(conv)
+    return bands.select(
+        "day",
+        F.col("n").alias("n_conversions"),
+        F.col("p50_cents").alias("p50_sec"),
+        F.col("p95_cents").alias("p95_sec"),
+        F.col("max_cents").alias("max_sec"),
+    ).orderBy("day")

@@ -482,7 +482,20 @@ def _queued():
             _ew().ts_anomaly_mad_flags,
             _ew().TS_ANOMALY_MAD_FLAGS_ORACLE,
         ),
+        # r11-implemented conversion-latency SLA bands: reverse as-of
+        # (purchase probes its preceding click) into exact daily
+        # nearest-rank P50/P95/max seconds
+        "funnel_time_to_convert": (
+            _tmq().funnel_time_to_convert,
+            _tmq().FUNNEL_TIME_TO_CONVERT_ORACLE,
+        ),
     }
+
+
+def _tmq():
+    from erathia_market_etl_spark.plans import temporal_queries
+
+    return temporal_queries
 
 
 def _dq():
