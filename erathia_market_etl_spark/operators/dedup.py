@@ -306,6 +306,19 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
         (doc, shingle-hash) pre-agg and the band table, both
         hash-partitioned by key."""
     bands = minhash_band_table(df, text_col, id_col, n)
+    return candidate_pairs_from_bands(bands, max_bucket)
+
+
+def candidate_pairs_from_bands(
+    bands: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Candidate-pair tail of ``minhash_candidate_pairs`` over a
+    prebuilt (doc, band_idx, band_key) band table — split out (r12) so
+    the signature stage can be computed ONCE per session and shared
+    across its consumers (plans/dedup_queries.shared_minhash_bands):
+    the cap window, bucket collect, pair expansion, and distinct stay
+    LIVE in every consumer's plan (the WindowGroupLimit and
+    exchange-inventory pins keep watching them)."""
     bands = cap_bucket_members(bands, ["band_idx", "band_key"], "doc", max_bucket)
     return (
         bands.groupBy("band_idx", "band_key")

@@ -655,10 +655,10 @@ def sample_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the fixture contains pairs whose doc-id buckets straddle a cut
     — the naive split provably leaks where this one does not."""
     from ..operators.graph import connected_components_auto
-    from .dedup_queries import minhash_candidate_pairs
+    from .dedup_queries import shared_minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    pairs = shared_minhash_pairs(spark, sf_dir)
     comp = connected_components_auto(pairs, "doc_a", "doc_b").select(
         F.col("v").alias("doc_id"), F.col("component_id").alias("gid")
     )
@@ -854,8 +854,14 @@ def quota_frame(w: DataFrame, budget: int) -> DataFrame:
 PACK_FFD_CAP = 128    # bin capacity in tokens (the context length)
 PACK_FFD_TOP_N = 64   # docs packed per source — the per-group contract
 
+# COALESCE guard (r12, ADVICE r11): the installed duckdb 1.0.0 returns
+# 0 from list_position on a miss, but the documented semantics in later
+# versions is NULL-on-miss — without the COALESCE the "open new bin"
+# CASE arm would fall through on a dependency bump and silently drop
+# the item, surfacing as a confusing red compare.
 _FFD_POS_SQL = (
-    "list_position(list_transform(acc, b -> b + xe[1] <= {cap}), true)"
+    "COALESCE(list_position("
+    "list_transform(acc, b -> b + xe[1] <= {cap}), true), 0)"
 )
 
 PACK_BINPACK_FFD_ORACLE = f"""

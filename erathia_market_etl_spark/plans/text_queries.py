@@ -1044,13 +1044,13 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) candidate-pair set; the final stages are two
     group-count-sized aggregates meeting in a tiny per-source join. No
     stage shuffles document text."""
-    from ..operators.dedup import minhash_candidate_pairs
     from ..operators.graph import connected_components_auto
+    from .dedup_queries import shared_minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     g = _gate_frame(docs)
     ge = g.filter(F.col("keep")).select("doc_id", "source", "n_tokens")
-    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    pairs = shared_minhash_pairs(spark, sf_dir)
     ga = ge.select(F.col("doc_id").alias("doc_a"))
     gb = ge.select(F.col("doc_id").alias("doc_b"))
     ed = (

@@ -400,9 +400,29 @@ def compact_partitioned(
         )
     stats: dict[str, dict] = {}
     for d in part_dirs:
+        # fail loudly on multi-level hive layouts (r11 ADVICE): a
+        # nested date=/hour= tree would otherwise be read WITH
+        # discovery by the per-dir compact_small_files call, which
+        # rewrites the inner partition column as a data column and
+        # silently flattens the sub-layout. Recurse-or-reject; this
+        # rejects — compact the leaf dirs individually instead.
+        sub = os.path.join(path, d)
+        nested = [
+            c
+            for c in os.listdir(sub)
+            if "=" in c and os.path.isdir(os.path.join(sub, c))
+        ]
+        if nested:
+            raise ValueError(
+                f"partition dir {d!r} contains nested hive dirs "
+                f"({nested[:3]}...): compact_partitioned handles ONE "
+                "partition level — call it per leaf level (e.g. on "
+                f"{os.path.join(path, d)!r}) so the inner layout is "
+                "preserved instead of flattened into a data column"
+            )
         stats[d] = compact_small_files(
             spark,
-            os.path.join(path, d),
+            sub,
             os.path.join(out_path, d),
             target_bytes=target_bytes,
             cluster_cols=cluster_cols,

@@ -358,13 +358,23 @@ def _run_state_append(
     collide on batch_id+key with different values. A fresh/empty
     state_path may run checkpoint-free (single-run semantics)."""
     if checkpoint is None:
-        import os
-
-        existing = os.path.isdir(state_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(state_path)
-            for f in fs
-        )
+        # Emptiness probe via the Hadoop FileSystem API, not os.walk
+        # (r11 ADVICE): a local-only listing silently reports 'fresh'
+        # for s3://, hdfs://, abfs:// state logs — exactly where
+        # restarts are likeliest — and the batch_id-collision guard
+        # would no-op. Path.getFileSystem resolves whatever scheme the
+        # cluster has configured, so the recursive .parquet scan works
+        # on any filesystem Spark itself can write to.
+        spark = source.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        existing = False
+        if fs.exists(jpath):
+            files = fs.listFiles(jpath, True)
+            while files.hasNext():
+                if files.next().getPath().getName().endswith(".parquet"):
+                    existing = True
+                    break
         if existing:
             raise ValueError(
                 f"state log at {state_path!r} is non-empty: appending "

@@ -373,3 +373,41 @@ def test_compact_partitioned_rejects_flat_dataset(spark, tmp_path):
     load_events(spark, SF_SMOKE).limit(10).write.parquet(flat)
     with pytest.raises(ValueError, match="no hive partition dirs"):
         compact_partitioned(spark, flat, str(tmp_path / "o"))
+
+
+def test_compact_partitioned_rejects_nested_hive_levels(spark, tmp_path):
+    """r11 ADVICE: a multi-level hive tree (date=/hour=) must be
+    rejected, not silently flattened — the per-dir compact would read
+    the inner level via discovery and rewrite its partition column as a
+    data column. The error names the per-leaf recursion fix."""
+    import pytest
+
+    from erathia_market_etl_spark.sources.events import load_events
+    from erathia_market_etl_spark.sources.parquet_io import (
+        compact_partitioned,
+    )
+
+    from pyspark.sql import functions as F
+
+    nested = str(tmp_path / "nested")
+    (
+        load_events(spark, SF_SMOKE)
+        .limit(50)
+        .withColumn("d", F.to_date("ts"))
+        .withColumn("h", F.hour("ts"))
+        .write.partitionBy("d", "h")
+        .parquet(nested)
+    )
+    with pytest.raises(ValueError, match="nested hive dirs"):
+        compact_partitioned(spark, nested, str(tmp_path / "o"))
+    # and the single-level leaf still compacts fine
+    import os
+
+    leaf = next(
+        d for d in sorted(os.listdir(nested))
+        if d.startswith("d=") and os.path.isdir(os.path.join(nested, d))
+    )
+    stats = compact_partitioned(
+        spark, os.path.join(nested, leaf), str(tmp_path / "leaf_out")
+    )
+    assert stats and all(v["n_files_after"] >= 1 for v in stats.values())

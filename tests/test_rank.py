@@ -1,0 +1,101 @@
+"""operators/rank.py — the melted block rank / arithmetic-NTILE kernel
+(r12, the r11 VERDICT's RFM fix).
+
+Semantics pins: the arithmetic NTILE must equal Spark's own
+``F.ntile`` under the same deterministic total order for sizes that
+exercise the uneven-bucket rule AND the n < buckets edge.
+Plan pins: the kernel must contain NO Exchange SinglePartition (the
+whole point), and the consuming ``mart_rfm_segments`` plan must be
+free of both single-partition exchanges and native ntile windows with
+a LINEAR (not exponential) number of scans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from erathia_market_etl_spark.operators.rank import with_ntile, with_ntiles
+from erathia_market_etl_spark.plans.relational import mart_rfm_segments
+
+from .conftest import SF_T2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (150, 4), (151, 4), (153, 4), (97, 7)])
+def test_arithmetic_ntile_matches_native(spark, n, k):
+    # deterministic scrambled values with ties: v = (i*7) % 13
+    base = spark.range(n).select(
+        F.col("id").alias("key"), ((F.col("id") * 7) % 13).alias("v")
+    )
+    got = with_ntile(
+        base, F.col("v"), "key", buckets=k, out_col="q", block_width=3
+    )
+    want = base.withColumn(
+        "q_native", F.ntile(k).over(Window.orderBy(F.desc("v"), "key"))
+    )
+    joined = got.join(want.select("key", "q_native"), "key")
+    mismatches = joined.filter(F.col("q") != F.col("q_native")).count()
+    assert mismatches == 0
+
+
+def test_multi_metric_matches_chained_native(spark):
+    base = spark.range(200).select(
+        F.col("id").alias("key"),
+        ((F.col("id") * 7) % 13).alias("a"),
+        ((F.col("id") * 11) % 5).alias("b"),
+    )
+    got = with_ntiles(
+        base,
+        "key",
+        [("qa", F.col("a"), 2), ("qb", F.col("b"), 100)],
+        buckets=4,
+    )
+    want = base.select(
+        "key",
+        F.ntile(4).over(Window.orderBy(F.desc("a"), "key")).alias("na"),
+        F.ntile(4).over(Window.orderBy(F.desc("b"), "key")).alias("nb"),
+    )
+    joined = got.join(want, "key")
+    bad = joined.filter(
+        (F.col("qa") != F.col("na")) | (F.col("qb") != F.col("nb"))
+    ).count()
+    assert bad == 0
+
+
+def test_kernel_plan_has_no_single_partition_exchange(spark):
+    base = spark.range(100).select(
+        F.col("id").alias("key"), (F.col("id") % 17).alias("v")
+    )
+    plan = _plan(
+        with_ntile(base, F.col("v"), "key", buckets=4, out_col="q",
+                   block_width=4)
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile(" not in plan  # arithmetic, not a native window
+
+
+def test_kernel_rejects_bad_inputs(spark):
+    base = spark.range(10).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="block_width"):
+        with_ntile(base, F.col("key"), "key", buckets=4, out_col="q",
+                   block_width=0)
+    with pytest.raises(ValueError, match="at least one"):
+        with_ntiles(base, "key", [], buckets=4)
+
+
+def test_mart_rfm_plan_is_scale_safe(spark):
+    """The r11 VERDICT weak item's fix, pinned: no single-partition
+    exchange anywhere, no native ntile window, and the upstream
+    aggregate is referenced a LINEAR number of times — the naive
+    chained formulation measured 2^k scans (8 for the 3 metrics); the
+    melt kernel holds it at 3 (df + melted + counts) regardless of
+    metric count."""
+    plan = _plan(mart_rfm_segments(spark, SF_T2))
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile(" not in plan
+    assert plan.count("FileScan") <= 3

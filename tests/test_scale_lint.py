@@ -205,3 +205,161 @@ def test_no_unbounded_driver_collects_in_package():
                 if ".limit(" not in window:
                     offenders.append(f"{p.name}:{i+1} unbounded collect")
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# R6 (r12, VERDICT r11 item 2): grain-aware single-partition order.
+# R2 blesses ANY SinglePartition exchange whose scans are aggregated —
+# but an aggregate's grain can itself scale with the data (customers,
+# documents, users), and a global Sort/Window over such a grain is one
+# task sorting billions of rows at 100 TB (the r11 mart_rfm_segments
+# finding: three NTILE(4) global windows over the customer grain).
+# R6 closes that hole: every Exchange SinglePartition whose parent
+# chain is a Sort or Window NODE (exact node-name match — a global
+# SortAggregate is a 1-row reduction, not a sort) must carry a
+# justification below naming the BOUNDED grain that rides it, keyed by
+# a regex on the site's ancestor text so the justification pins the
+# SPECIFIC sort/window columns, not the query wholesale: a regressed
+# query that re-grows a data-scaling global sort fails even though its
+# name is in the table (the pre-fix RFM shape is the pinned true
+# positive in test_r6_catches_data_scaling_grain_ntile).
+# ---------------------------------------------------------------------------
+
+
+def _node_name(line: str) -> str:
+    """Physical-plan node name of a line: strip the tree-drawing prefix
+    and the WholeStageCodegen '*(n) ' marker, take the leading
+    identifier. 'SortAggregate' stays distinct from 'Sort'."""
+    import re
+
+    s = re.sub(r"^\*\(\d+\) ", "", line.strip().lstrip(" :+-"))
+    m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s)
+    return m.group(0) if m else ""
+
+
+def _single_partition_order_sites(plan: str) -> list[str]:
+    """One ancestor-chain string per Exchange SinglePartition whose
+    nearest two ancestors include a Sort or Window node — i.e. the
+    data actually gets globally ORDERED in one task, not just reduced
+    (global partial+final aggregates are R2's business)."""
+    lines = plan.splitlines()
+    sites: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d0 = _node_depth(ln)
+        ancestors: list[str] = []
+        dd = d0
+        for j in range(i - 1, -1, -1):
+            dj = _node_depth(lines[j])
+            if dj < dd:
+                ancestors.append(lines[j].strip())
+                dd = dj
+            if len(ancestors) >= 2:
+                break
+        if any(_node_name(a) in ("Sort", "Window") for a in ancestors):
+            sites.append(" || ".join(ancestors))
+    return sites
+
+
+# query -> [(site regex, bounded-grain justification)]. A flagged site
+# must match one of its query's regexes; queries absent from the table
+# may not have ANY Sort/Window-fed SinglePartition exchange.
+R6_BOUNDED_GRAIN: dict[str, list[tuple[str, str]]] = {
+    "agg_freq_items": [(
+        r"sum\(cnt#\d+L\) windowspecdefinition\(specifiedwindowframe",
+        "global total over the distinct-(type,value) COUNT table — "
+        "grain = distinct value domain, bounded (SURVEY freq-items "
+        "support threshold makes the value table tiny by definition)",
+    )],
+    "histogram_equi_depth": [(
+        r"Sort \[v#\d+L ASC",
+        "cumulative below-offsets over the distinct-quantity count "
+        "table — <= 50 distinct values in this domain; the kernel's "
+        "docstring carries the near-unique-domain escape hatch",
+    )],
+    # mart_rfm_segments is deliberately ABSENT: the r12 fix (the melted
+    # block rank decomposition, operators/rank.py) removed every
+    # SinglePartition exchange from its plan — per-metric offset windows
+    # partition by metric id. Any R6 site reappearing there fails with
+    # no allowlist to hide behind (test_r6_catches_data_scaling_grain_
+    # ntile pins the pre-fix shape as the detector's true positive).
+    "pack_context_windows": [(
+        r"Sort \[blk#\d+L ASC",
+        "hierarchical running-sum block offsets — block grain is "
+        "corpus_size/block_rows, fixed fan-in per level",
+    )],
+    "sample_quota_allocation": [(
+        r"Sort \[rem#\d+L DESC NULLS LAST, source#\d+ ASC",
+        "Hamilton largest-remainder ordering over the SOURCE grain — "
+        "one row per corpus source, a config-sized set",
+    )],
+    "sample_systematic_interval": [(
+        r"Sort \[bkt#\d+L ASC",
+        "cumulative offsets over the hash-BUCKET count table — bucket "
+        "count is a constant of the sampler, not the data",
+    )],
+    "text_length_trim": [(
+        r"Sort \[n_chars#\d+L ASC",
+        "cumulative below-offsets over the distinct-length count "
+        "table — lengths are domain-bounded (docs cap out; the r4 "
+        "VERDICT #1 decomposition)",
+    )],
+    "ts_cusum_changepoints": [(
+        r"Sort \[day#\d+ ASC",
+        "CUSUM running sum over the per-DAY deviation table — "
+        "calendar grain, bounded by the date span",
+    )],
+}
+
+
+def test_r6_single_partition_order_on_bounded_grain(plans):
+    import re
+
+    bad: list[str] = []
+    for name, plan in plans.items():
+        sites = _single_partition_order_sites(plan)
+        if not sites:
+            continue
+        allowed = R6_BOUNDED_GRAIN.get(name, [])
+        for site in sites:
+            if not any(re.search(rx, site) for rx, _ in allowed):
+                bad.append(f"{name}: {site[:160]}")
+    assert not bad, (
+        "Sort/Window-fed SinglePartition exchange with no bounded-grain "
+        f"justification (R6_BOUNDED_GRAIN): {bad}"
+    )
+
+
+def test_r6_catches_data_scaling_grain_ntile(spark):
+    """The lint's own pin: the PRE-r12 mart_rfm_segments shape — an
+    NTILE(4) global-order window directly over a customer-grain
+    aggregate — must be flagged by the site detector, and
+    mart_rfm_segments must have NO allowlist entry (the r12 fix removed
+    every SinglePartition exchange from its plan, so a regression to
+    the global-sort shape fails R6 outright). R2 sanctions this plan
+    (the scan is aggregated); R6 exists precisely for it."""
+    from pyspark.sql import Window
+
+    rfm = (
+        spark.read.parquet(f"{SF_T2}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    prefix = rfm.withColumn(
+        "r_q",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")),
+    )
+    plan = _plan(prefix)
+    sites = _single_partition_order_sites(plan)
+    assert sites, "pre-fix RFM shape must produce an R6 site"
+    assert "mart_rfm_segments" not in R6_BOUNDED_GRAIN, (
+        "the fixed RFM plan has no single-partition sites; do not "
+        "re-add a blanket allowlist entry for it"
+    )
+    # and a SortAggregate-parented exchange stays exempt (node-name
+    # match, not substring — the profile_fact_columns false positive)
+    assert _node_name("+- SortAggregate(key=[], functions=[first(x)])") == (
+        "SortAggregate"
+    )
+    assert _node_name("*(3) Sort [v#67L ASC NULLS FIRST], false, 0") == "Sort"

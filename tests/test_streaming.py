@@ -616,3 +616,31 @@ def test_streaming_kmv_append_merges_to_batch_state(spark, staged_dir, tmp_path)
     )
     retried = sorted(r["h"] for r in read_kmv_state(spark, state_path).collect())
     assert retried == want
+
+
+def test_checkpointless_append_to_nonempty_state_raises(spark, staged_dir, tmp_path):
+    """The r10-ADVICE guard, pinned directly (r12): a checkpoint-free
+    run over an already-populated state log must refuse — two
+    independent checkpoint-free runs both number batches from 0, and
+    the (batch_id, key) dedup would keep an arbitrary row on collision.
+    The emptiness probe goes through the Hadoop FileSystem API (r11
+    ADVICE: an os.walk listing silently reported 'fresh' for any
+    non-local scheme), so this also exercises the JVM-side listing on
+    the local scheme it resolves here."""
+    import datetime
+
+    from erathia_market_etl_spark.streaming.event_stream import (
+        streaming_rollup_append,
+    )
+
+    d = datetime.datetime(2024, 1, 1, 1)
+    _write_batch_file(spark, [(1, d, 1, "a", 10.0)],
+                      f"{staged_dir}/b0.parquet", 1_000_000)
+    state_path = str(tmp_path / "guard_state")
+    # first checkpoint-free run over a FRESH path: allowed
+    batches = streaming_rollup_append(_read_stream(spark, staged_dir),
+                                      state_path)
+    assert batches == [0]
+    # second checkpoint-free run over the now-populated log: refused
+    with pytest.raises(ValueError, match="non-empty"):
+        streaming_rollup_append(_read_stream(spark, staged_dir), state_path)

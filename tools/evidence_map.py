@@ -51,13 +51,17 @@ def collect_evidence(root: Path) -> dict[str, dict]:
     out: dict[str, dict] = {}
 
     def _update(name: str, rnd: int, source: str, sf: str) -> None:
+        # track (source, sf) PAIRS (r11 ADVICE): a round with a
+        # CORRECTNESS row (always sf0.01) plus a LOCALCHECK sf0.1 row
+        # must not report source=CORRECTNESS for both SFs — sfs is a
+        # {sf: source} dict, CORRECTNESS outranking LOCALCHECK only
+        # for the SAME sf.
         cur = out.get(name)
         if cur is None or rnd > cur["round"]:
-            out[name] = {"round": rnd, "source": source, "sfs": {sf}}
+            out[name] = {"round": rnd, "sfs": {sf: source}}
         elif rnd == cur["round"]:
-            cur["sfs"].add(sf)
-            if source == "CORRECTNESS":  # driver row outranks local twin
-                cur["source"] = source
+            if source == "CORRECTNESS" or sf not in cur["sfs"]:
+                cur["sfs"][sf] = source
 
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
@@ -108,20 +112,21 @@ def main() -> None:
         "ships; `newest green` is the latest round with a full "
         "rows+schema+hash green row in ANY artifact.",
         "",
-        "| query | set | newest green | source | SFs |",
-        "|---|---|---|---|---|",
+        "| query | set | newest green | evidence (per SF) |",
+        "|---|---|---|---|",
     ]
     missing = []
     for name in sorted(sets):
         ev = evidence.get(name)
         if ev is None:
             missing.append(name)
-            lines.append(f"| {name} | {sets[name]} | — | — | — |")
+            lines.append(f"| {name} | {sets[name]} | — | — |")
             continue
-        sfs = ", ".join(sorted(ev["sfs"]))
+        sfs = ", ".join(
+            f"{sf} ({src})" for sf, src in sorted(ev["sfs"].items())
+        )
         lines.append(
-            f"| {name} | {sets[name]} | r{ev['round']} "
-            f"| {ev['source']} | {sfs} |"
+            f"| {name} | {sets[name]} | r{ev['round']} | {sfs} |"
         )
     with_evidence = [n for n in sets if n in evidence]
     newest = max((e["round"] for e in evidence.values()), default=0)
