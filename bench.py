@@ -106,6 +106,13 @@ TIER2 = [
     "graph_pagerank_influence",
     "scd2_user_tier_history",
     "stream_rollup_maintenance",  # special-cased runner below
+    # r12 (VERDICT r11 item 4): one multimodal representative (the
+    # Arrow/mapInPandas decode+feature path) and one sketch
+    # representative (mergeable HLL register algebra) so the
+    # level-meter spans every shipped family; first numbers r12, join
+    # the frozen tier-2 bar at the next freeze.
+    "media_feature_extract",
+    "agg_hll_registers",
 ]
 
 
@@ -148,10 +155,15 @@ def _tier2_queries():
             shutil.rmtree(work, ignore_errors=True)
         return spark.range(n)
 
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        agg_hll_registers,
+    )
+
     return {
         "graph_pagerank_influence": graph_pagerank_influence,
         "scd2_user_tier_history": scd2_user_tier_history,
         "stream_rollup_maintenance": stream_rollup_maintenance,
+        "agg_hll_registers": agg_hll_registers,
     }
 
 
@@ -288,6 +300,29 @@ def main() -> None:
         "queries_tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
     }
+
+    # tier-2 vs the frozen r11 tier-2 bar (BASELINE_TIER2.json, r12 —
+    # VERDICT r11 item 4); ratios only over queries the bar has frozen,
+    # so the r12 additions report raw numbers until the next freeze
+    tier2_baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_TIER2.json"
+    )
+    if os.path.exists(tier2_baseline_path):
+        with open(tier2_baseline_path) as f:
+            t2_base = json.load(f)
+        if t2_base.get("sf") == sf:
+            base_q = t2_base.get("queries", {})
+            out["tier2_vs_baseline"] = {
+                name: round(t / base_q[name], 3)
+                for name, t in tier2.items()
+                if base_q.get(name)
+            }
+            shared = [n for n in tier2 if base_q.get(n)]
+            if shared:
+                out["tier2_vs_baseline_total"] = round(
+                    sum(tier2[n] for n in shared)
+                    / sum(base_q[n] for n in shared), 3
+                )
 
     # per-query ratio vs the frozen round-1 baseline (BASELINE_BENCH.json,
     # VERDICT r1 #7) — only meaningful at the baseline's scale factor

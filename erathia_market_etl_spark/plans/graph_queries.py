@@ -8,8 +8,11 @@ pretraining pipelines weight or gate documents by it). The connected-
 component kernels used by the dedup queries live in
 ``operators/graph.py``; this module adds the power-iteration side.
 
-UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing
-policy): oracle runs through the driver's own compare in
+``graph_pagerank_influence`` is REGISTERED since r12 (VERDICT r11
+item 5: driver attestation rotated onto the strongest local-only
+heads; one-in-one-out paid by retiring setop_intersect_all_bag). The
+triangle/k-core queries stay local-only per the COVERAGE.md standing
+policy: oracle runs through the driver's own compare in
 ``tests/test_oracle_parity.py::test_queued_queries_match``.
 """
 
@@ -20,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import PAGERANK_SCALE, pagerank_fixed_point
 from ..sources.parquet_io import load_table
+from .registry import query
 
 PAGERANK_ITERS = 3
 
@@ -75,6 +79,7 @@ GRAPH_PAGERANK_INFLUENCE_ORACLE = (
 ).format(scale=PAGERANK_SCALE, last=PAGERANK_ITERS)
 
 
+@query("graph_pagerank_influence", oracle=GRAPH_PAGERANK_INFLUENCE_ORACLE)
 def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the symmetrized customer–supplier
     interaction graph (an edge per distinct customer/supplier pair that

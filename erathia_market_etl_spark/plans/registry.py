@@ -47,6 +47,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         dedup_queries,
         event_windows,
+        graph_queries,
         multimodal_queries,
         relational,
         sampling_queries,

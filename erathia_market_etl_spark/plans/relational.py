@@ -1042,16 +1042,22 @@ def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "setop_intersect_all_bag",
-    oracle="""
+# Driver slot retired r12 (one-in-one-out: paid for the
+# graph_pagerank_influence registration — VERDICT r11 item 5).
+# Strict-subset rationale: the plan is setop_except_all_bag's with the
+# set operator swapped (same scan/agg/exchange inventory); the staying
+# sibling keeps the bag-semantics shape driver-green. The oracle still
+# runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SETOP_INTERSECT_ALL_BAG_ORACLE = """
     SELECT nationkey, COUNT(*) AS n FROM (
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT ALL
         SELECT s_nationkey AS nationkey FROM supplier
     ) GROUP BY nationkey ORDER BY nationkey
-    """,
-)
+    """
+
+
 def setop_intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL keeps min(multiplicity_left, multiplicity_right)
     copies per value — intersectAll."""
@@ -1105,9 +1111,14 @@ def scalar_date_smart_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@query(
-    "scalar_string_kit",
-    oracle="""
+# Driver slot retired r12 (one-in-one-out: paid for the
+# funnel_ordered_conversion registration — VERDICT r11 item 5).
+# Strict-subset rationale: every scalar it exercises (UPPER/SUBSTR/
+# LENGTH/CONCAT/CASE banding) also runs driver-green inside
+# scalar_string_extended and q1's flag derivation. The oracle still
+# runs through the driver's own compare in
+# tests/test_oracle_parity.py::test_retired_queries_still_match.
+SCALAR_STRING_KIT_ORACLE = """
     SELECT c_custkey,
            UPPER(c_name) AS name_upper,
            SUBSTR(c_name, 1, 8) AS name_prefix,
@@ -1118,8 +1129,9 @@ def scalar_date_smart_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'vip' END AS balance_band
     FROM customer
     ORDER BY c_custkey
-    """,
-)
+    """
+
+
 def scalar_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6-F9: string concat, casing, substring, length, multi-branch
     CASE WHEN banding."""

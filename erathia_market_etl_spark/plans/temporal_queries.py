@@ -104,8 +104,9 @@ def range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # funnel_ordered_conversion: strictly-ordered multi-stage funnel.
-# UNREGISTERED (r9 — local-only per the COVERAGE.md standing policy;
-# driver-style evidence via LOCALCHECK).
+# REGISTERED r12 (VERDICT r11 item 5: driver attestation rotated onto
+# the strongest local-only heads; one-in-one-out paid by retiring
+# scalar_string_kit).
 # ---------------------------------------------------------------------------
 
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -163,6 +164,7 @@ FUNNEL_ORDERED_CONVERSION_ORACLE = f"""
     """
 
 
+@query("funnel_ordered_conversion", oracle=FUNNEL_ORDERED_CONVERSION_ORACLE)
 def funnel_ordered_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered conversion funnel view -> click -> purchase:
     a user advances to stage k+1 only with an event of that type

@@ -60,6 +60,11 @@ _RETIRED = [
     "topk_parts_by_revenue",
     "dedup_lsh_bucket_stats",
     "media_resize_passthrough",
+    # r12 retired (one-in-one-out: paid for graph_pagerank_influence +
+    # funnel_ordered_conversion — VERDICT r11 item 5); strict-subset
+    # rationales at the definition sites in plans/relational.py
+    "setop_intersect_all_bag",
+    "scalar_string_kit",
 ]
 
 
@@ -137,10 +142,8 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.graph_queries import (
         BASKET_PAIR_LIFT_ORACLE,
-        GRAPH_PAGERANK_INFLUENCE_ORACLE,
         GRAPH_TRIANGLE_COHESION_ORACLE,
         basket_pair_lift,
-        graph_pagerank_influence,
         graph_triangle_cohesion,
     )
     from erathia_market_etl_spark.plans.sketch_queries import (
@@ -148,10 +151,6 @@ def _queued():
         AGG_HLL_REGISTERS_ORACLE,
         agg_cms_frequencies,
         agg_hll_registers,
-    )
-    from erathia_market_etl_spark.plans.temporal_queries import (
-        FUNNEL_ORDERED_CONVERSION_ORACLE,
-        funnel_ordered_conversion,
     )
     from erathia_market_etl_spark.plans.profile_queries import (
         AGG_MAD_ROBUST_ORACLE,
@@ -229,11 +228,6 @@ def _queued():
         "scd2_user_tier_history": (
             scd2_user_tier_history, SCD2_USER_TIER_HISTORY_ORACLE,
         ),
-        # r8-implemented graph-centrality surface: integer fixed-point
-        # PageRank vs a DuckDB unrolled-CTE power iteration, hash-exact
-        "graph_pagerank_influence": (
-            graph_pagerank_influence, GRAPH_PAGERANK_INFLUENCE_ORACLE,
-        ),
         # r9-implemented triangle counting: degree-oriented wedge
         # enumeration vs a plain id-orientation DuckDB closure —
         # triangle totals are orientation-independent, so hash-exact
@@ -254,12 +248,8 @@ def _queued():
         "agg_cms_frequencies": (
             agg_cms_frequencies, AGG_CMS_FREQUENCIES_ORACLE,
         ),
-        # r9-implemented product-analytics pair: strictly-ordered
-        # windowed funnel + daily cohort-retention grid, both
-        # integer/date-exact
-        "funnel_ordered_conversion": (
-            funnel_ordered_conversion, FUNNEL_ORDERED_CONVERSION_ORACLE,
-        ),
+        # r9-implemented daily cohort-retention grid, integer/date-
+        # exact (its funnel sibling graduated to a driver slot r12)
         "cohort_daily_retention": (
             cohort_daily_retention, COHORT_DAILY_RETENTION_ORACLE,
         ),
@@ -585,13 +575,17 @@ def _retired():
     )
     from erathia_market_etl_spark.plans.relational import (
         DISTINCT_ROWS_ORACLE,
+        SCALAR_STRING_KIT_ORACLE,
         SETOP_EXCEPT_ORACLE,
+        SETOP_INTERSECT_ALL_BAG_ORACLE,
         SETOP_INTERSECT_ORACLE,
         SETOP_UNION_DISTINCT_ORACLE,
         TOPK_PARTS_ORACLE,
         dedup_distinct_rows,
+        scalar_string_kit,
         setop_except,
         setop_intersect,
+        setop_intersect_all_bag,
         setop_union_distinct,
         topk_parts_by_revenue,
     )
@@ -624,6 +618,10 @@ def _retired():
         "media_resize_passthrough": (
             media_resize_passthrough, MEDIA_RESIZE_PASSTHROUGH_ORACLE,
         ),
+        "setop_intersect_all_bag": (
+            setop_intersect_all_bag, SETOP_INTERSECT_ALL_BAG_ORACLE,
+        ),
+        "scalar_string_kit": (scalar_string_kit, SCALAR_STRING_KIT_ORACLE),
     }
 
 
