@@ -434,3 +434,108 @@ def graph_kcore_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("core_degree"), "node_type", "entity_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_influence: two-round integer HITS (hubs & authorities)
+# over the DIRECTED customer->supplier trading graph. UNREGISTERED
+# (r12 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2  # the contract: round-2 accounting state, not the fixpoint
+
+GRAPH_HITS_INFLUENCE_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s),
+    h1 AS (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 ON e.s = a1.s GROUP BY e.c
+    ),
+    a2 AS (
+        SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 ON e.c = h1.c GROUP BY e.s
+    ),
+    degs AS (
+        SELECT c AS k, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY c
+    )
+    SELECT node_type, entity_key, degree, score FROM (
+        SELECT 'customer' AS node_type, h1.c AS entity_key,
+               degs.deg AS degree, h1.h AS score
+        FROM h1 JOIN degs ON h1.c = degs.k
+        UNION ALL
+        SELECT 'supplier', a2.s, a1.a, a2.a
+        FROM a2 JOIN a1 ON a2.s = a1.s
+    ) ORDER BY score DESC, node_type, entity_key
+    """
+
+
+def graph_hits_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED customer->supplier
+    trading graph (an edge per distinct pair that ever traded) — the
+    other classic link-analysis centrality next to PageRank, and the
+    natural one for BIPARTITE interaction data: hubs (customers) are
+    scored by the authority of the suppliers they buy from,
+    authorities (suppliers) by the hub mass of their buyers. Two
+    ALTERNATING half-rounds from h0 = 1, all-integer and unnormalized:
+
+        a1(s) = in-degree of s            (sum of h0 over buyers)
+        h1(c) = sum of a1 over c's suppliers   -> the hub score
+        a2(s) = sum of h1 over s's buyers      -> the authority score
+
+    ROUNDS=2 IS THE CONTRACT (the pagerank ROUNDS=3 precedent): exact
+    integer sums, no normalization, so the DuckDB unrolled-CTE twin is
+    hash-exact and the ordering equals normalized HITS' round-2
+    ordering (normalization is a positive scalar per half-round).
+    Output: one row per active node — customers carry (out-degree,
+    h1), suppliers (in-degree = a1, a2) — ordered by score under a
+    deterministic tiebreak.
+
+    Scale shape: the distinct-pair base is one exchange; each
+    half-round is one key-hashed join (the node-sized score table onto
+    the edge list) followed by a map-side-combinable SUM — the same
+    per-round cost envelope as the PageRank kernel, alternating
+    between the two key spaces instead of re-keying one. No window, no
+    single partition, no floats. Unlike pagerank_fixed_point the
+    2-round chain is shallow enough that no checkpoint is needed.
+    Scores stay within int64 for any graph with < 2^31 edges per
+    authority neighborhood (a1 <= in-degree, h1 <= sum of neighbor
+    in-degrees <= E, a2 <= E^2/node — at web scale the standard move
+    is per-round max-normalization, the documented upgrade path)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        e.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a2"))
+    )
+    degs = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hubs = h1.join(degs, "c").select(
+        F.lit("customer").alias("node_type"),
+        F.col("c").alias("entity_key"),
+        F.col("deg").alias("degree"),
+        F.col("h").alias("score"),
+    )
+    auths = a2.join(a1, "s").select(
+        F.lit("supplier").alias("node_type"),
+        F.col("s").alias("entity_key"),
+        F.col("a").alias("degree"),
+        F.col("a2").alias("score"),
+    )
+    return hubs.unionByName(auths).orderBy(
+        F.desc("score"), "node_type", "entity_key"
+    )

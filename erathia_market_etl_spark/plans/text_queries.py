@@ -2441,3 +2441,91 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_host")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_hapax_profile: per-source vocabulary richness profile.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+TEXT_VOCAB_HAPAX_PROFILE_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(LOWER(text), ' ')) AS token
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok WHERE token <> '' GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(MAX(cnt) AS BIGINT) AS top_type_count,
+           CAST(COUNT(*) * 1000000 // SUM(cnt) AS BIGINT) AS ttr_ppm,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_share_ppm
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def text_vocab_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source VOCABULARY RICHNESS profile: token total, distinct
+    type count, hapax-legomena count (types occurring exactly once in
+    the source), the heaviest type's count, and the two classic
+    corpus-quality ratios — type/token ratio and hapax share — as
+    exact integer ppm (DIV on both engines, never a float division).
+    These are the first diagnostics a data team reads per crawl
+    source: machine-generated or boilerplate-heavy sources show
+    depressed TTR and hapax share, OCR/noisy sources inflate both —
+    the standard screen BEFORE tokenizer training (hapax mass directly
+    drives BPE merge-table waste).
+
+    Scale shape: explode tokens (narrow, after a text-column-only
+    projection) -> (source, token) counts with map-side partial
+    aggregation (the exchange carries one row per distinct type per
+    task, not per occurrence) -> per-source rollup of the type table
+    (a second, much smaller exchange on source). No window, no single
+    partition; both aggregates are classic combinable shapes. At
+    100 TB the (source, token) table is the dominant shuffle — the
+    same cost envelope as the text_token_frequencies vocabulary
+    count, keyed finer."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    from ..sources.parquet_io import fan_out
+
+    tc = (
+        fan_out(docs)
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long").alias("n_hapax"),
+            F.max("cnt").cast("long").alias("top_type_count"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "top_type_count",
+            F.expr("n_types * 1000000 DIV n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 DIV n_types").alias(
+                "hapax_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -142,8 +142,10 @@ def _queued():
     )
     from erathia_market_etl_spark.plans.graph_queries import (
         BASKET_PAIR_LIFT_ORACLE,
+        GRAPH_HITS_INFLUENCE_ORACLE,
         GRAPH_TRIANGLE_COHESION_ORACLE,
         basket_pair_lift,
+        graph_hits_influence,
         graph_triangle_cohesion,
     )
     from erathia_market_etl_spark.plans.sketch_queries import (
@@ -233,6 +235,13 @@ def _queued():
         # triangle totals are orientation-independent, so hash-exact
         "graph_triangle_cohesion": (
             graph_triangle_cohesion, GRAPH_TRIANGLE_COHESION_ORACLE,
+        ),
+        # r12-implemented HITS hubs/authorities: two alternating
+        # integer half-rounds over the directed bipartite trading
+        # graph vs a DuckDB unrolled-CTE twin, hash-exact (ROUNDS=2
+        # contract, the pagerank precedent)
+        "graph_hits_influence": (
+            graph_hits_influence, GRAPH_HITS_INFLUENCE_ORACLE,
         ),
         # r9-implemented market-basket association mining: support +
         # exact-ppm lift over the same bounded per-order pair expansion
@@ -438,6 +447,12 @@ def _queued():
         "text_url_canonicalize": (
             _tq().text_url_canonicalize,
             _tq().TEXT_URL_CANONICALIZE_ORACLE,
+        ),
+        # r12-implemented per-source vocabulary richness profile:
+        # type/token + hapax counts with exact integer-ppm ratios
+        "text_vocab_hapax_profile": (
+            _tq().text_vocab_hapax_profile,
+            _tq().TEXT_VOCAB_HAPAX_PROFILE_ORACLE,
         ),
         # r11-implemented k-minimum-values distinct sketch: the Spark
         # 'all' row MERGES the per-type sketches while the oracle

@@ -820,3 +820,34 @@ def test_url_canonicalize_collapses_planted_variants(spark):
     # sf0.001 (25 docs/source), so every host collapsed >1 raw variant
     assert all(r["n_raw_variants"] > 1 for r in rows)
     assert all(r["n_docs"] > 0 and r["total_chars"] > 0 for r in rows)
+
+
+def test_vocab_hapax_profile_planted(spark, tmp_path):
+    """text_vocab_hapax_profile semantic pin on a planted corpus:
+    srcA = 'a a b c' + 'a d' -> tokens 6, types {a,b,c,d} = 4,
+    hapax {b,c,d} = 3, top count a=3, ttr = 4e6 DIV 6 = 666666,
+    hapax share = 3e6 DIV 4 = 750000. srcB is all-same-token (the
+    degenerate boilerplate case: 1 type, 0 hapax, ttr floors at
+    1e6 DIV n). Case folding and empty-token drop are exercised
+    ('A  a' double space)."""
+    import os
+
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_vocab_hapax_profile,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [
+            (1, "srcA", "A a b c"),
+            (2, "srcA", "a  d"),
+            (3, "srcB", "x x x x x"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = [tuple(r) for r in text_vocab_hapax_profile(spark, sf).collect()]
+    assert rows == [
+        ("srcA", 6, 4, 3, 3, 666666, 750000),
+        ("srcB", 5, 1, 0, 5, 200000, 0),
+    ]
