@@ -80,6 +80,36 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the per-query signature recompute."""
     return candidate_pairs_from_bands(shared_minhash_bands(spark, sf_dir))
 
+
+_SHARED_COMPONENTS: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over ``shared_minhash_pairs`` —
+    memoized like the band table (r12): the kernel-escalating
+    component iterations execute EAGERLY (checkpointed rounds) while
+    the consuming plan is constructed, and three consumers
+    (dedup_cluster_components, dedup_corpus_representatives,
+    sample_leakage_safe_splits) cluster the SAME full candidate-pair
+    set — one label computation per session serves all three. The
+    labels frame is checkpoint-backed by the kernel itself, so no
+    extra persist is needed; determinism (min-label fixpoint) makes
+    the share value-invisible. pipeline_training_funnel deliberately
+    does NOT share it: its components run on the gate-induced
+    subgraph, a different edge set."""
+    from ..operators.graph import connected_components_auto
+
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    comp = _SHARED_COMPONENTS.get(key)
+    if comp is None:
+        comp = connected_components_auto(
+            shared_minhash_pairs(spark, sf_dir), "doc_a", "doc_b"
+        )
+        _SHARED_COMPONENTS[key] = comp
+    return comp
+
 # shared SQL fragments for the oracle twins ---------------------------------
 
 _SHINGLES_CTE = """
@@ -414,11 +444,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a filter on doc_id == component_id. Oracle computes the same
     fixpoint with a recursive CTE (transitive closure + per-vertex
     min); labels are kernel-independent, so the oracle is unchanged."""
-    from ..operators.graph import connected_components_auto
-
-    pairs = shared_minhash_pairs(spark, sf_dir)
     return (
-        connected_components_auto(pairs, "doc_a", "doc_b")
+        shared_pair_components(spark, sf_dir)
         .select(F.col("v").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
@@ -461,12 +488,9 @@ def dedup_corpus_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     most of the data) the non-representative side is NOT small, so a
     broadcast hint would be a scale bug; SMJ shuffles only 8-byte keys
     plus the projected columns, never text payloads."""
-    from ..operators.graph import connected_components_auto
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shared_minhash_pairs(spark, sf_dir)
     non_reps = (
-        connected_components_auto(pairs, "doc_a", "doc_b")
+        shared_pair_components(spark, sf_dir)
         .filter(F.col("v") != F.col("component_id"))
         .select(F.col("v").alias("doc_id"))
     )

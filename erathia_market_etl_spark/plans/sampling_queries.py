@@ -654,12 +654,10 @@ def sample_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sampling.py: every candidate pair lands in ONE split,
     and the fixture contains pairs whose doc-id buckets straddle a cut
     — the naive split provably leaks where this one does not."""
-    from ..operators.graph import connected_components_auto
-    from .dedup_queries import shared_minhash_pairs
+    from .dedup_queries import shared_pair_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shared_minhash_pairs(spark, sf_dir)
-    comp = connected_components_auto(pairs, "doc_a", "doc_b").select(
+    comp = shared_pair_components(spark, sf_dir).select(
         F.col("v").alias("doc_id"), F.col("component_id").alias("gid")
     )
     gid = F.coalesce(F.col("gid"), F.col("doc_id"))

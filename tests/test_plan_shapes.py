@@ -761,3 +761,14 @@ def test_shared_minhash_band_stage_is_cached_and_live_capped(spark):
     )
     shared = sorted(map(tuple, shared_minhash_pairs(spark, SF_T2).collect()))
     assert fresh == shared
+
+    # and the component labels over those pairs are memoized the same
+    # way (r12: the eager checkpointed iterations run once per session
+    # for the three full-pair-set consumers)
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        shared_pair_components,
+    )
+
+    c1 = shared_pair_components(spark, SF_T2)
+    c2 = shared_pair_components(spark, SF_T2)
+    assert c1 is c2
