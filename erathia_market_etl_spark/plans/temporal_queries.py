@@ -365,3 +365,81 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95_cents").alias("p95_sec"),
         F.col("max_cents").alias("max_sec"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# asof_nearest_purchase: bidirectional nearest-event join. UNREGISTERED
+# (r12 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+NEAREST_GAP_SECONDS = 7 * 86400
+
+ASOF_NEAREST_PURCHASE_ORACLE = f"""
+    WITH {_PURCHASES_CTE},
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT c.event_id, p.event_id AS m_id, p.ts AS m_ts,
+               p.value AS m_value,
+               CAST(epoch_us(p.ts) // 1000000
+                    - epoch_us(c.ts) // 1000000 AS BIGINT) AS dt
+        FROM c JOIN purchases p ON c.user_id = p.user_id
+         AND p.ts >= c.ts - INTERVAL {NEAREST_GAP_SECONDS + 1} SECOND
+         AND p.ts <= c.ts + INTERVAL {NEAREST_GAP_SECONDS + 1} SECOND
+    ),
+    best AS (
+        SELECT event_id, m_id, m_ts, m_value, dt FROM (
+            SELECT cand.*,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_id
+                       ORDER BY ABS(dt), dt,
+                                CASE WHEN dt <= 0 THEN -epoch_us(m_ts)
+                                     ELSE epoch_us(m_ts) END
+                   ) AS rn
+            FROM cand WHERE ABS(dt) <= {NEAREST_GAP_SECONDS}
+        ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           best.m_ts AS ts_matched,
+           best.m_id AS event_id_matched,
+           best.m_value AS value_matched,
+           best.dt AS dt_seconds
+    FROM c LEFT JOIN best ON c.event_id = best.event_id
+    ORDER BY c.event_id
+    """
+
+
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: every click gets the user's NEAREST
+    purchase within a ±7-day bound — backward or forward by floored
+    whole-second gap, ties to the earlier side (left outer; dt_seconds
+    signed, <= 0 backward). The attribution shape behind refund
+    matching, promo-effect windows, and 'purchase influenced by this
+    click?' joins, where plain backward as-of misses the
+    purchase-then-click ordering half.
+
+    Spark side: ``nearest_event_join`` — tagged union, ONE user_id
+    shuffle, two window passes over the same sort (backward last /
+    forward first), never a range-candidate expansion. The oracle
+    ranks ALL bounded candidates by (|dt|, dt, raw-ts direction) —
+    equality with the two-candidate window formulation is the flooring
+    monotonicity argument in the operator docstring, and the fixture's
+    sub-second timestamps make the floored-gap ties genuinely occur
+    (both engines resolve them identically by construction)."""
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = _dedup_purchases(events)
+    from ..operators.temporal import nearest_event_join
+
+    return nearest_event_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        right_cols=["event_id", "value"],
+        max_gap_seconds=NEAREST_GAP_SECONDS,
+    ).orderBy("event_id")

@@ -360,3 +360,36 @@ def test_time_to_convert_planted_latencies(spark, tmp_path):
     assert r["p50_sec"] == 60    # rank ceil(50*3/100)=2 -> 60
     assert r["p95_sec"] == 600   # rank ceil(95*3/100)=3 -> 600
     assert r["max_sec"] == 600
+
+
+def test_nearest_purchase_planted_directions_ties_and_bounds(spark, tmp_path):
+    """asof_nearest_purchase semantic pin on planted users:
+
+      u1: click at t=100, purchases at t=40 (back 60s) and t=130
+          (fwd 30s) -> FORWARD wins (30 < 60), dt=+30.
+      u2: click at t=100, purchases at t=80 and t=120 (both 20s)
+          -> TIE goes BACKWARD, dt=-20.
+      u3: click at t=100, only purchase 8 days away -> out of the
+          7-day bound, left-outer NULL match.
+      u4: purchase exactly at the click timestamp -> backward side,
+          dt=0 (the >=-semantics inherited from asof_join)."""
+    from erathia_market_etl_spark.plans.temporal_queries import (
+        asof_nearest_purchase,
+    )
+
+    rows = [
+        (1, "click", 100), (1, "purchase", 40), (1, "purchase", 130),
+        (2, "click", 100), (2, "purchase", 80), (2, "purchase", 120),
+        (3, "click", 100), (3, "purchase", 100 + 8 * 86400),
+        (4, "click", 100), (4, "purchase", 100),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["event_id_matched"], r["dt_seconds"])
+        for r in asof_nearest_purchase(spark, sf).collect()
+    }
+    # event ids are enumeration order in _write_events
+    assert got[1] == (2, 30)        # forward wins
+    assert got[2] == (4, -20)       # tie -> backward
+    assert got[3] == (None, None)   # out of bound
+    assert got[4] == (9, 0)         # same-instant -> backward dt=0

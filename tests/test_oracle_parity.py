@@ -454,6 +454,13 @@ def _queued():
             _tq().text_vocab_hapax_profile,
             _tq().TEXT_VOCAB_HAPAX_PROFILE_ORACLE,
         ),
+        # r12-implemented bidirectional nearest-event join: union-sort
+        # two-window formulation vs a full bounded-candidate rank —
+        # floored-gap tie semantics attested cross-engine
+        "asof_nearest_purchase": (
+            _xq().asof_nearest_purchase,
+            _xq().ASOF_NEAREST_PURCHASE_ORACLE,
+        ),
         # r11-implemented k-minimum-values distinct sketch: the Spark
         # 'all' row MERGES the per-type sketches while the oracle
         # computes global k-minimums raw — equality attests the KMV
@@ -537,6 +544,12 @@ def _tq():
     from erathia_market_etl_spark.plans import text_queries
 
     return text_queries
+
+
+def _xq():
+    from erathia_market_etl_spark.plans import temporal_queries
+
+    return temporal_queries
 
 
 def _ew():
