@@ -1977,3 +1977,106 @@ def ts_anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_apply: MERGE INTO / CDC-upsert batch apply. UNREGISTERED
+# (r12 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+CDC_CUTOFF = "2024-01-21"  # events fixtures span 2024-01-01..01-30 at every SF
+
+CDC_MERGE_APPLY_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts
+        FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+        GROUP BY user_id
+    ),
+    batch AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_new,
+               MAX(ts) AS new_last_ts,
+               CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                                  ELSE 0 END) > 0
+                    THEN 'D' ELSE 'U' END AS op
+        FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN batch.user_id IS NULL THEN 'kept'
+                WHEN base.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action,
+           CAST(COALESCE(base.n_events, 0) + COALESCE(batch.n_new, 0)
+                AS BIGINT) AS n_events,
+           CASE WHEN batch.user_id IS NULL THEN base.last_ts
+                ELSE batch.new_last_ts END AS last_ts
+    FROM base FULL OUTER JOIN batch USING (user_id)
+    WHERE batch.op IS NULL OR batch.op <> 'D'
+    ORDER BY user_id
+    """
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg CDC-upsert apply) as a
+    pure DataFrame pipeline: a BASE dimension state (per-user event
+    count + last-seen before the CDC_CUTOFF) merged with a CHANGE
+    BATCH (per-user deltas after the cutoff, op = 'D' delete when the
+    batch contains an error event, else 'U' upsert) —
+    WHEN MATCHED AND op='D' THEN DELETE /
+    WHEN MATCHED THEN UPDATE (additive counts, new last_ts) /
+    WHEN NOT MATCHED AND op='U' THEN INSERT /
+    base rows without a change pass through. Output carries the
+    per-row action (kept/updated/inserted) so the apply is auditable;
+    deletes are attested by ABSENCE under the full-outer hash compare.
+
+    Scale shape: MERGE is exactly one full-outer hash join of the two
+    key-grain aggregates (each map-side combinable from its scan
+    slice; the cutoff predicate pushes to parquet) — the same plan a
+    lakehouse MERGE compiles to before write materialization. No
+    window, no single partition; at 100 TB the join is the only
+    key-sized exchange and AQE picks broadcast when a change batch is
+    small (the common case for incremental CDC)."""
+    events = load_events(spark, sf_dir)
+    cut = F.lit(CDC_CUTOFF).cast("timestamp")
+    base = (
+        events.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    batch = (
+        events.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.max("ts").alias("new_last_ts"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ) > 0,
+                F.lit("D"),
+            ).otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    merged = base.join(batch, "user_id", "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("n_events").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated")).alias("action"),
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).cast("long").alias("n_events"),
+            F.when(F.col("op").isNull(), F.col("last_ts"))
+            .otherwise(F.col("new_last_ts")).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

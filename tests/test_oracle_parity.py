@@ -461,6 +461,12 @@ def _queued():
             _xq().asof_nearest_purchase,
             _xq().ASOF_NEAREST_PURCHASE_ORACLE,
         ),
+        # r12-implemented MERGE INTO / CDC-upsert apply: one full-outer
+        # join of two key-grain aggregates; deletes attested by absence
+        "cdc_merge_apply": (
+            _eq().cdc_merge_apply,
+            _eq().CDC_MERGE_APPLY_ORACLE,
+        ),
         # r11-implemented k-minimum-values distinct sketch: the Spark
         # 'all' row MERGES the per-type sketches while the oracle
         # computes global k-minimums raw — equality attests the KMV
@@ -550,6 +556,12 @@ def _xq():
     from erathia_market_etl_spark.plans import temporal_queries
 
     return temporal_queries
+
+
+def _eq():
+    from erathia_market_etl_spark.plans import event_windows
+
+    return event_windows
 
 
 def _ew():
