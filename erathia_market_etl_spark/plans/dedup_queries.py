@@ -54,6 +54,14 @@ from .registry import query
 # ---------------------------------------------------------------------------
 
 _SHARED_BANDS: dict[tuple[str, str], DataFrame] = {}
+# "a handful of entries per session" is ENFORCED, not assumed: beyond
+# this many (session, sf_dir) keys the least-recently-built band table
+# is unpersisted and dropped (a long-lived session sweeping many
+# directories must not accumulate persisted corpora). Component labels
+# follow the band eviction — their checkpoint files are reclaimed by
+# the session's checkpoint GC, but a label frame over an evicted band
+# table would silently rebuild it, so both caches evict together.
+_SHARED_CACHE_MAX = 4
 
 
 def shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +74,10 @@ def shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     bands = _SHARED_BANDS.get(key)
     if bands is None:
+        while len(_SHARED_BANDS) >= _SHARED_CACHE_MAX:
+            old_key = next(iter(_SHARED_BANDS))
+            _SHARED_BANDS.pop(old_key).unpersist()
+            _SHARED_COMPONENTS.pop(old_key, None)
         docs = load_table(spark, sf_dir, "documents")
         bands = minhash_band_table(docs, "text", "doc_id").persist(
             StorageLevel.MEMORY_AND_DISK

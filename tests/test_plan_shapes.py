@@ -772,3 +772,42 @@ def test_shared_minhash_band_stage_is_cached_and_live_capped(spark):
     c1 = shared_pair_components(spark, SF_T2)
     c2 = shared_pair_components(spark, SF_T2)
     assert c1 is c2
+
+
+def test_shared_band_cache_evicts_beyond_cap(spark, tmp_path):
+    """The shared-stage cache's "handful of entries" claim is enforced:
+    past _SHARED_CACHE_MAX distinct (session, sf_dir) keys the oldest
+    band table is unpersisted and its component entry dropped — a
+    long-lived session sweeping many directories must not accumulate
+    persisted corpora."""
+    from erathia_market_etl_spark.plans import dedup_queries as dq
+
+    dirs = []
+    for i in range(dq._SHARED_CACHE_MAX + 1):
+        d = str(tmp_path / f"sf{i}")
+        spark.createDataFrame(
+            [(1, "srcA", f"alpha beta gamma {i}")],
+            "doc_id long, source string, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        dirs.append(d)
+
+    before = dict(dq._SHARED_BANDS)
+    try:
+        first = dq.shared_minhash_bands(spark, dirs[0])
+        for d in dirs[1:]:
+            dq.shared_minhash_bands(spark, d)
+        assert len(dq._SHARED_BANDS) <= dq._SHARED_CACHE_MAX
+        # the first (oldest) entry was evicted and unpersisted
+        import os
+
+        key0 = (spark.sparkContext.applicationId, os.path.abspath(dirs[0]))
+        assert key0 not in dq._SHARED_BANDS
+        assert not first.storageLevel.useMemory
+    finally:
+        # restore the real-fixture entries so sibling tests keep their
+        # warm cache regardless of execution order
+        for k, v in list(dq._SHARED_BANDS.items()):
+            if k not in before:
+                dq._SHARED_BANDS.pop(k).unpersist()
+                dq._SHARED_COMPONENTS.pop(k, None)
+        dq._SHARED_BANDS.update(before)
