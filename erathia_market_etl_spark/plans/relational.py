@@ -1586,3 +1586,108 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline_part_frontier: 2-D skyline / Pareto frontier. UNREGISTERED
+# (r12 — local-only per the COVERAGE.md standing policy; driver-style
+# evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+SKYLINE_BLOCK_CENTS = 500  # $5 price blocks; TPC-H price domain is fixed
+
+SKYLINE_PART_FRONTIER_ORACLE = """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice * 100 + 0.5e0) AS BIGINT)
+                   AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ),
+    w AS (
+        SELECT p.*,
+               MIN(size) OVER (
+                   ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS min_prev,
+               MIN(size) OVER (PARTITION BY price_cents) AS min_same
+        FROM p
+    )
+    SELECT p_partkey, price_cents, size
+    FROM w
+    WHERE (min_prev IS NULL OR min_prev > size) AND size = min_same
+    ORDER BY price_cents, size, p_partkey
+    """
+
+
+def skyline_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) over parts: every part such that
+    no other part is both cheaper-or-equal AND smaller-or-equal with at
+    least one strict — the classic skyline operator (Börzsönyi et al.,
+    ICDE'01), the "best tradeoff catalog" query. Equal (price, size)
+    duplicates dominate neither way and are all kept.
+
+    Dominance decomposes exactly along the price order:
+      * a strictly-cheaper part dominates iff its size <= mine;
+      * an equal-price part dominates iff its size < mine.
+    So: keep a row iff MIN(size) over strictly-lower prices exceeds
+    its size AND it attains its price's own size minimum.
+
+    Scale shape — skylines are notoriously single-node (the textbook
+    plan is a global sort + running minimum: Exchange SinglePartition
+    over the table grain, lint rule R6's target shape). This plan uses
+    the operators/rank.py BLOCK discipline instead: price quantizes
+    into SKYLINE_BLOCK_CENTS blocks (bounded by the PRICE DOMAIN, not
+    the row count), the running minimum splits into (a) a cumulative
+    min over the tiny per-block minimum table — broadcast back — and
+    (b) a within-block RANGE-frame window partitioned BY block (the
+    same exchange also serves the equal-price frame: two frames, one
+    Window spec family, one shuffle). Blocks are price ranges, so
+    "strictly cheaper" = strictly-earlier block (always dominatable by
+    the block cum-min) plus same-block lower-price rows (the local
+    range frame); no row ever crosses one task. The DuckDB twin is the
+    single-node global-window formulation — hash equality attests the
+    decomposition."""
+    part = T(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    ).withColumn(
+        "blk", F.expr(f"price_cents DIV {SKYLINE_BLOCK_CENTS}")
+    )
+    from pyspark.sql import Window
+
+    blk_mins = p.groupBy("blk").agg(F.min("size").alias("bmin"))
+    w_prior = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = blk_mins.select(
+        "blk", F.min("bmin").over(w_prior).alias("prior_min")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = (
+        Window.partitionBy("blk")
+        .orderBy("price_cents")
+        .rangeBetween(0, 0)
+    )
+    scored = (
+        p.withColumn("in_min", F.min("size").over(w_in))
+        .withColumn("same_min", F.min("size").over(w_same))
+        .join(F.broadcast(prior), "blk")
+    )
+    keep = (
+        (F.col("prior_min").isNull() | (F.col("prior_min") > F.col("size")))
+        & (F.col("in_min").isNull() | (F.col("in_min") > F.col("size")))
+        & (F.col("same_min") == F.col("size"))
+    )
+    return (
+        scored.filter(keep)
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "size", "p_partkey")
+    )

@@ -467,6 +467,13 @@ def _queued():
             _eq().cdc_merge_apply,
             _eq().CDC_MERGE_APPLY_ORACLE,
         ),
+        # r12-implemented 2-D skyline via the block decomposition vs
+        # the single-node global-window DuckDB twin — hash equality
+        # attests the distributed dominance split itself
+        "skyline_part_frontier": (
+            _rq().skyline_part_frontier,
+            _rq().SKYLINE_PART_FRONTIER_ORACLE,
+        ),
         # r11-implemented k-minimum-values distinct sketch: the Spark
         # 'all' row MERGES the per-type sketches while the oracle
         # computes global k-minimums raw — equality attests the KMV

@@ -139,3 +139,42 @@ def test_arithmetic_ntile_formula_exhaustive_small_domain(spark):
     for row in got:
         assert row["q4"] == ref(row["n"], 4, row["r"])
         assert row["q8"] == ref(row["n"], 8, row["r"])
+
+
+def test_skyline_planted_dominance_and_ties(spark, tmp_path):
+    """skyline_part_frontier semantic pin on a planted catalog:
+
+      (k1, $10.00, 5)  frontier (cheapest overall)
+      (k2, $10.00, 5)  equal duplicate of k1 -> BOTH kept
+      (k3, $10.00, 7)  same price, bigger -> dominated by k1
+      (k4, $12.00, 3)  dearer but smaller -> frontier
+      (k5, $12.00, 5)  dominated by k1 (cheaper, equal size)
+      (k6, $15.00, 3)  dominated by k4 (cheaper, equal size)
+      (k7, $15.00, 1)  frontier
+    k1/k4 sit in different price blocks from k6/k7 (block = $5), so the
+    cross-block prior-min path and the within-block range frame are
+    BOTH load-bearing in this fixture."""
+    import os
+
+    from erathia_market_etl_spark.plans.relational import (
+        skyline_part_frontier,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [
+        (1, 10.00, 5), (2, 10.00, 5), (3, 10.00, 7), (4, 12.00, 3),
+        (5, 12.00, 5), (6, 15.00, 3), (7, 15.00, 1),
+    ]
+    spark.createDataFrame(
+        [(k, "n", "b", "t", sz, pr) for k, pr, sz in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{sf}/part.parquet")
+    got = [tuple(r) for r in skyline_part_frontier(spark, sf).collect()]
+    assert got == [
+        (1, 1000, 5),
+        (2, 1000, 5),
+        (4, 1200, 3),
+        (7, 1500, 1),
+    ]

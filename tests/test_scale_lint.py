@@ -289,6 +289,13 @@ R6_BOUNDED_GRAIN: dict[str, list[tuple[str, str]]] = {
         "hierarchical running-sum block offsets — block grain is "
         "corpus_size/block_rows, fixed fan-in per level",
     )],
+    "skyline_part_frontier": [(
+        r"Sort \[blk#\d+L ASC",
+        "cumulative prior-block minimum over the per-price-BLOCK min "
+        "table — grain = price_domain/SKYLINE_BLOCK_CENTS, bounded by "
+        "the price domain, never the part count (the rank.py block "
+        "discipline applied to the skyline running minimum)",
+    )],
     "sample_quota_allocation": [(
         r"Sort \[rem#\d+L DESC NULLS LAST, source#\d+ ASC",
         "Hamilton largest-remainder ordering over the SOURCE grain — "
