@@ -178,3 +178,51 @@ def test_skyline_planted_dominance_and_ties(spark, tmp_path):
         (4, 1200, 3),
         (7, 1500, 1),
     ]
+
+
+def test_skyline_matches_bruteforce_on_random_catalogs(spark, tmp_path):
+    """Generative pin (the scd2/funnel precedent): the block-decomposed
+    skyline must equal the O(n²) brute-force dominance check on
+    seeded-random catalogs with heavy price ties and duplicate
+    (price, size) pairs — the regimes where the strict/non-strict
+    dominance arms and the block-boundary handoffs actually interact."""
+    import os
+    import random
+
+    from erathia_market_etl_spark.plans.relational import (
+        skyline_part_frontier,
+    )
+
+    rng = random.Random(12)
+    for trial in range(3):
+        n = 120
+        rows = [
+            (
+                k,
+                round(rng.choice([9.0, 9.5, 10.0, 11.0, 12.5, 14.0])
+                      + rng.randrange(0, 4) * 0.25, 2),
+                rng.randrange(1, 9),
+            )
+            for k in range(1, n + 1)
+        ]
+        cents = {k: int(round(p * 100)) for k, p, _ in rows}
+        frontier = set()
+        for k, p, s in rows:
+            dominated = any(
+                cents[k2] <= cents[k] and s2 <= s
+                and (cents[k2] < cents[k] or s2 < s)
+                for k2, p2, s2 in rows
+                if k2 != k
+            )
+            if not dominated:
+                frontier.add(k)
+
+        sf = str(tmp_path / f"sf{trial}")
+        os.makedirs(sf)
+        spark.createDataFrame(
+            [(k, "n", "b", "t", s, p) for k, p, s in rows],
+            "p_partkey long, p_name string, p_brand string,"
+            " p_type string, p_size int, p_retailprice double",
+        ).write.parquet(f"{sf}/part.parquet")
+        got = {r["p_partkey"] for r in skyline_part_frontier(spark, sf).collect()}
+        assert got == frontier, (trial, got ^ frontier)
