@@ -166,3 +166,67 @@ def with_ntile(
     return with_ntiles(
         df, key, [(out_col, value, block_width)], buckets=buckets
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    tie_col: str,
+    *,
+    block_width: int,
+    out_rank: str = "rank",
+    out_n: str = "n",
+) -> DataFrame:
+    """Append the exact 1-based ASCENDING rank of ``value`` (ties broken
+    by ``tie_col``) WITHIN each ``group_cols`` group, plus the group
+    size — without ever planning a per-group global sort.
+
+    This is the same block decomposition as ``with_ntiles`` with the
+    melt axis replaced by real grouping columns: a bare
+    ``ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v)`` funnels each
+    group through ONE task, and when the group grain is data-scaling
+    (customers per nation, docs per source) that is the r11 RFM
+    scale-killer in per-group form. Here instead:
+
+      1. ``block = v DIV block_width`` (truncating division is monotone
+         non-decreasing in ``v`` for positive widths, so blocks are
+         contiguous ranges of each group's order; block COUNT is
+         bounded by the value DOMAIN / width, not the row count);
+      2. per-(group, block) counts fold map-side; the cumulative
+         ``below`` offsets and the group total ``n`` ride windows over
+         the TINY (group x block) table;
+      3. ``row_number()`` runs within (group, block) — parallel across
+         blocks even inside one huge group — and
+         ``rank = below + rn`` completes the exact total order.
+
+    ``value`` must cast losslessly onto a long; callers pick
+    ``block_width`` from the value's DOMAIN so the offsets table stays
+    O(groups x thousands)."""
+    if block_width <= 0:
+        raise ValueError("block_width must be > 0")
+    based = df.withColumn("_s", value.cast("long")).withColumn(
+        "_blk", F.expr(f"_s DIV {int(block_width)}")
+    )
+    counts = based.groupBy(*group_cols, "_blk").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_below = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "_blk",
+        F.coalesce(F.sum("_cnt").over(w_below), F.lit(0)).alias("_below"),
+        F.sum("_cnt").over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    w_within = Window.partitionBy(*group_cols, "_blk").orderBy("_s", tie_col)
+    return (
+        based.withColumn("_rn", F.row_number().over(w_within))
+        .join(F.broadcast(offsets), [*group_cols, "_blk"])
+        .withColumn(out_rank, (F.col("_below") + F.col("_rn")).cast("long"))
+        .withColumn(out_n, F.col("_n").cast("long"))
+        .drop("_s", "_blk", "_rn", "_below", "_n")
+    )

@@ -2080,3 +2080,208 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# user_activity_streaks: gaps-and-islands longest-streak distribution.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+USER_ACTIVITY_STREAKS_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    runs AS (
+        SELECT user_id,
+               d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS INTEGER) AS anchor
+        FROM active
+    ),
+    streaks AS (
+        SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+        FROM runs GROUP BY 1, 2
+    ),
+    longest AS (
+        SELECT user_id, MAX(len) AS streak_days FROM streaks GROUP BY 1
+    )
+    SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS example_user
+    FROM longest GROUP BY 1 ORDER BY streak_days
+    """
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, rolled up to the
+    engagement distribution (streak length -> user count + the smallest
+    example user id) — the classic GAPS-AND-ISLANDS decomposition:
+    within each user's distinct active-day sequence,
+    ``anchor = day - row_number()`` is constant exactly across a run of
+    consecutive days, so grouping by (user, anchor) yields the runs and
+    their lengths without any self-join.
+
+    Scale shape: the (user, day) DISTINCT folds map-side; the one
+    window is ``partitionBy(user_id)`` whose per-key row count is
+    bounded by the CALENDAR (days in the observation span), not by
+    event volume — the same bounded-grain argument the R6 lint encodes;
+    the two rollups are group-count-sized. Nothing wider than
+    (user_id, date) rides any exchange at 100 TB. Cross-engine
+    determinism: pure date/integer arithmetic (exact date - int on both
+    engines), no floats anywhere.
+
+    Reference parity: beyond-reference analytics surface (the
+    reference has no window operators); complements
+    cohort_daily_retention (same (user, day) grain, streaks instead of
+    offsets)."""
+    active = (
+        load_events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = active.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").alias("streak_days")
+    )
+    return (
+        longest.groupBy("streak_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").cast("long").alias("example_user"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_concurrency: sweep-line peak concurrent sessions per day.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+EVENTS_PEAK_CONCURRENCY_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sessions_started,
+           CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sessions_ended
+    FROM run GROUP BY 1 ORDER BY day
+    """
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per calendar day — the capacity-planning
+    statistic (how many users were on at once, at the worst moment) —
+    via the classic SWEEP LINE: each 30-min-gap session (the
+    session_window_stats semantics: end = last event + gap) emits
+    (+1 at start, -1 at end); the running sum of deltas in time order
+    IS the live concurrency, and the per-day max of that running sum
+    is the peak. Tie rule: at equal timestamps starts count before
+    ends (delta DESC — touching sessions are concurrent); within a tie
+    run every row moves the sum by the same ±1, so the SET of partial
+    sums (hence the max) is tie-order-independent on both engines.
+
+    Scale shape: the naive running sum is a global-ordered window —
+    Exchange SinglePartition over the session-delta stream, which
+    scales with the data. Here the prefix sum is BLOCK-DECOMPOSED like
+    operators/rank.py: deltas quantize into MINUTE blocks (bounded by
+    the observation TIME DOMAIN, ~43k/month, not by volume); per-block
+    delta sums fold map-side; the carry into each block rides a window
+    over the tiny block table; the within-block running sum is a
+    window PARTITIONED BY block — parallel across blocks, never a
+    single-task funnel. The per-day rollup is calendar-bounded.
+
+    Reference parity: beyond-reference analytics surface; composes the
+    session_window operator (§2.9 batch analog) with the prefix-sum
+    kernel family (text_length_trim / grouped_rank)."""
+    sessions = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    return peak_concurrency_frame(sessions)
+
+
+def peak_concurrency_frame(sessions: DataFrame) -> DataFrame:
+    """Core of events_peak_concurrency over any (s, e) interval frame
+    — factored for the generative brute-force equivalence test
+    (tests/test_event_semantics.py pits it against a pure-Python
+    sweep line on random interval sets)."""
+    deltas = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    based = deltas.withColumn(
+        "_blk",
+        F.expr("CAST(CAST(t AS TIMESTAMP) AS LONG) DIV 60"),
+    )
+    blk_sums = based.groupBy("_blk").agg(F.sum("delta").alias("_bsum"))
+    w_carry = (
+        Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = blk_sums.select(
+        "_blk", F.coalesce(F.sum("_bsum").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    w_within = (
+        Window.partitionBy("_blk")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        based.withColumn("_within", F.sum("delta").over(w_within))
+        .join(F.broadcast(carry), "_blk")
+        .select(
+            "t",
+            "delta",
+            (F.col("_carry") + F.col("_within")).cast("long").alias("conc"),
+        )
+    )
+    return (
+        run.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrent"),
+            F.sum((F.col("delta") == 1).cast("long")).cast("long")
+            .alias("sessions_started"),
+            F.sum((F.col("delta") == -1).cast("long")).cast("long")
+            .alias("sessions_ended"),
+        )
+        .orderBy("day")
+    )

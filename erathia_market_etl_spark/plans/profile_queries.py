@@ -523,3 +523,222 @@ def percentile_bands_frame(ev: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations_suite: declarative data-quality checks (dbt-test /
+# Great-Expectations analog). UNREGISTERED (r12 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+DQ_EXPECTATIONS_SUITE_ORACLE = f"""
+    WITH checks AS (
+        SELECT 'fk_orders_custkey' AS check_name, 'orders' AS tbl,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL) AS violations,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS checked
+        UNION ALL
+        SELECT 'pk_orders_orderkey', 'orders',
+               (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'range_orders_totalprice_positive', 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_totalprice <= 0),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'fk_lineitem_orderkey', 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'fk_lineitem_partkey', 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+                ON l.l_partkey = p.p_partkey
+                WHERE p.p_partkey IS NULL),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'range_lineitem_discount_unit_interval', 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_discount < 0 OR l_discount > 1),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'pk_customer_custkey', 'customer',
+               (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+                FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+        UNION ALL
+        SELECT 'not_null_events_user_id', 'events',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE user_id IS NULL),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        UNION ALL
+        SELECT 'accepted_values_event_type', 'events',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE event_type IS NULL OR event_type NOT IN
+                      {EVENT_TYPES!r}),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        UNION ALL
+        SELECT 'nonempty_documents_text', 'documents',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE text IS NULL OR LENGTH(text) = 0),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+    )
+    SELECT check_name, tbl, violations, checked,
+           violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """
+
+
+def _check_rows(df, tbl: str, specs: list[tuple[str, object]], checked_col):
+    """1-row aggregate -> one (check_name, tbl, violations, checked)
+    row per spec, via an explode over the single aggregate row (no
+    collect; the frame is 1 x len(specs))."""
+    agg = df.agg(
+        *[v.cast("long").alias(f"_v{i}") for i, (_, v) in enumerate(specs)],
+        checked_col.cast("long").alias("_checked"),
+    )
+    entries = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.col(f"_v{i}").alias("violations"),
+            F.col("_checked").alias("checked"),
+        )
+        for i, (name, _) in enumerate(specs)
+    ]
+    return agg.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the whole star — the
+    dbt-test / Great-Expectations checklist a warehouse runs before
+    promoting a drop: referential integrity (FK orphans), primary-key
+    uniqueness, NOT NULL, accepted values, and numeric range contracts,
+    one row per named check with exact violation counts and a boolean
+    verdict. Mirrors the reference's verification probe surface
+    (SURVEY.md S13, reference main.py's row-count checks) generalized
+    to constraint classes.
+
+    Scale shape: each table contributes ONE aggregation pass computing
+    all its checks as conditional sums (map-side combinable); FK
+    checks ride LEFT joins against the DISTINCT referenced key
+    column only (a duplicated referenced key must not multiply the
+    checking side's rows — pinned by the planted-violation test)
+    (threshold/AQE picks broadcast at fixture SFs, shuffle at 100 TB —
+    the q1 dim policy); the per-table 1-row aggregates explode into
+    check rows and union. No stage carries more than (fact keys) on
+    any exchange; output is fixed at the check count."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_events(spark, sf_dir)
+
+    one = F.count(F.lit(1))
+    o = orders.join(
+        customer.select(F.col("c_custkey").alias("_ck")).distinct(),
+        orders["o_custkey"] == F.col("_ck"),
+        "left",
+    )
+    orders_rows = _check_rows(
+        o,
+        "orders",
+        [
+            ("fk_orders_custkey", F.sum(F.col("_ck").isNull().cast("long"))),
+            ("pk_orders_orderkey", one - F.countDistinct("o_orderkey")),
+            (
+                "range_orders_totalprice_positive",
+                F.sum((F.col("o_totalprice") <= 0).cast("long")),
+            ),
+        ],
+        one,
+    )
+    li = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("_ok")).distinct(),
+        lineitem["l_orderkey"] == F.col("_ok"),
+        "left",
+    ).join(
+        part.select(F.col("p_partkey").alias("_pk")).distinct(),
+        lineitem["l_partkey"] == F.col("_pk"),
+        "left",
+    )
+    lineitem_rows = _check_rows(
+        li,
+        "lineitem",
+        [
+            ("fk_lineitem_orderkey", F.sum(F.col("_ok").isNull().cast("long"))),
+            ("fk_lineitem_partkey", F.sum(F.col("_pk").isNull().cast("long"))),
+            (
+                "range_lineitem_discount_unit_interval",
+                F.sum(
+                    ((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+                    .cast("long")
+                ),
+            ),
+        ],
+        one,
+    )
+    customer_rows = _check_rows(
+        customer,
+        "customer",
+        [("pk_customer_custkey", one - F.countDistinct("c_custkey"))],
+        one,
+    )
+    events_rows = _check_rows(
+        ev,
+        "events",
+        [
+            (
+                "not_null_events_user_id",
+                F.sum(F.col("user_id").isNull().cast("long")),
+            ),
+            (
+                "accepted_values_event_type",
+                F.sum(
+                    (
+                        F.col("event_type").isNull()
+                        | ~F.col("event_type").isin(*EVENT_TYPES)
+                    ).cast("long")
+                ),
+            ),
+        ],
+        one,
+    )
+    docs_rows = _check_rows(
+        docs,
+        "documents",
+        [
+            (
+                "nonempty_documents_text",
+                F.sum(
+                    (F.col("text").isNull() | (F.length("text") == 0))
+                    .cast("long")
+                ),
+            )
+        ],
+        one,
+    )
+    return (
+        orders_rows.unionByName(lineitem_rows)
+        .unionByName(customer_rows)
+        .unionByName(events_rows)
+        .unionByName(docs_rows)
+        .select(
+            "check_name",
+            "tbl",
+            "violations",
+            "checked",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

@@ -1691,3 +1691,133 @@ def skyline_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_cents", "size")
         .orderBy("price_cents", "size", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# mart_revenue_gini: revenue-concentration (Gini / Lorenz) mart.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+# $1k lifetime-spend blocks; the TPC-H-ish per-customer lifetime spend
+# domain is bounded by order-count x totalprice ceilings, so the
+# (nation x block) offsets table stays O(thousands) at any SF.
+REVENUE_GINI_BLOCK_CENTS = 100_000
+
+MART_REVENUE_GINI_ORACLE = """
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nk, cents,
+               ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, ck) AS r
+        FROM rev
+    ),
+    g AS (
+        SELECT nk,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents_total,
+               CAST(SUM(r * cents) AS BIGINT) AS rank_weighted_cents
+        FROM ranked GROUP BY nk
+    )
+    SELECT n.n_name AS nation_name, g.n_customers, g.revenue_cents_total,
+           FLOOR(((2.0 * g.rank_weighted_cents
+                   - (g.n_customers + 1.0) * g.revenue_cents_total)
+                  / ((1.0 * g.n_customers) * g.revenue_cents_total))
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM g JOIN nation n ON g.nk = n.n_nationkey
+    ORDER BY nation_name
+    """
+
+
+def mart_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue concentration: the GINI COEFFICIENT of
+    customer lifetime spend — the classic inequality statistic
+    (0 = every customer spends the same, ->1 = one whale carries the
+    nation). Uses the exact rank identity over the ascending spend
+    order x_1 <= ... <= x_n:
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with ties broken by custkey — sum(i * x_i) over a tied run is the
+    same for any tie order (consecutive integers times a constant), so
+    the statistic is tie-order-independent and the DETERMINISTIC
+    tiebreak only pins the engines' agreement, not the value.
+
+    Scale shape: lifetime spend folds map-side per custkey BEFORE the
+    customer join (grain: customers, not orders); the per-nation rank
+    comes from ``operators/rank.py``'s ``grouped_rank`` BLOCK
+    decomposition — a bare ROW_NUMBER() OVER (PARTITION BY nation)
+    funnels each nation's full customer population (data-scaling: 1/25
+    of all customers) through one task, while the decomposition ranks
+    within $1k spend blocks in parallel and rides the offsets on the
+    tiny (nation x block) table. Every input to the final float
+    expression is an exact int64 below 2^53, so the doubles are
+    exactly representable and each +,-,*,/ is IEEE-correctly-rounded
+    identically on both engines (the BM25 rational-formulation
+    discipline); 6dp rounding via the FLOOR idiom. At 100 TB the
+    rank-weighted sum outgrows int64 (rank ~1e9 x cents ~1e8);
+    production casts the product onto DECIMAL(38,0)/HUGEINT — noted,
+    not needed at fixture SFs (max ~1e13).
+
+    Reference parity: beyond-reference analytics surface (the
+    reference has no window/rank operators); the mart consumes the
+    same orders/customer star as q1-q4."""
+    from ..operators.rank import grouped_rank
+
+    cents_col = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        T(spark, sf_dir, "orders")
+        .select("o_custkey", cents_col.alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+            "cents",
+        )
+    )
+    ranked = grouped_rank(
+        rev,
+        ["nk"],
+        F.col("cents"),
+        "ck",
+        block_width=REVENUE_GINI_BLOCK_CENTS,
+        out_rank="r",
+        out_n="n",
+    )
+    g = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents_total"),
+        F.sum(F.col("r") * F.col("cents")).cast("long")
+        .alias("rank_weighted_cents"),
+    )
+    s = F.col("rank_weighted_cents").cast("double")
+    n = F.col("n_customers").cast("double")
+    t = F.col("revenue_cents_total").cast("double")
+    gini_raw = (
+        (F.lit(2.0) * s - (n + F.lit(1.0)) * t)
+        / ((F.lit(1.0) * n) * t)
+    )
+    nation = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    )
+    return (
+        g.join(F.broadcast(nation), "nk")
+        .select(
+            "nation_name",
+            "n_customers",
+            "revenue_cents_total",
+            ((F.floor(gini_raw * 1000000 + F.lit(0.5))) / 1000000)
+            .cast("double").alias("gini"),
+        )
+        .orderBy("nation_name")
+    )

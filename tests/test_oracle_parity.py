@@ -514,7 +514,42 @@ def _queued():
             _tmq().funnel_time_to_convert,
             _tmq().FUNNEL_TIME_TO_CONVERT_ORACLE,
         ),
+        # r12-implemented revenue-concentration mart: per-nation Gini
+        # coefficient via the grouped block-rank decomposition
+        # (operators/rank.py grouped_rank — no per-nation global sort)
+        "mart_revenue_gini": (
+            _rq().mart_revenue_gini,
+            _rq().MART_REVENUE_GINI_ORACLE,
+        ),
+        # r12-implemented gaps-and-islands engagement distribution:
+        # longest consecutive-active-day streak per user (windows ride
+        # the calendar-bounded per-user day grain)
+        "user_activity_streaks": (
+            _ew().user_activity_streaks,
+            _ew().USER_ACTIVITY_STREAKS_ORACLE,
+        ),
+        # r12-implemented declarative DQ expectations (dbt-test
+        # analog): FK orphans, PK uniqueness, NOT NULL, accepted
+        # values, numeric ranges — one conditional-sum pass per table
+        "dq_expectations_suite": (
+            _fq().dq_expectations_suite,
+            _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
+        ),
+        # r12-implemented sweep-line capacity statistic: peak
+        # concurrent 30-min-gap sessions per day via the
+        # block-decomposed prefix sum (minute blocks — time-domain
+        # bounded)
+        "events_peak_concurrency": (
+            _ew().events_peak_concurrency,
+            _ew().EVENTS_PEAK_CONCURRENCY_ORACLE,
+        ),
     }
+
+
+def _fq():
+    from erathia_market_etl_spark.plans import profile_queries
+
+    return profile_queries
 
 
 def _tmq():

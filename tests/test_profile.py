@@ -145,3 +145,65 @@ def test_percentile_bands_planted_nearest_rank(spark):
     assert out["a"] == (4, 20, 40, 40)
     # b: n=20, ceil(10)=10 -> 5 (inside the run); ceil(19)=19 -> 7
     assert out["b"] == (20, 5, 7, 9)
+
+
+def test_dq_expectations_counts_planted_violations(spark, tmp_path):
+    """dq_expectations_suite (r12) on a micro-star with one planted
+    violation per check class — the fixtures are violation-free, so
+    without this the violation-counting paths only ever attest at
+    zero (vacuous green)."""
+    import datetime as dt
+
+    from erathia_market_etl_spark.plans.profile_queries import (
+        dq_expectations_suite,
+    )
+
+    p = str(tmp_path / "sf")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.parquet(
+            f"{p}/{name}.parquet"
+        )
+
+    w("customer", [(1, "a", 0, 0.0, "m"), (1, "dup", 0, 0.0, "m")],
+      "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+      " c_mktsegment string")
+    # order 20 -> custkey 99 is an FK orphan; order 21 nonpositive price
+    w("orders",
+      [(20, 99, "O", 10.0, dt.date(2024, 3, 1), "1-URGENT"),
+       (21, 1, "O", -5.0, dt.date(2024, 3, 2), "1-URGENT")],
+      "o_orderkey long, o_custkey long, o_orderstatus string,"
+      " o_totalprice double, o_orderdate date, o_orderpriority string")
+    w("part", [(7, "p")], "p_partkey long, p_name string")
+    # line 1: orphan orderkey 999 + orphan partkey 8; line 2: discount 1.5
+    w("lineitem",
+      [(999, 8, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.date(2024, 3, 1)),
+       (20, 7, 1, 1, 1.0, 1.0, 1.5, 0.0, "N", "O", dt.date(2024, 3, 1))],
+      "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+      " l_quantity double, l_extendedprice double, l_discount double,"
+      " l_tax double, l_returnflag string, l_linestatus string,"
+      " l_shipdate date")
+    w("events",
+      [(1, t0, None, "view", 1.0, "{}"), (2, t0, 5, "weird", 1.0, "{}")],
+      "event_id long, ts timestamp, user_id long, event_type string,"
+      " value double, props string")
+    w("documents", [(1, "", "en", "s", 0), (2, "ok", "en", "s", 2)],
+      "doc_id long, text string, lang string, source string, n_chars long")
+
+    got = {r["check_name"]: r.asDict()
+           for r in dq_expectations_suite(spark, p).collect()}
+    assert got["pk_customer_custkey"]["violations"] == 1
+    assert got["fk_orders_custkey"]["violations"] == 1
+    assert got["range_orders_totalprice_positive"]["violations"] == 1
+    assert got["fk_lineitem_orderkey"]["violations"] == 1
+    assert got["fk_lineitem_partkey"]["violations"] == 1
+    assert got["range_lineitem_discount_unit_interval"]["violations"] == 1
+    assert got["not_null_events_user_id"]["violations"] == 1
+    assert got["accepted_values_event_type"]["violations"] == 1
+    assert got["nonempty_documents_text"]["violations"] == 1
+    assert all(not v["passed"] for k, v in got.items()
+               if k != "pk_orders_orderkey")
+    assert got["pk_orders_orderkey"]["violations"] == 0
+    assert got["pk_orders_orderkey"]["passed"]
+    assert got["fk_lineitem_orderkey"]["checked"] == 2

@@ -226,3 +226,43 @@ def test_skyline_matches_bruteforce_on_random_catalogs(spark, tmp_path):
         ).write.parquet(f"{sf}/part.parquet")
         got = {r["p_partkey"] for r in skyline_part_frontier(spark, sf).collect()}
         assert got == frontier, (trial, got ^ frontier)
+
+
+def test_grouped_rank_matches_native_on_scrambled_groups(spark):
+    """grouped_rank (r12) must equal the native per-group
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, key) for data with
+    heavy ties, multiple groups, negative values, and block-boundary
+    straddles — and its plan must be SinglePartition-free (the whole
+    point of the decomposition)."""
+    from erathia_market_etl_spark.operators.rank import grouped_rank
+
+    base = spark.range(211).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 5).alias("g"),
+        (((F.col("id") * 13) % 29) - 7).alias("v"),  # ties + negatives
+    )
+    got = grouped_rank(
+        base, ["g"], F.col("v"), "key", block_width=4,
+        out_rank="r", out_n="n",
+    )
+    w = Window.partitionBy("g").orderBy("v", "key")
+    want = base.withColumn("r_native", F.row_number().over(w)).withColumn(
+        "n_native", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    joined = got.join(want, ["key", "g"]).select(
+        "key", "g", "r", "r_native", "n", "n_native"
+    )
+    bad = joined.filter(
+        (F.col("r") != F.col("r_native")) | (F.col("n") != F.col("n_native"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == 211
+    assert "Exchange SinglePartition" not in _plan(got)
+
+
+def test_grouped_rank_rejects_nonpositive_width(spark):
+    from erathia_market_etl_spark.operators.rank import grouped_rank
+
+    base = spark.range(3).select(F.col("id").alias("key"), F.lit(0).alias("g"))
+    with pytest.raises(ValueError):
+        grouped_rank(base, ["g"], F.col("key"), "key", block_width=0)

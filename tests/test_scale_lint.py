@@ -317,6 +317,13 @@ R6_BOUNDED_GRAIN: dict[str, list[tuple[str, str]]] = {
         "CUSUM running sum over the per-DAY deviation table — "
         "calendar grain, bounded by the date span",
     )],
+    "events_peak_concurrency": [(
+        r"Sort \[_blk#\d+L ASC",
+        "sweep-line carry offsets over the per-MINUTE-block delta-sum "
+        "table — grain = observation span in minutes (time-domain "
+        "bounded, ~43k/month), never the session count; the rank.py "
+        "block discipline applied to the running concurrency sum",
+    )],
 }
 
 

@@ -688,3 +688,85 @@ def test_anomaly_mad_flags_planted_spike(spark):
     ]
     assert len(mondays) == 4
     assert all(not r["is_anomaly"] for r in mondays)
+
+
+def test_peak_concurrency_matches_bruteforce_on_random_intervals(spark):
+    """peak_concurrency_frame (r12) must equal the pure-Python sweep
+    line on random interval sets — including exact start/end ties
+    (the delta-DESC rule: starts before ends, touching intervals are
+    concurrent) and midnight-crossing sessions whose carry rides into
+    the next day's blocks."""
+    import random
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        peak_concurrency_frame,
+    )
+
+    rng = random.Random(1207)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    sessions = []
+    for _ in range(300):
+        start = base + dt.timedelta(minutes=rng.randrange(0, 5 * 1440))
+        dur = rng.choice([1, 30, 90, 600, 1440])  # minutes; some cross days
+        sessions.append((start, start + dt.timedelta(minutes=dur)))
+    # exact-tie cluster: one ends exactly when two start
+    t = base + dt.timedelta(minutes=777)
+    sessions += [(t - dt.timedelta(minutes=10), t), (t, t + dt.timedelta(minutes=5)),
+                 (t, t + dt.timedelta(minutes=9))]
+
+    df = spark.createDataFrame(sessions, "s timestamp, e timestamp")
+    got = {r["day"]: (r["peak_concurrent"], r["sessions_started"],
+                      r["sessions_ended"])
+           for r in peak_concurrency_frame(df).collect()}
+
+    # brute force: global sweep, starts before ends at equal ts
+    deltas = [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions]
+    deltas.sort(key=lambda x: (x[0], -x[1]))
+    conc, want = 0, {}
+    for ts, d in deltas:
+        conc += d
+        day = ts.date()
+        peak, st, en = want.get(day, (0, 0, 0))
+        want[day] = (max(peak, conc), st + (d == 1), en + (d == -1))
+    assert got == want
+
+
+def test_activity_streaks_match_bruteforce_on_random_days(spark, tmp_path):
+    """user_activity_streaks must equal the pure-Python longest-run
+    computation on random per-user day sets (duplicate events per day
+    must not split or extend a streak)."""
+    import random
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        user_activity_streaks,
+    )
+
+    rng = random.Random(42)
+    rows, truth_days = [], {}
+    eid = 0
+    for uid in range(1, 40):
+        days = sorted(rng.sample(range(0, 40), rng.randrange(1, 25)))
+        truth_days[uid] = days
+        for d in days:
+            for _ in range(rng.randrange(1, 3)):  # dup events same day
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 3, 1) +
+                             dt.timedelta(days=d, minutes=eid % 700),
+                             uid, "view", 1.0, "{}"))
+    d = _write_events(spark, rows, str(tmp_path / "sf"))
+    got = {r["streak_days"]: (r["n_users"], r["example_user"])
+           for r in user_activity_streaks(spark, d).collect()}
+
+    def longest(days):
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        return best
+
+    per_user = {u: longest(ds) for u, ds in truth_days.items()}
+    want = {}
+    for u, L in sorted(per_user.items()):
+        n, ex = want.get(L, (0, None))
+        want[L] = (n + 1, u if ex is None else min(ex, u))
+    assert got == want
