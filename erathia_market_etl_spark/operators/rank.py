@@ -230,3 +230,57 @@ def grouped_rank(
         .withColumn(out_n, F.col("_n").cast("long"))
         .drop("_s", "_blk", "_rn", "_below", "_n")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    tie_col: str,
+    weight: Column,
+    *,
+    block_width: int,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append the exact running ``SUM(weight) OVER (PARTITION BY group
+    ORDER BY value, tie_col ROWS UNBOUNDED PRECEDING)`` — current row
+    INCLUDED — via the same block decomposition as ``grouped_rank``:
+    per-(group, block) weight sums fold map-side, the carry into each
+    block rides a window over the tiny (group x block) table, and the
+    within-block running sum is a window partitioned by (group, block)
+    — parallel across blocks even inside one huge group, never a
+    per-group single-task funnel. This is the prefix-sum sibling of
+    ``grouped_rank`` (events_peak_concurrency inlines the ungrouped
+    time-domain case; mart_pareto_concentration consumes this one).
+
+    ``value`` and ``weight`` must cast losslessly onto longs; pick
+    ``block_width`` from the value's DOMAIN."""
+    if block_width <= 0:
+        raise ValueError("block_width must be > 0")
+    based = (
+        df.withColumn("_s", value.cast("long"))
+        .withColumn("_blk", F.expr(f"_s DIV {int(block_width)}"))
+        .withColumn("_w", weight.cast("long"))
+    )
+    blk = based.groupBy(*group_cols, "_blk").agg(F.sum("_w").alias("_bsum"))
+    w_carry = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = blk.select(
+        *group_cols,
+        "_blk",
+        F.coalesce(F.sum("_bsum").over(w_carry), F.lit(0)).alias("_carry"),
+    )
+    w_within = (
+        Window.partitionBy(*group_cols, "_blk")
+        .orderBy("_s", tie_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        based.withColumn("_win", F.sum("_w").over(w_within))
+        .join(F.broadcast(carry), [*group_cols, "_blk"])
+        .withColumn(out_col, (F.col("_carry") + F.col("_win")).cast("long"))
+        .drop("_s", "_blk", "_w", "_win", "_carry")
+    )

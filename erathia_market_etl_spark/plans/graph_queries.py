@@ -539,3 +539,137 @@ def graph_hits_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hubs.unionByName(auths).orderBy(
         F.desc("score"), "node_type", "entity_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation: synchronous LPA community detection over the
+# repeat-trade graph. UNREGISTERED (r12 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2        # THE CONTRACT: round-2 accounting state
+LPA_MIN_TRADES = 3    # an edge = pair traded >= 3 line items (kcore base)
+
+_LPA_ROUND_CTE = """
+    r{r} AS (
+        SELECT e.src AS v, l.lab, COUNT(*) AS c
+        FROM e0 e JOIN l{p} l ON e.dst = l.v
+        GROUP BY 1, 2
+    ),
+    l{r} AS (
+        SELECT v, lab FROM (
+            SELECT v, lab,
+                   ROW_NUMBER() OVER (PARTITION BY v
+                                      ORDER BY c DESC, lab) AS rn
+            FROM r{r}
+        ) WHERE rn = 1
+    )"""
+
+GRAPH_LABEL_PROPAGATION_ORACLE = (
+    """
+    WITH base AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS (
+        SELECT c AS src, s AS dst FROM rep
+        UNION ALL
+        SELECT s AS src, c AS dst FROM rep
+    ),
+    l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e0),"""
+    + ",".join(
+        _LPA_ROUND_CTE.format(r=r, p=r - 1) for r in range(1, LPA_ROUNDS + 1)
+    )
+    + """
+    SELECT lab AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(v) AS BIGINT) AS min_member,
+           CAST(MAX(v) AS BIGINT) AS max_member
+    FROM l{last}
+    GROUP BY lab ORDER BY community
+    """
+).format(minn=LPA_MIN_TRADES, last=LPA_ROUNDS)
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LABEL PROPAGATION (Raghavan 2007) community
+    detection over the same repeat-trade graph the k-core peels: every
+    node starts as its own label; each round every node adopts the
+    label most frequent among its NEIGHBORS, ties broken by the
+    SMALLEST label — the deterministic variant (vanilla LPA breaks
+    ties randomly; a seeded tie would never hash-match across
+    engines). ROUNDS=2 IS THE CONTRACT (the pagerank/HITS precedent):
+    the output is the round-2 accounting state, attested bit-for-bit
+    by the DuckDB unrolled-CTE twin, not the (order-dependent)
+    fixpoint. LPA is a genuinely different iterative kernel from the
+    shipped three: mass-free like k-core but GROWING regions like
+    components, with a per-round ARGMAX (not sum/threshold/min).
+
+    Scale shape: each round is one edge-sized hash join (node-sized
+    label table onto the edge list) + a (node, label)-keyed count that
+    folds map-side + a node-keyed struct-max argmax — no window, no
+    single partition; ties resolve inside the aggregate via
+    max(struct(count, -label)). Round depth is fixed at 2, so no
+    checkpoint is needed (the pagerank lineage discipline starts at 3).
+
+    Reference parity: beyond-reference graph surface; shares the
+    repeat-trade base (>= LPA_MIN_TRADES line items) with
+    graph_kcore_loyalty so the two marts describe the same graph."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rep = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= LPA_MIN_TRADES)
+        .select("c", "s")
+    )
+    edges = (
+        rep.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(rep.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint()  # feeds l0 + one join per round
+    )
+    labels = lpa_labels(edges, LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("v").cast("long").alias("min_member"),
+            F.max("v").cast("long").alias("max_member"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_members", "min_member", "max_member",
+        )
+        .orderBy("community")
+    )
+
+
+def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Core of graph_label_propagation over any directed (src, dst)
+    edge frame (pass both directions for an undirected graph):
+    ``rounds`` synchronous most-frequent-neighbor-label updates from
+    lab0(v) = v, ties to the SMALLEST label — factored for the
+    planted-topology tests (tests/test_graph.py pins the tie rule and
+    a genuine round-2 change)."""
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
+        "lab", F.col("v")
+    )
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select("src", "lab")
+        cnt = nbr.groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = cnt.groupBy("src").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("m")
+        ).select(F.col("src").alias("v"), (-F.col("m.neg")).alias("lab"))
+    return labels

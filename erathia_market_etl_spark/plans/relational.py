@@ -1821,3 +1821,132 @@ def mart_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# mart_pareto_concentration: the 80/20 point of the revenue Lorenz
+# curve. UNREGISTERED (r12 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+PARETO_TARGET_NUM = 4  # top customers covering >= 4/5 (80%) of revenue
+PARETO_TARGET_DEN = 5
+
+MART_PARETO_CONCENTRATION_ORACLE = f"""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS t
+        FROM rev GROUP BY nk
+    ),
+    cum AS (
+        SELECT nk,
+               CAST(SUM(cents) OVER (PARTITION BY nk
+                                     ORDER BY cents DESC, ck
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM rev
+    ),
+    below AS (
+        SELECT c.nk,
+               CAST(COUNT(*) AS BIGINT) AS n_below
+        FROM cum c JOIN tot ON c.nk = tot.nk
+        WHERE {PARETO_TARGET_DEN} * c.cum < {PARETO_TARGET_NUM} * tot.t
+        GROUP BY c.nk
+    )
+    SELECT n.n_name AS nation_name, tot.n_customers,
+           COALESCE(b.n_below, 0) + 1 AS top_customers_for_80pct,
+           (COALESCE(b.n_below, 0) + 1) * 1000000 // tot.n_customers
+               AS top_share_ppm
+    FROM tot LEFT JOIN below b ON tot.nk = b.nk
+    JOIN nation n ON tot.nk = n.n_nationkey
+    ORDER BY nation_name
+    """
+
+
+def mart_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 (Pareto) point of each nation's revenue Lorenz curve:
+    the SMALLEST count of top-spending customers whose lifetime spend
+    covers >= 80% of the nation's revenue, plus that count as an exact
+    ppm share of the customer base — the 'how concentrated is the
+    book, in heads' companion to mart_revenue_gini's dimensionless
+    coefficient. With cum_r the descending-order running spend,
+    n80 = min{{r : 5*cum_r >= 4*T}} = 1 + |{{r : 5*cum_r < 4*T}}|
+    (cum is strictly increasing in r because spend is positive), so
+    the answer is a COUNT over the prefix sums — all-integer, no
+    floats anywhere.
+
+    Scale shape: the running spend comes from ``operators/rank.py``'s
+    ``grouped_prefix_sum`` BLOCK decomposition (per-(nation, $1k
+    block) sums fold map-side, carries ride the tiny block table, the
+    within-block window partitions by (nation, block)) — a bare
+    SUM() OVER (PARTITION BY nation ORDER BY ...) would funnel each
+    nation's full customer population through one task, the r11 RFM
+    scale-killer in per-group form. The threshold count is a
+    group-sized aggregate; nation names ride a broadcast. Ordering by
+    descending spend uses the NEGATED cents as the block key —
+    truncating division stays monotone for negatives, blocks stay
+    order-aligned."""
+    from ..operators.rank import grouped_prefix_sum
+
+    cents_col = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        T(spark, sf_dir, "orders")
+        .select("o_custkey", cents_col.alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+            "cents",
+        )
+    )
+    tot = rev.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    cum = grouped_prefix_sum(
+        rev,
+        ["nk"],
+        -F.col("cents"),
+        "ck",
+        F.col("cents"),
+        block_width=REVENUE_GINI_BLOCK_CENTS,
+        out_col="cum",
+    )
+    below = (
+        cum.join(F.broadcast(tot.select("nk", "t")), "nk")
+        .filter(
+            F.lit(PARETO_TARGET_DEN) * F.col("cum")
+            < F.lit(PARETO_TARGET_NUM) * F.col("t")
+        )
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_below"))
+    )
+    nation = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    )
+    return (
+        tot.join(below, "nk", "left")
+        .join(F.broadcast(nation), "nk")
+        .select(
+            "nation_name",
+            "n_customers",
+            (F.coalesce(F.col("n_below"), F.lit(0)) + 1).cast("long")
+            .alias("top_customers_for_80pct"),
+            F.expr(
+                f"(COALESCE(n_below, 0) + 1) * 1000000 DIV n_customers"
+            ).cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("nation_name")
+    )

@@ -1067,3 +1067,121 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# exp_assignment_srm: deterministic experiment assignment + sample-ratio
+# -mismatch audit. UNREGISTERED (r12 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+# (variant, weight in percent) — weights sum to 100; CASE arms below
+# carve [0, 100) into contiguous bucket ranges in this order.
+EXP_VARIANTS = (("control", 50), ("treat_a", 25), ("treat_b", 25))
+
+
+def _exp_variant_case(bucket: str) -> str:
+    """Engine-portable CASE mapping a [0,100) bucket onto variants."""
+    arms, lo = [], 0
+    for name, w in EXP_VARIANTS[:-1]:
+        lo += w
+        arms.append(f"WHEN ({bucket}) < {lo} THEN '{name}'")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE '{EXP_VARIANTS[-1][0]}' END")
+
+
+def _exp_srm_oracle() -> str:
+    from .sketch_queries import _hash32_sql
+
+    bucket = f"({_hash32_sql('user_id')}) % 100"
+    weights = " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, {w} AS weight_pct"
+        for name, w in EXP_VARIANTS
+    )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+        SELECT user_id, {_exp_variant_case(bucket)} AS variant FROM users
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM users),
+    w AS ({weights}),
+    obs AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_assigned
+        FROM assigned GROUP BY variant
+    )
+    SELECT w.variant, w.weight_pct,
+           COALESCE(obs.n_assigned, 0) AS n_assigned,
+           COALESCE(obs.n_assigned, 0) * 1000000 // n.n_users
+               AS observed_ppm,
+           CAST(POWER(100 * COALESCE(obs.n_assigned, 0)
+                      - n.n_users * w.weight_pct, 2) AS BIGINT)
+               * 1000000 // (100 * n.n_users * w.weight_pct)
+               AS chi2_micro
+    FROM w LEFT JOIN obs ON w.variant = obs.variant CROSS JOIN n
+    ORDER BY w.variant
+    """
+
+
+EXP_ASSIGNMENT_SRM_ORACLE = _exp_srm_oracle()
+
+
+def exp_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment (A/B/n) assignment plus the
+    SAMPLE-RATIO-MISMATCH audit every experimentation platform runs
+    before trusting a readout: each distinct user hashes into a
+    [0, 100) bucket via the engine-portable integer avalanche
+    (plans/sketch_queries.py — identical bit-for-bit on both engines;
+    NEVER rand(), which the scale lint bans and which would unbalance
+    re-runs), buckets carve into weighted variants (50/25/25), and the
+    per-variant Pearson chi-square contribution is reported in exact
+    integer MICRO-units:
+
+        chi2_i = (obs_i - n*w_i/100)^2 / (n*w_i/100)
+               = (100*obs_i - n*w_i)^2 / (100*n*w_i)
+
+    — all-integer multiply-then-DIV, no float crosses the engine
+    boundary. A platform alerts when the summed statistic exceeds the
+    chi-square critical value; the per-variant contributions are the
+    diagnostic view that localizes which arm leaks.
+
+    Scale shape: one DISTINCT on user_id (map-side combinable), one
+    narrow hash projection, one 3-group aggregate, and a broadcast of
+    the 3-row weight table — nothing else. At 100 TB assignment stays
+    a pure map (the hash rides into any downstream join or filter);
+    the audit is group-count-sized. (100*obs)^2 stays inside int64 up
+    to ~10^8 users per variant; beyond that the standard move is the
+    DECIMAL/HUGEINT upgrade, noted not needed at fixture SFs."""
+    from .sketch_queries import _hash32_spark_sql
+
+    bucket = f"({_hash32_spark_sql('user_id')}) % 100"
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("variant", F.expr(_exp_variant_case(bucket)))
+    )
+    n = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = spark.createDataFrame(
+        list(EXP_VARIANTS), "variant string, weight_pct long"
+    )
+    obs = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    return (
+        w.join(obs, "variant", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "variant",
+            "weight_pct",
+            F.coalesce(F.col("n_assigned"), F.lit(0)).cast("long")
+            .alias("n_assigned"),
+            F.expr("COALESCE(n_assigned, 0) * 1000000 DIV n_users")
+            .cast("long").alias("observed_ppm"),
+            F.expr(
+                "CAST(POWER(100 * COALESCE(n_assigned, 0)"
+                " - n_users * weight_pct, 2) AS BIGINT)"
+                " * 1000000 DIV (100 * n_users * weight_pct)"
+            ).cast("long").alias("chi2_micro"),
+        )
+        .orderBy("variant")
+    )

@@ -530,3 +530,50 @@ def test_kcore_loyalty_fixture_actually_peels(spark):
     )
     assert len(rows) < n_initial, (len(rows), n_initial)
     assert KCORE_K >= 2
+
+
+def _undirected(spark, pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return df.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def test_lpa_tie_rule_and_round2_propagation(spark):
+    """Planted path 1-2-3-4-5: after round 1 every node holds its
+    smallest neighbor's label (tie rule: with all-distinct initial
+    labels every neighbor label has count 1, so argmax = MIN neighbor
+    label); after round 2 labels propagate a second hop — the round-2
+    state differs from round 1, so ROUNDS=2 is attested non-vacuously."""
+    from erathia_market_etl_spark.plans.graph_queries import lpa_labels
+
+    edges = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    r1 = {r["v"]: r["lab"] for r in lpa_labels(edges, 1).collect()}
+    # min-neighbor: 1<-2's min nbr is... node 1's nbrs = {2} -> 2;
+    # 2's nbrs {1,3} -> 1; 3's {2,4} -> 2; 4's {3,5} -> 3; 5's {4} -> 4
+    assert r1 == {1: 2, 2: 1, 3: 2, 4: 3, 5: 4}
+    r2 = {r["v"]: r["lab"] for r in lpa_labels(edges, 2).collect()}
+    # round 2 over r1 labels: 1 sees {lab(2)=1} -> 1; 2 sees {2,2} -> 2;
+    # 3 sees {1,3} -> 1; 4 sees {2,4} -> 2; 5 sees {3} -> 3
+    assert r2 == {1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    assert r2 != r1
+
+
+def test_lpa_majority_beats_smaller_label(spark):
+    """Argmax is by COUNT first, label only on ties: after round 1 the
+    2-3-6 triangle converges its boundary to label 2, so in round 2
+    node 5 sees neighbor labels {2 x2 (from 3 and 6), 3 x1 (from 2),
+    5 x1 (from 4)} and must adopt the MAJORITY label 2 — not the
+    result of any pure-min rule over raw neighbor ids (which round 1
+    already pins separately)."""
+    from erathia_market_etl_spark.plans.graph_queries import lpa_labels
+
+    edges = _undirected(
+        spark, [(2, 3), (2, 6), (3, 6), (2, 5), (3, 5), (6, 5), (4, 5)]
+    )
+    r2 = {r["v"]: r["lab"] for r in lpa_labels(edges, 2).collect()}
+    assert r2[5] == 2
+    # and node 4 follows its only neighbor's round-1 label
+    assert r2[4] == 2  # lab(5) after round 1 = min(2,3,4,6) = 2

@@ -535,6 +535,27 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented experiment assignment + SRM audit: avalanche
+        # hash buckets -> weighted variants, per-arm Pearson chi-square
+        # contribution in exact integer micro-units
+        "exp_assignment_srm": (
+            _pq().exp_assignment_srm,
+            _pq().EXP_ASSIGNMENT_SRM_ORACLE,
+        ),
+        # r12-implemented Lorenz 80/20 point: smallest top-spender
+        # count covering 80% of each nation's revenue, via the
+        # grouped_prefix_sum block decomposition (all-integer)
+        "mart_pareto_concentration": (
+            _rq().mart_pareto_concentration,
+            _rq().MART_PARETO_CONCENTRATION_ORACLE,
+        ),
+        # r12-implemented LPA community detection: 2 synchronous
+        # most-frequent-neighbor-label rounds (ties to smallest) over
+        # the k-core's repeat-trade graph vs a DuckDB unrolled-CTE twin
+        "graph_label_propagation": (
+            _gq().graph_label_propagation,
+            _gq().GRAPH_LABEL_PROPAGATION_ORACLE,
+        ),
         # r12-implemented sweep-line capacity statistic: peak
         # concurrent 30-min-gap sessions per day via the
         # block-decomposed prefix sum (minute blocks — time-domain

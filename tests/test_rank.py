@@ -266,3 +266,32 @@ def test_grouped_rank_rejects_nonpositive_width(spark):
     base = spark.range(3).select(F.col("id").alias("key"), F.lit(0).alias("g"))
     with pytest.raises(ValueError):
         grouped_rank(base, ["g"], F.col("key"), "key", block_width=0)
+
+
+def test_grouped_prefix_sum_matches_native_window(spark):
+    """grouped_prefix_sum (r12) must equal the native running
+    SUM() OVER (PARTITION BY g ORDER BY v, key ROWS UNBOUNDED
+    PRECEDING) — ties, negatives, and block straddles included — and
+    stay SinglePartition-free."""
+    from erathia_market_etl_spark.operators.rank import grouped_prefix_sum
+
+    base = spark.range(197).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 4).alias("g"),
+        (((F.col("id") * 11) % 23) - 6).alias("v"),
+        (((F.col("id") * 3) % 17) - 2).alias("wt"),
+    )
+    got = grouped_prefix_sum(
+        base, ["g"], F.col("v"), "key", F.col("wt"),
+        block_width=5, out_col="cum",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = base.withColumn("cum_native", F.sum("wt").over(w))
+    joined = got.join(want, ["key", "g"]).select("cum", "cum_native")
+    assert joined.filter(F.col("cum") != F.col("cum_native")).count() == 0
+    assert joined.count() == 197
+    assert "Exchange SinglePartition" not in _plan(got)

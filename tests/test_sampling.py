@@ -448,3 +448,32 @@ def test_systematic_interval_exact_rate_per_window(spark):
     n_kept = sum(r["n_kept"] for r in out)
     assert n_kept == (n_total + SYSTEMATIC_K - 1) // SYSTEMATIC_K
     assert all(r["n_kept"] >= 1 for r in out) or n_total < SYSTEMATIC_K
+
+
+def test_exp_srm_chi_square_matches_bruteforce(spark):
+    """exp_assignment_srm's integer micro-unit chi-square must equal
+    the float Pearson statistic computed from its own counts (floored
+    to micro-units), arms must cover every distinct user exactly once,
+    and the assignment must be deterministic across runs (hash, not
+    rand)."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        exp_assignment_srm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["variant"]: r.asDict()
+            for r in exp_assignment_srm(spark, sf).collect()}
+    n = sum(v["n_assigned"] for v in rows.values())
+    users = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert n == users
+    for v in rows.values():
+        exp = n * v["weight_pct"] / 100
+        chi = (v["n_assigned"] - exp) ** 2 / exp
+        assert v["chi2_micro"] == int(chi * 1_000_000)
+        assert v["observed_ppm"] == v["n_assigned"] * 1_000_000 // n
+    again = {r["variant"]: r["n_assigned"]
+             for r in exp_assignment_srm(spark, sf).collect()}
+    assert again == {k: v["n_assigned"] for k, v in rows.items()}
