@@ -742,3 +742,170 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median: exact quantity-weighted median price per flag.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+# $5 price blocks — the TPC-H extendedprice domain is fixed
+# (~900..~105000 dollars), so the (flag x block) table stays O(20k)
+# rows at ANY data volume.
+WMEDIAN_BLOCK_CENTS = 500
+
+AGG_WEIGHTED_MEDIAN_ORACLE = """
+    WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty,
+               l_orderkey * 10 + l_linenumber AS tie
+        FROM lineitem
+    ),
+    tot AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM li GROUP BY flag
+    ),
+    cum AS (
+        SELECT flag, cents,
+               CAST(SUM(qty) OVER (PARTITION BY flag
+                                   ORDER BY cents, tie
+                                   ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw
+        FROM li
+    )
+    SELECT t.flag, t.n_rows, t.total_qty,
+           (SELECT MIN(c.cents) FROM cum c
+            WHERE c.flag = t.flag AND 2 * c.cw >= t.total_qty)
+               AS weighted_median_cents
+    FROM tot t
+    ORDER BY t.flag
+    """
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag — the
+    robust 'typical traded price' statistic (each row votes with its
+    quantity, so a 50-unit line moves the median 50x more than a
+    1-unit line; the plain median of line prices ignores volume). The
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the total, min{{v : 2*cum(v) >= W}} — cum is
+    monotone, so the answer is a MIN over a threshold filter on the
+    running weight.
+
+    Scale shape: the running weight comes from
+    ``operators/rank.py grouped_prefix_sum`` — per-(flag, $5 price
+    block) weight sums fold map-side, carries ride the tiny
+    (flag x block) table, within-block windows partition by
+    (flag, block); a bare SUM() OVER (PARTITION BY flag ORDER BY
+    price) would funnel each flag's full line population (a third of
+    the fact table) through one task. The threshold pick and the
+    totals are group-sized aggregates. All-integer: exact cents,
+    exact long quantities, no floats."""
+    from ..operators.rank import grouped_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tie"),
+    )
+    tot = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+    cum = grouped_prefix_sum(
+        li,
+        ["flag"],
+        F.col("cents"),
+        "tie",
+        F.col("qty"),
+        block_width=WMEDIAN_BLOCK_CENTS,
+        out_col="cw",
+    )
+    med = (
+        cum.join(F.broadcast(tot.select("flag", "total_qty")), "flag")
+        .filter(2 * F.col("cw") >= F.col("total_qty"))
+        .groupBy("flag")
+        .agg(F.min("cents").cast("long").alias("weighted_median_cents"))
+    )
+    return (
+        tot.join(med, "flag")
+        .select("flag", "n_rows", "total_qty", "weighted_median_cents")
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity: k-anonymity audit over quasi-identifiers.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # the audit threshold: groups smaller than k are re-identifiable
+
+PRIVACY_K_ANONYMITY_ORACLE = f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(cell_n) AS BIGINT) AS n_rows
+        FROM cells
+    )
+    SELECT tot.n_cells, tot.n_rows,
+           (SELECT CAST(MIN(cell_n) AS BIGINT) FROM cells) AS min_cell,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cells
+            WHERE cell_n < {KANON_K}) AS risky_cells,
+           (SELECT CAST(COALESCE(SUM(cell_n), 0) AS BIGINT) FROM cells
+            WHERE cell_n < {KANON_K}) AS risky_rows,
+           (SELECT CAST(COALESCE(SUM(cell_n), 0) AS BIGINT) FROM cells
+            WHERE cell_n < {KANON_K}) * 1000000 // tot.n_rows
+               AS risky_share_ppm
+    FROM tot
+    """
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002) over the customer table's
+    quasi-identifier pair (nation, market segment): a row is
+    re-identifiable when its quasi-identifier CELL holds fewer than
+    KANON_K (5) rows, so the audit reports the cell count, the
+    smallest cell, and how many cells/rows fall under k (exact-ppm
+    share) — the release gate a training-data governance pass runs
+    before publishing a derived table. (The PII-scrub operator,
+    text_pii_scrub, handles direct identifiers; this is the
+    LINKAGE-risk side: quasi-identifiers that join to external data.)
+
+    Scale shape: one (nation x segment)-keyed count — map-side
+    combinable, cell-grain output bounded by the quasi-identifier
+    DOMAIN (25 x 5 here), then scalar rollups over that tiny cell
+    table. Nothing but the cell table crosses any exchange at 100 TB.
+    All-integer."""
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_n"))
+    )
+    risky = F.col("cell_n") < KANON_K
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cell_n").cast("long").alias("n_rows"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.sum(risky.cast("long")).cast("long").alias("risky_cells"),
+        F.sum(F.when(risky, F.col("cell_n")).otherwise(0)).cast("long")
+        .alias("risky_rows"),
+    ).select(
+        "n_cells",
+        "n_rows",
+        "min_cell",
+        "risky_cells",
+        "risky_rows",
+        F.expr("risky_rows * 1000000 DIV n_rows").cast("long")
+        .alias("risky_share_ppm"),
+    )

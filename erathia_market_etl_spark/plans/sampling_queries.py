@@ -1185,3 +1185,99 @@ def exp_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# exp_variant_conversion: the experiment readout on top of the
+# deterministic assignment. UNREGISTERED (r12 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+
+def _exp_conversion_oracle() -> str:
+    from .sketch_queries import _hash32_sql
+
+    bucket = f"({_hash32_sql('user_id')}) % 100"
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+        SELECT user_id, {_exp_variant_case(bucket)} AS variant FROM users
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+        SELECT a.variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+        FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+        GROUP BY a.variant
+    ),
+    ctrl AS (
+        SELECT n_converted * 1000000 // n_users AS ctrl_ppm FROM arms
+        WHERE variant = 'control'
+    )
+    SELECT arms.variant, arms.n_users, arms.n_converted,
+           arms.n_converted * 1000000 // arms.n_users AS conversion_ppm,
+           arms.n_converted * 1000000 // arms.n_users - ctrl.ctrl_ppm
+               AS uplift_ppm
+    FROM arms CROSS JOIN ctrl
+    ORDER BY arms.variant
+    """
+
+
+EXP_VARIANT_CONVERSION_ORACLE = _exp_conversion_oracle()
+
+
+def exp_variant_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment READOUT on top of exp_assignment_srm's
+    deterministic arms: per variant, users, purchase converters,
+    exact-ppm conversion, and uplift vs the control arm — the A/B/n
+    summary table. (The fixture's hash arms are orthogonal to behavior
+    by construction, so uplift hovers near zero — the point attested
+    is the exact accounting, not a causal effect.)
+
+    Scale shape: assignment stays the pure avalanche-hash map; the
+    converter set is one DISTINCT on (user) after a type filter
+    (map-side combinable); arms fold in one LEFT-join + 3-group
+    aggregate; the control row rides back as a 1-row broadcast cross
+    join (the bm25 corpus-stats pattern). All-integer ppm."""
+    from .sketch_queries import _hash32_spark_sql
+
+    bucket = f"({_hash32_spark_sql('user_id')}) % 100"
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id").distinct()
+        .withColumn("variant", F.expr(_exp_variant_case(bucket)))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    arms = (
+        assigned.join(conv, assigned["user_id"] == F.col("cu"), "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("cu").cast("long").alias("n_converted"),
+        )
+    )
+    ctrl = arms.filter(F.col("variant") == "control").select(
+        F.expr("n_converted * 1000000 DIV n_users").alias("ctrl_ppm")
+    )
+    return (
+        arms.crossJoin(F.broadcast(ctrl))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000000 DIV n_users").cast("long")
+            .alias("conversion_ppm"),
+            (
+                F.expr("n_converted * 1000000 DIV n_users")
+                - F.col("ctrl_ppm")
+            ).cast("long").alias("uplift_ppm"),
+        )
+        .orderBy("variant")
+    )

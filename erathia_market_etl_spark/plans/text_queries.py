@@ -2529,3 +2529,76 @@ def text_vocab_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# mart_corpus_mix: the per-source data-mix report (docs/tokens kept by
+# the quality gate, and each source's share of the post-gate token
+# budget). UNREGISTERED (r12 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+MART_CORPUS_MIX_ORACLE = f"""
+    WITH {_GATE_SQL_CTE},
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM gated GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS ck FROM per)
+    SELECT per.source, per.n_docs, per.kept_docs, per.total_tokens,
+           per.kept_tokens,
+           per.kept_tokens * 1000000 // tot.ck AS mix_share_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY per.source
+    """
+
+
+def mart_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA-MIX report a pretraining pipeline signs off before a
+    run: per corpus source, document and token counts before/after the
+    C4/Gopher quality gate, and the source's exact-ppm share of the
+    POST-GATE token budget — the number that actually becomes the
+    mixture weight (sample_temperature_mixture reweights it; this mart
+    is the observed baseline it reweights FROM).
+
+    Scale shape: reuses ``_gate_frame`` (narrow per-doc rules, no
+    shuffle) and folds straight into a source-keyed aggregate —
+    map-side combinable, group-count-sized output; the corpus-wide
+    kept-token total is a 1-row broadcast (the bm25 corpus-stats
+    pattern). Nothing but (source, two longs) rides the one exchange.
+    All-integer; share is multiply-then-DIV ppm."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per = (
+        _gate_frame(docs)
+        .select("source", "n_tokens", "keep")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long").alias("kept_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("kept_tokens").cast("long").alias("ck"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "total_tokens",
+            "kept_tokens",
+            F.expr("kept_tokens * 1000000 DIV ck").cast("long")
+            .alias("mix_share_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -535,6 +535,35 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented experiment readout: per-variant users /
+        # purchase converters / exact-ppm conversion + uplift vs the
+        # control arm (composes exp_assignment_srm's hash arms)
+        "exp_variant_conversion": (
+            _pq().exp_variant_conversion,
+            _pq().EXP_VARIANT_CONVERSION_ORACLE,
+        ),
+        # r12-implemented k-anonymity audit over the (nation, segment)
+        # quasi-identifier pair: cells, min cell, risky cells/rows
+        # under k=5 with exact-ppm share (domain-bounded cell grain)
+        "privacy_k_anonymity": (
+            _fq().privacy_k_anonymity,
+            _fq().PRIVACY_K_ANONYMITY_ORACLE,
+        ),
+        # r12-implemented per-source data-mix report: docs/tokens
+        # before/after the quality gate + exact-ppm share of the
+        # post-gate token budget (reuses _gate_frame; SAME rules as
+        # text_quality_gate so the two attest each other)
+        "mart_corpus_mix": (
+            _tq().mart_corpus_mix,
+            _tq().MART_CORPUS_MIX_ORACLE,
+        ),
+        # r12-implemented exact quantity-weighted median price per
+        # flag via grouped_prefix_sum (lower weighted median as a MIN
+        # over the running-weight threshold; all-integer)
+        "agg_weighted_median": (
+            _fq().agg_weighted_median,
+            _fq().AGG_WEIGHTED_MEDIAN_ORACLE,
+        ),
         # r12-implemented experiment assignment + SRM audit: avalanche
         # hash buckets -> weighted variants, per-arm Pearson chi-square
         # contribution in exact integer micro-units

