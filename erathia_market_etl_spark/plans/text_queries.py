@@ -2576,7 +2576,17 @@ def mart_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    per = (
+    return present_corpus_mix(corpus_mix_state(docs))
+
+
+def corpus_mix_state(docs: DataFrame) -> DataFrame:
+    """The MERGEABLE per-source mix state over any document slice —
+    four counter columns keyed by source, a pure counter monoid
+    (merge = SUM by source), so partial states from independent
+    slices/micro-batches fold to exactly the full-corpus state
+    (streaming/event_stream.py streaming_mix_append maintains it
+    under ingest)."""
+    return (
         _gate_frame(docs)
         .select("source", "n_tokens", "keep")
         .groupBy("source")
@@ -2588,9 +2598,27 @@ def mart_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("kept_tokens"),
         )
     )
-    tot = per.agg(F.sum("kept_tokens").cast("long").alias("ck"))
+
+
+def merge_mix_states(*states: DataFrame) -> DataFrame:
+    """Fold partial corpus-mix states (the counter-monoid merge)."""
+    from functools import reduce
+
+    log = reduce(lambda a, b: a.unionByName(b), states)
+    return log.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("kept_docs").cast("long").alias("kept_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+    )
+
+
+def present_corpus_mix(state: DataFrame) -> DataFrame:
+    """Serving view over a (merged) mix state: attach each source's
+    exact-ppm share of the post-gate token budget (1-row broadcast)."""
+    tot = state.agg(F.sum("kept_tokens").cast("long").alias("ck"))
     return (
-        per.crossJoin(F.broadcast(tot))
+        state.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",

@@ -599,3 +599,40 @@ def read_kmv_state(spark: SparkSession, state_path: str) -> DataFrame:
 
     log = spark.read.parquet(state_path).dropDuplicates(["batch_id", "h"])
     return log.select("h").distinct().orderBy("h").limit(KMV_K)
+
+
+def streaming_mix_append(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    after_write: Any = None,
+) -> list[int]:
+    """Corpus-mix maintenance under ingest — the sixth member of the
+    mergeable-state maintenance family (day rollups, CMS counters,
+    candles, HLL registers, KMV order statistics): each document
+    micro-batch appends its per-source gate-mix COUNTER slice
+    (plans.text_queries.corpus_mix_state — n_docs/kept_docs/
+    total_tokens/kept_tokens by source, ≤ |sources| rows per batch
+    regardless of batch size); serving merges by SUM and attaches the
+    ppm share on read. This is how the data-mix report stays live
+    while the corpus ingests — no re-gating of history, ever."""
+    from ..plans.text_queries import corpus_mix_state
+
+    return _run_state_append(
+        docs, state_path, corpus_mix_state, checkpoint, after_write
+    )
+
+
+def read_mix_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the streaming corpus-mix log: one row per
+    (batch_id, source) survives the retry dedup (a replayed batch
+    re-appends an identical slice), the counter monoid folds by SUM,
+    and the serving view attaches the exact-ppm mix share — identical
+    output contract to batch ``mart_corpus_mix`` over the full corpus
+    (pinned in tests/test_streaming.py)."""
+    from ..plans.text_queries import merge_mix_states, present_corpus_mix
+
+    log = spark.read.parquet(state_path).dropDuplicates(
+        ["batch_id", "source"]
+    )
+    return present_corpus_mix(merge_mix_states(log.drop("batch_id")))
