@@ -491,3 +491,110 @@ def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, sample_rate int, n_samples long, "
         "sum_samples long, peak int, checksum_weighted long",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# media_scene_segments: shot/scene segmentation over sampled frame
+# fingerprints. UNREGISTERED (r12 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+# 24-bit frame energy domain; a jump of more than half the domain
+# between consecutive frames opens a new scene (uniform fingerprints
+# => ~1/4 boundary rate, so fixture videos carry many multi-frame
+# scenes AND many boundaries — both paths non-vacuous).
+SCENE_JUMP_THRESHOLD = 1 << 23
+
+MEDIA_SCENE_SEGMENTS_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id AS media_id, text, 24 + doc_id % 240 AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    e AS (
+        SELECT media_id, CAST(f AS INT) AS frame_idx,
+               CAST('0x' || substr(md5(text || '|' || f), 1, 6) AS BIGINT)
+                   AS energy
+        FROM v, UNNEST(range(0, n_frames)) AS u(f)
+    ),
+    flagged AS (
+        SELECT media_id, frame_idx, energy,
+               CASE WHEN LAG(energy) OVER w IS NULL
+                         OR ABS(energy - LAG(energy) OVER w)
+                            > {SCENE_JUMP_THRESHOLD}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+        SELECT media_id,
+               SUM(is_new) OVER (PARTITION BY media_id ORDER BY frame_idx
+                                 ROWS UNBOUNDED PRECEDING) AS scene_id
+        FROM flagged
+    ),
+    lens AS (
+        SELECT media_id, scene_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM scenes GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CAST(SUM(len) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes,
+           CAST(MAX(len) AS BIGINT) AS longest_scene
+    FROM lens GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+def media_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT/SCENE segmentation of the video assets — the frame-level
+    composition a video-curation pipeline runs before clip extraction:
+    every frame is fingerprinted through the SAME mapInPandas decode
+    plumbing as media_frame_sample (stride 1), a 24-bit ENERGY is read
+    off the fingerprint (hex->int, engine-portable), and a new scene
+    opens wherever consecutive frames jump by more than half the
+    energy domain — then gaps-and-islands (running sum of boundary
+    flags) yields per-video scene counts and the longest scene. On
+    real codecs the energy column would be a luma histogram distance
+    from the decoded frames (the honest-stub convention of
+    operators/multimodal.py); the fingerprint energy exercises the
+    identical Spark plumbing end-to-end.
+
+    Scale shape: the frame expansion happens INSIDE mapInPandas (1->N
+    rows, payload read once, only (media_id, idx, 32-byte hash) ever
+    leaves); the lag/cumsum windows partition BY media_id whose
+    per-key row count is bounded by meta.n_frames (a per-asset
+    constant, the user-day precedent), and the two rollups are
+    group-sized. Payload bytes never shuffle."""
+    frames = sample_frames(_media(spark, sf_dir), every_n=1)
+    from pyspark.sql import Window
+
+    energy = F.conv(F.substring("frame_hash", 1, 6), 16, 10).cast("bigint")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "media_id", "frame_idx", energy.alias("energy")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("energy").over(w).isNull()
+            | (
+                F.abs(F.col("energy") - F.lag("energy").over(w))
+                > SCENE_JUMP_THRESHOLD
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    scenes = flagged.withColumn(
+        "scene_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = scenes.groupBy("media_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        lens.groupBy("media_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_frames"),
+            F.count(F.lit(1)).cast("long").alias("n_scenes"),
+            F.max("len").cast("long").alias("longest_scene"),
+        )
+        .orderBy("media_id")
+    )

@@ -535,6 +535,13 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented shot/scene segmentation over frame
+        # fingerprints: mapInPandas stride-1 frame expansion ->
+        # hex-energy jumps -> gaps-and-islands scene rollup
+        "media_scene_segments": (
+            _mq().media_scene_segments,
+            _mq().MEDIA_SCENE_SEGMENTS_ORACLE,
+        ),
         # r12-implemented experiment readout: per-variant users /
         # purchase converters / exact-ppm conversion + uplift vs the
         # control arm (composes exp_assignment_srm's hash arms)
