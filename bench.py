@@ -113,6 +113,11 @@ TIER2 = [
     # the frozen tier-2 bar at the next freeze.
     "media_feature_extract",
     "agg_hll_registers",
+    # r12 session 2: the grouped block-rank / block-prefix-sum kernel
+    # flagships (concentration mart + sweep-line concurrency) — first
+    # numbers this round, join the frozen bar at the next freeze.
+    "mart_revenue_gini",
+    "events_peak_concurrency",
 ]
 
 
@@ -159,11 +164,18 @@ def _tier2_queries():
         agg_hll_registers,
     )
 
+    from erathia_market_etl_spark.plans.event_windows import (
+        events_peak_concurrency,
+    )
+    from erathia_market_etl_spark.plans.relational import mart_revenue_gini
+
     return {
         "graph_pagerank_influence": graph_pagerank_influence,
         "scd2_user_tier_history": scd2_user_tier_history,
         "stream_rollup_maintenance": stream_rollup_maintenance,
         "agg_hll_registers": agg_hll_registers,
+        "mart_revenue_gini": mart_revenue_gini,
+        "events_peak_concurrency": events_peak_concurrency,
     }
 
 

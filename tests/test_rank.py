@@ -295,3 +295,18 @@ def test_grouped_prefix_sum_matches_native_window(spark):
     assert joined.filter(F.col("cum") != F.col("cum_native")).count() == 0
     assert joined.count() == 197
     assert "Exchange SinglePartition" not in _plan(got)
+
+
+def test_concentration_marts_plans_are_singlepartition_free(spark):
+    """The two concentration marts (r12) compose the grouped kernels
+    end-to-end: their FULL query plans must carry no Exchange
+    SinglePartition — the per-group decomposition must survive the
+    surrounding joins/aggregates, not just hold in kernel isolation."""
+    from erathia_market_etl_spark.plans.relational import (
+        mart_pareto_concentration,
+        mart_revenue_gini,
+    )
+
+    for fn in (mart_revenue_gini, mart_pareto_concentration):
+        plan = _plan(fn(spark, SF_T2))
+        assert "Exchange SinglePartition" not in plan, fn.__name__
