@@ -887,3 +887,91 @@ def dedup_minhash_jaccard_estimate(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_hard_negatives: contrastive-training negative mining from the
+# LSH candidate stream. UNREGISTERED (r12 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+NEG_PER_ANCHOR = 2       # hardest negatives kept per anchor document
+NEG_DUP_THRESHOLD = 0.5  # at/above this the pair is a NEAR-DUP, not a negative
+
+SAMPLE_HARD_NEGATIVES_ORACLE = f"""
+    WITH {_CANDIDATES_CTE},
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(sa.s || sb.s)) AS jc
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    kept AS (
+        SELECT doc_a, doc_b, jc FROM scored
+        WHERE jc < {NEG_DUP_THRESHOLD}
+        QUALIFY row_number() OVER (PARTITION BY doc_a
+                                   ORDER BY jc DESC, doc_b)
+                <= {NEG_PER_ANCHOR}
+    )
+    SELECT doc_a AS anchor, doc_b AS negative,
+           FLOOR(jc * 1000000 + 0.5) / 1000000 AS jaccard_3gram
+    FROM kept
+    ORDER BY anchor, negative
+    """
+
+
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (retrieval /
+    embedding models): the strongest negatives are documents that
+    COLLIDE in hash space (share an LSH band — so a lexical model
+    finds them confusable) yet sit BELOW the near-dup threshold on
+    exact 3-gram Jaccard — the semi-hard band between 'duplicate'
+    (a positive, dedup_ngram_jaccard's >= 0.5 side) and 'random
+    negative' (never collides at all). Keeps the NEG_PER_ANCHOR (2)
+    highest-Jaccard sub-threshold partners per anchor under a
+    deterministic tiebreak.
+
+    Scale shape: identical cost envelope to dedup_ngram_jaccard — the
+    pair stream comes from the SHARED capped band table (one session
+    computation feeds the LSH pairs, the components, the funnel, and
+    this miner), shingles ride as int64 arrays, and the only new stage
+    is a per-anchor WindowGroupLimit (two-phase, partial limit before
+    the shuffle). The complement filter means this query and the
+    near-dup verifier PARTITION the candidate stream — nothing is
+    scored twice at 100 TB, the pipeline just routes by threshold."""
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.similarity import round6
+    from ..operators.text import tokens
+    from ..sources.parquet_io import fan_out
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        fan_out(docs)
+        .withColumn("_toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), 3), lambda x: F.xxhash64(x)
+            ).alias("s"),
+        )
+    )
+    pairs = shared_minhash_pairs(spark, sf_dir)
+    jc = jaccard(F.col("sa.s"), F.col("sb.s"))
+    w = Window.partitionBy("doc_a").orderBy(F.desc("_jc"), F.asc("doc_b"))
+    return (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("_jc", jc)
+        .filter(F.col("_jc") < NEG_DUP_THRESHOLD)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= NEG_PER_ANCHOR)
+        .select(
+            F.col("doc_a").alias("anchor"),
+            F.col("doc_b").alias("negative"),
+            round6(F.col("_jc")).alias("jaccard_3gram"),
+        )
+        .orderBy("anchor", "negative")
+    )

@@ -1806,3 +1806,145 @@ def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_power_iteration: top principal direction via two distributed
+# power-iteration rounds. UNREGISTERED (r12 — local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 2        # THE CONTRACT: round-2 accounting state
+PCA_V_SCALE = 1000    # renormalized integer coordinate scale per round
+PCA_D_SHRINK = 1_000_000  # dot products truncate by 1e6 before re-multiply
+
+
+def _pca_round_cte(r: int) -> str:
+    p = r - 1
+    return f"""
+    d{r} AS (
+        SELECT e.vec_id,
+               CAST(SUM(e.micro * v{p}.v) AS BIGINT) // {PCA_D_SHRINK} AS d
+        FROM e JOIN v{p} ON e.pos = v{p}.pos
+        GROUP BY e.vec_id
+    ),
+    r{r} AS (
+        SELECT e.pos, CAST(SUM(e.micro * d{r}.d) AS BIGINT) AS raw
+        FROM e JOIN d{r} ON e.vec_id = d{r}.vec_id
+        GROUP BY e.pos
+    ),
+    m{r} AS (SELECT MAX(ABS(raw)) AS mx FROM r{r}),
+    v{r} AS (
+        SELECT pos,
+               COALESCE((raw * {PCA_V_SCALE}) // NULLIF(mx, 0), 0) AS v
+        FROM r{r} CROSS JOIN m{r}
+    )"""
+
+
+EMB_PCA_POWER_ITERATION_ORACLE = (
+    f"""
+    WITH raw_e AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(embedding[u.i] AS DOUBLE) AS val
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) u
+        WHERE len(embedding) = {EMB_DIM}
+    ),
+    e AS (
+        SELECT vec_id, pos,
+               CAST(SIGN(val) * FLOOR(ABS(val) * 1000000 + 0.5e0) AS BIGINT)
+                   AS micro
+        FROM raw_e
+    ),
+    v0 AS (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS pos,
+                  {PCA_V_SCALE} AS v),"""
+    + ",".join(_pca_round_cte(r) for r in range(1, PCA_ROUNDS + 1))
+    + f"""
+    SELECT v1.pos AS pos, CAST(v1.v AS BIGINT) AS v1,
+           CAST(v{PCA_ROUNDS}.v AS BIGINT) AS v2
+    FROM v1 JOIN v{PCA_ROUNDS} ON v1.pos = v{PCA_ROUNDS}.pos
+    ORDER BY pos
+    """
+)
+
+
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PRINCIPAL DIRECTION of the embedding cloud via two
+    distributed POWER-ITERATION rounds on the (uncentered) second
+    moment: v' ∝ Σᵢ xᵢ (xᵢ·v) — the matrix-free formulation that never
+    materializes the 64x64 Gram matrix, just two corpus passes per
+    round (the streaming-PCA / randomized-SVD building block; centering
+    is the documented upgrade — subtract emb_label_centroids' global
+    mean first, identical plan shape). ROUNDS=2 IS THE CONTRACT (the
+    pagerank/HITS/Lloyd precedent): the output is the round-1 and
+    round-2 renormalized integer coordinate vectors, attested
+    bit-for-bit by a DuckDB unrolled-CTE twin, and v2 != v1 on the
+    fixtures (the iteration demonstrably moves; planted-dominant-
+    direction recovery pinned in tests/test_similarity.py).
+
+    All-INT64 by construction: elements quantize once to micro ints;
+    each round's dot products truncate by 1e6 (deterministic,
+    identical on both engines — power iteration is robust to this
+    fixed-point shrink) so the re-multiply sum stays ≤ ~n·3e6·2e5;
+    renormalization divides by the max |coordinate| back onto a ±1000
+    integer scale (truncate-toward-zero DIV on both engines, zero-max
+    guarded). Beyond ~1e9 vectors the re-multiply sum outgrows int64 —
+    the standard DECIMAL/HUGEINT upgrade, noted not needed at fixture
+    SFs.
+
+    Scale shape: per round, ONE broadcast of the 64-row v table onto
+    the melted (vec_id, pos, micro) frame + a vec-keyed combinable
+    SUM, then ONE vec-keyed join back + a pos-keyed combinable SUM
+    (64 output rows); the max is a 64-row fold. Nothing wider than
+    (vec_id, long) crosses an exchange; round depth is fixed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    val = F.col("val").cast("double")
+    micro = (
+        F.signum(val) * F.floor(F.abs(val) * F.lit(1000000.0) + F.lit(0.5))
+    ).cast("long")
+    e = (
+        emb.filter(F.size("embedding") == EMB_DIM)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "pos", micro.alias("micro"))
+        .localCheckpoint()  # feeds two joins per round
+    )
+    v = spark.range(EMB_DIM).select(
+        F.col("id").cast("int").alias("pos"),
+        F.lit(PCA_V_SCALE).cast("long").alias("v"),
+    )
+    rounds = []
+    for _ in range(PCA_ROUNDS):
+        d = (
+            e.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(
+                (F.sum(F.col("micro") * F.col("v")).cast("long"))
+                .alias("_dd")
+            )
+            .select(
+                "vec_id", F.expr(f"_dd DIV {PCA_D_SHRINK}").alias("d")
+            )
+        )
+        raw = (
+            e.join(d, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("micro") * F.col("d")).cast("long").alias("raw"))
+        )
+        mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
+        v = (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "pos",
+                F.coalesce(
+                    F.expr(f"(raw * {PCA_V_SCALE}) DIV NULLIF(mx, 0)"),
+                    F.lit(0),
+                ).cast("long").alias("v"),
+            )
+        )
+        rounds.append(v)
+    return (
+        rounds[0].select("pos", F.col("v").alias("v1"))
+        .join(rounds[-1].select("pos", F.col("v").alias("v2")), "pos")
+        .select(F.col("pos").cast("long").alias("pos"), "v1", "v2")
+        .orderBy("pos")
+    )

@@ -535,6 +535,27 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented fulfillment-latency SLA bands: exact
+        # nearest-rank P50/P95/max order-to-ship day lag per priority
+        # over the calendar-bounded (priority, lag) histogram
+        "mart_fulfillment_latency": (
+            _fq().mart_fulfillment_latency,
+            _fq().MART_FULFILLMENT_LATENCY_ORACLE,
+        ),
+        # r12-implemented hard-negative mining: band-colliding but
+        # sub-threshold-Jaccard pairs, top-2 per anchor (contrastive
+        # training pairs from the shared LSH candidate stream)
+        "sample_hard_negatives": (
+            _dq().sample_hard_negatives,
+            _dq().SAMPLE_HARD_NEGATIVES_ORACLE,
+        ),
+        # r12-implemented distributed power iteration: top principal
+        # direction of the embedding cloud, 2 all-int64 rounds vs a
+        # DuckDB unrolled-CTE twin (matrix-free, Gram never built)
+        "emb_pca_power_iteration": (
+            _sq().emb_pca_power_iteration,
+            _sq().EMB_PCA_POWER_ITERATION_ORACLE,
+        ),
         # r12-implemented shot/scene segmentation over frame
         # fingerprints: mapInPandas stride-1 frame expansion ->
         # hex-energy jumps -> gaps-and-islands scene rollup

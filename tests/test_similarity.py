@@ -747,3 +747,35 @@ def test_rank_normalize_planted_ranks_and_ties(spark):
     assert out[1] == (500_000, 1 * 500_000)
     # vec 2: dim1 rank 3 -> 1e6; dim2 rank 3 -> 1e6
     assert out[2] == (2_000_000, 1 * 1_000_000 + 2 * 1_000_000)
+
+
+def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path):
+    """emb_pca_power_iteration on a planted cloud dominated by one
+    axis: vectors concentrate on dimension 7 (plus small deterministic
+    off-axis noise), so the round-2 renormalized coordinate vector
+    must peak at dimension 7 at full scale (|v2[7]| = 1000) with every
+    other coordinate well below — and the iteration must have MOVED
+    from the uniform start (v2 spread != v0 spread)."""
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        EMB_DIM,
+        PCA_V_SCALE,
+        emb_pca_power_iteration,
+    )
+
+    rows = []
+    for i in range(80):
+        vec = [0.01 * ((i * 13 + j * 7) % 11 - 5) for j in range(EMB_DIM)]
+        vec[7] = 0.9 if i % 2 == 0 else 0.85
+        rows.append((i, vec, i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p = str(tmp_path / "sf")
+    df.write.parquet(f"{p}/embeddings.parquet")
+
+    got = {r["pos"]: (r["v1"], r["v2"])
+           for r in emb_pca_power_iteration(spark, p).collect()}
+    assert len(got) == EMB_DIM
+    assert abs(got[7][1]) == PCA_V_SCALE  # dominant axis at full scale
+    others = [abs(v2) for pos, (_, v2) in got.items() if pos != 7]
+    assert max(others) < PCA_V_SCALE // 4
