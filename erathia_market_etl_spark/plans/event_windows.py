@@ -2285,3 +2285,114 @@ def peak_concurrency_frame(sessions: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorrelation: exact ACF of the daily revenue series at lags
+# 1..7. UNREGISTERED (r12 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+TS_AUTOCORRELATION_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) // 100 AS x
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily
+    ),
+    dev AS (SELECT day, s.n * x - s.sx AS dv FROM daily, s),
+    den AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS den FROM dev),
+    lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.dv * b.dv) AS BIGINT) AS num
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        GROUP BY l.lag
+    )
+    SELECT p.lag, p.n_pairs,
+           FLOOR(CAST(p.num AS DOUBLE) / NULLIF(d.den, 0)
+                 * 1000000 + 0.5) / 1000000 AS acf
+    FROM pairs p CROSS JOIN den d
+    ORDER BY p.lag
+    """
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUTOCORRELATION (ACF) of the daily revenue series at
+    calendar lags 1..{7}: with the n-scaled deviations
+    dv_d = n*x_d - S (integers — no fractional mean ever computed),
+    acf(k) = sum(dv_d * dv_(d+k)) / sum(dv_d^2); the n^2 scaling
+    cancels in the ratio, so this IS the standard (variance-normalized,
+    non-mean-adjusted-denominator) sample ACF — the seasonality probe
+    that tells a forecaster which lags matter before fitting anything
+    (complements ts_seasonal_dow_profile's fixed weekly grid with a
+    data-driven lag scan). Numerator and denominator are exact int64
+    sums well inside 2^53 (daily totals pre-truncate to whole dollars
+    for headroom), so both engines divide identical exactly-represented
+    doubles — IEEE-identical, then ppm-rounded; constant series guard
+    via NULLIF.
+
+    Scale shape: one map-side combinable (day) aggregate is the only
+    event-volume-sized stage; everything after rides the
+    CALENDAR-bounded daily table (n ~ observation days): the 1-row
+    stats broadcast, a 7-lag cross join over the tiny dev table, and
+    group-sized sums. The day-grain joins are the R6 bounded-grain
+    story in join form."""
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT) DIV 100"
+            ).alias("x")
+        )
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = daily.crossJoin(F.broadcast(s)).select(
+        "day", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.select(F.col("day").alias("day_a"), F.col("dv").alias("dv_a"))
+    b = dev.select(F.col("day").alias("day_b"), F.col("dv").alias("dv_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.expr("date_add(day_a, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dv_a") * F.col("dv_b")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / F.expr("NULLIF(den, 0)")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).cast("double").alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -1281,3 +1281,83 @@ def exp_variant_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_shuffle_order: deterministic global training-order shuffle.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+SHUFFLE_N_SHARDS = 16          # data-parallel worker count
+SHUFFLE_BLOCK_WIDTH = 1 << 20  # 32-bit hash domain / 2^20 = 4096 blocks
+
+
+def _shuffle_order_oracle() -> str:
+    from .sketch_queries import _hash32_sql
+
+    h = _hash32_sql("doc_id")
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, CAST({h} AS BIGINT) AS h FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos,
+               COUNT(*) OVER () AS n
+        FROM hashed
+    )
+    SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+           CAST((shuffle_pos - 1) % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard
+    FROM ranked
+    ORDER BY doc_id
+    """
+
+
+SAMPLE_SHUFFLE_ORDER_ORACLE = _shuffle_order_oracle()
+
+
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL TRAINING-ORDER shuffle — the epoch
+    permutation every data loader needs: each document's position is
+    its exact rank under the integer avalanche hash of its id (change
+    the salt, get a fresh epoch; same salt, bit-identical order on
+    every run and engine — never rand(), which the lint bans), plus a
+    round-robin SHARD assignment so SHUFFLE_N_SHARDS data-parallel
+    workers each read an interleaved, hash-random slice.
+
+    Scale shape: the global rank comes from ``operators/rank.py``'s
+    block decomposition with NO grouping — a bare ROW_NUMBER() OVER
+    (ORDER BY hash) funnels the whole corpus through one task, while
+    here the hash domain splits into 4096 fixed blocks (width 2^20
+    over the 32-bit avalanche range): per-block counts fold map-side,
+    the cumulative offsets ride the bounded 4096-row block table (the
+    one R6-justified single-partition site — block grain, never
+    corpus grain), and row_number runs within blocks in parallel.
+    Writing the output sorted by shuffle_pos then gives sequential
+    readers contiguous hash-random runs."""
+    from ..operators.rank import grouped_rank
+    from .sketch_queries import _hash32_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.withColumn(
+        "h", F.expr(_hash32_spark_sql("doc_id")).cast("long")
+    )
+    ranked = grouped_rank(
+        hashed,
+        [],
+        F.col("h"),
+        "doc_id",
+        block_width=SHUFFLE_BLOCK_WIDTH,
+        out_rank="shuffle_pos",
+        out_n="n",
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+            ((F.col("shuffle_pos") - 1) % SHUFFLE_N_SHARDS).cast("long")
+            .alias("shard"),
+        )
+        .orderBy("doc_id")
+    )

@@ -535,6 +535,21 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented deterministic epoch shuffle: exact global
+        # rank under the avalanche hash via the UNGROUPED block
+        # decomposition + round-robin shard assignment
+        "sample_shuffle_order": (
+            _pq().sample_shuffle_order,
+            _pq().SAMPLE_SHUFFLE_ORDER_ORACLE,
+        ),
+        # r12-implemented exact sample ACF of the daily revenue series
+        # at lags 1..7 (n-scaled integer deviations; the ratio's
+        # inputs are exact int64 < 2^53 so the division is
+        # IEEE-identical cross-engine)
+        "ts_autocorrelation": (
+            _ew().ts_autocorrelation,
+            _ew().TS_AUTOCORRELATION_ORACLE,
+        ),
         # r12-implemented fulfillment-latency SLA bands: exact
         # nearest-rank P50/P95/max order-to-ship day lag per priority
         # over the calendar-bounded (priority, lag) histogram

@@ -310,3 +310,44 @@ def test_concentration_marts_plans_are_singlepartition_free(spark):
     for fn in (mart_revenue_gini, mart_pareto_concentration):
         plan = _plan(fn(spark, SF_T2))
         assert "Exchange SinglePartition" not in plan, fn.__name__
+
+
+@pytest.mark.parametrize("width", [1, 3, 7, 100, 10**9])
+def test_grouped_kernels_are_width_invariant(spark, width):
+    """The block width is a PERFORMANCE knob, never a semantics knob:
+    grouped_rank and grouped_prefix_sum must return identical results
+    at width=1 (every value its own block), mid widths, and a width
+    beyond the whole domain (one block — the degenerate plain-window
+    case)."""
+    from erathia_market_etl_spark.operators.rank import (
+        grouped_prefix_sum,
+        grouped_rank,
+    )
+
+    base = spark.range(151).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 3).alias("g"),
+        (((F.col("id") * 17) % 31) - 9).alias("v"),
+        ((F.col("id") % 13) - 3).alias("wt"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "key")
+    want = (
+        base.withColumn("r_native", F.row_number().over(w))
+        .withColumn(
+            "cum_native",
+            F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    got = grouped_prefix_sum(
+        grouped_rank(base, ["g"], F.col("v"), "key", block_width=width,
+                     out_rank="r", out_n="n"),
+        ["g"], F.col("v"), "key", F.col("wt"),
+        block_width=width, out_col="cum",
+    )
+    joined = got.join(want, ["key", "g"])
+    bad = joined.filter(
+        (F.col("r") != F.col("r_native"))
+        | (F.col("cum") != F.col("cum_native"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == 151

@@ -317,6 +317,13 @@ R6_BOUNDED_GRAIN: dict[str, list[tuple[str, str]]] = {
         "CUSUM running sum over the per-DAY deviation table — "
         "calendar grain, bounded by the date span",
     )],
+    "sample_shuffle_order": [(
+        r"Sort \[_blk#\d+L ASC",
+        "cumulative rank offsets over the fixed 4096-row hash-BLOCK "
+        "count table (32-bit avalanche domain / 2^20 width) — a "
+        "constant of the shuffler, never the corpus size; the "
+        "ungrouped grouped_rank decomposition",
+    )],
     "events_peak_concurrency": [(
         r"Sort \[_blk#\d+L ASC",
         "sweep-line carry offsets over the per-MINUTE-block delta-sum "

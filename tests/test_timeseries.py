@@ -770,3 +770,37 @@ def test_activity_streaks_match_bruteforce_on_random_days(spark, tmp_path):
         n, ex = want.get(L, (0, None))
         want[L] = (n + 1, u if ex is None else min(ex, u))
     assert got == want
+
+
+def test_autocorrelation_matches_numpy_on_fixture(spark):
+    """ts_autocorrelation must equal the numpy-computed sample ACF
+    (same non-mean-adjusted-denominator definition, whole-dollar daily
+    totals) at every lag, and lag-k pair counts must be n - k."""
+    import math
+
+    import numpy as np
+
+    from erathia_market_etl_spark.plans.event_windows import (
+        ts_autocorrelation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lag"]: (r["n_pairs"], r["acf"])
+           for r in ts_autocorrelation(spark, sf).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("day").sum("cents").toPandas()
+        .sort_values("day")
+    )
+    x = (pdf["sum(cents)"] // 100).to_numpy(dtype=np.int64)
+    n = len(x)
+    dv = n * x - x.sum()
+    den = float((dv.astype(object) * dv.astype(object)).sum())
+    for k in range(1, 8):
+        num = float((dv[:-k].astype(object) * dv[k:].astype(object)).sum())
+        want = math.floor(num / den * 1_000_000 + 0.5) / 1_000_000
+        assert got[k] == (n - k, want), k
