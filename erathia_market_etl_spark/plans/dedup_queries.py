@@ -806,7 +806,6 @@ def dedup_minhash_jaccard_estimate(
     shingle-keyed with LEFT JOIN + COALESCE for the no-overlap edge
     (media_feature_extract precedent)."""
     from ..operators.dedup import (
-        minhash_candidate_pairs,
         minhash_signature_cols,
         shingles_from_tokens,
     )
