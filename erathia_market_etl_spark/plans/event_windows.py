@@ -2396,3 +2396,63 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_positional_values: FIRST/LAST/NTH_VALUE — the positional
+# window family. UNREGISTERED (r12 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+WINDOW_POSITIONAL_VALUES_ORACLE = """
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+               AS last_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """
+
+
+def window_positional_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSITIONAL window family — FIRST_VALUE / LAST_VALUE /
+    NTH_VALUE — completing the window surface next to the offset
+    (lag/lead), ranking, frame, and distribution families. The
+    LAST_VALUE trap is deliberate and attested: under the default
+    running frame LAST_VALUE is just the current row, so the query
+    pins the full-frame (UNBOUNDED FOLLOWING) form both engines agree
+    on; NTH_VALUE(2) under the running frame is NULL until the
+    partition's second row arrives — the null-edge behavior the
+    compare hashes. Deterministic total order via the (ts, event_id)
+    tiebreak.
+
+    Scale shape: one user-keyed exchange + per-partition sort shared
+    by all three functions (one Window node); per-key rows are
+    user-activity-bounded (the window_lag_lead precedent)."""
+    events = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )

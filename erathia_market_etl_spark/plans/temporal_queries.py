@@ -443,3 +443,168 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id", "value"],
         max_gap_seconds=NEAREST_GAP_SECONDS,
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# mart_session_error_exposure: interval union-merge + overlap-duration
+# join. UNREGISTERED (r12 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+ERROR_HALO_SECONDS = 300  # each error taints ±5 minutes of its session
+
+MART_SESSION_ERROR_EXPOSURE_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS ss,
+               epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS se,
+               CAST(MIN(ts) AS DATE) AS day
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    halo AS (
+        SELECT user_id,
+               epoch_us(ts - INTERVAL {ERROR_HALO_SECONDS} SECOND) AS hs,
+               epoch_us(ts + INTERVAL {ERROR_HALO_SECONDS} SECOND) AS he
+        FROM events WHERE event_type = 'error'
+    ),
+    runs AS (
+        SELECT user_id, hs, he,
+               MAX(he) OVER (PARTITION BY user_id ORDER BY hs, he
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+        FROM halo
+    ),
+    islands AS (
+        SELECT user_id, hs, he,
+               SUM(CASE WHEN prev_max IS NULL OR hs > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY hs, he
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM runs
+    ),
+    merged AS (
+        SELECT user_id, MIN(hs) AS ws, MAX(he) AS we
+        FROM islands GROUP BY user_id, island
+    ),
+    exposure AS (
+        SELECT s.user_id, s.day, s.ss,
+               CAST(SUM(GREATEST(0, LEAST(s.se, m.we)
+                                    - GREATEST(s.ss, m.ws)))
+                    AS BIGINT) AS micro
+        FROM sess s JOIN merged m
+          ON s.user_id = m.user_id
+         AND m.ws < s.se AND m.we > s.ss
+        GROUP BY s.user_id, s.day, s.ss
+    )
+    SELECT s.day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(e.micro) AS BIGINT) AS sessions_exposed,
+           CAST(COALESCE(SUM(e.micro), 0) // 1000000 AS BIGINT)
+               AS exposure_seconds
+    FROM sess s
+    LEFT JOIN exposure e
+      ON s.user_id = e.user_id AND s.ss = e.ss
+    GROUP BY s.day ORDER BY s.day
+    """
+
+
+def mart_session_error_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much session time ran INSIDE an error halo — per day, the
+    sessions that overlapped any ±{300}s window around the same user's
+    error events, and the total overlapped seconds. Two classic
+    interval operators composed: INTERVAL UNION-MERGE (overlapping
+    halos coalesce via the running-max-of-ends island trick, so a
+    burst of errors never double-counts its overlap) and the
+    OVERLAP-DURATION join (sum of LEAST(ends)−GREATEST(starts) over
+    the disjoint merged windows — exact integer microseconds, floored
+    to seconds once at the end).
+
+    Scale shape: sessions come from the same F.session_window
+    aggregate as session_window_stats; halos and the merge windows are
+    user-partitioned (per-key rows bounded by user activity — the
+    window_lag_lead precedent); the overlap join is user-keyed with
+    the non-equi bounds as a post-join filter, so both sides share ONE
+    user exchange and the pair count per user is sessions x merged
+    windows (both small per user). The day rollup is calendar-sized.
+    No floats anywhere until nothing is left to round."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    sess = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("ss"),
+            F.unix_micros(F.col("w.end")).alias("se"),
+            F.col("w.start").cast("date").alias("day"),
+        )
+    )
+    halo = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) - ERROR_HALO_SECONDS * 1_000_000)
+        .alias("hs"),
+        (F.unix_micros(F.col("ts")) + ERROR_HALO_SECONDS * 1_000_000)
+        .alias("he"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hs", "he")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("hs", "he")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = halo.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.max("he").over(w_prev).isNull()
+                | (F.col("hs") > F.max("he").over(w_prev)),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("hs").alias("ws"), F.max("he").alias("we")
+    )
+    exposure = (
+        sess.join(merged, "user_id")
+        .filter((F.col("ws") < F.col("se")) & (F.col("we") > F.col("ss")))
+        .groupBy("user_id", "day", "ss")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.least("se", "we") - F.greatest("ss", "ws"),
+                )
+            ).cast("long").alias("micro")
+        )
+    )
+    return (
+        sess.join(exposure, ["user_id", "day", "ss"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.count("micro").cast("long").alias("sessions_exposed"),
+            F.expr("CAST(COALESCE(SUM(micro), 0) DIV 1000000 AS BIGINT)")
+            .alias("exposure_seconds"),
+        )
+        .orderBy("day")
+    )

@@ -535,6 +535,20 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented positional window family:
+        # first/last/nth_value with the LAST_VALUE full-frame trap and
+        # the NTH_VALUE(2) running-frame null edge attested
+        "window_positional_values": (
+            _ew().window_positional_values,
+            _ew().WINDOW_POSITIONAL_VALUES_ORACLE,
+        ),
+        # r12-implemented interval union-merge + overlap-duration
+        # join: per-day session time inside coalesced +-300s error
+        # halos, exact integer microseconds floored once
+        "mart_session_error_exposure": (
+            _xq().mart_session_error_exposure,
+            _xq().MART_SESSION_ERROR_EXPOSURE_ORACLE,
+        ),
         # r12-implemented deterministic epoch shuffle: exact global
         # rank under the avalanche hash via the UNGROUPED block
         # decomposition + round-robin shard assignment
