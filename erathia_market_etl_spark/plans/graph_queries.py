@@ -673,3 +673,132 @@ def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
             F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("m")
         ).select(F.col("src").alias("v"), (-F.col("m.neg")).alias("lab"))
     return labels
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_reach: k-hop BFS reachability from the hub node.
+# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK).
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3          # THE CONTRACT: hop-3 accounting state
+BFS_MIN_TRADES = 3    # same repeat-trade edge rule as k-core / LPA
+
+
+def _bfs_round_cte(r: int) -> str:
+    p = r - 1
+    seen = " UNION ALL ".join(f"SELECT v FROM f{i}" for i in range(r))
+    return f"""
+    f{r} AS (
+        SELECT DISTINCT e.dst AS v
+        FROM e0 e JOIN f{p} ON e.src = f{p}.v
+        WHERE e.dst NOT IN ({seen})
+    )"""
+
+
+GRAPH_BFS_REACH_ORACLE = (
+    """
+    WITH base AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS (
+        SELECT c AS src, s AS dst FROM rep
+        UNION ALL
+        SELECT s AS src, c AS dst FROM rep
+    ),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e0 GROUP BY src),
+    f0 AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),"""
+    + ",".join(_bfs_round_cte(r) for r in range(1, BFS_HOPS + 1))
+    + """
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(v) AS BIGINT) AS min_node,
+           CAST(MAX(v) AS BIGINT) AS max_node
+    FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {i} AS dist, v FROM f{i}" for i in range(BFS_HOPS + 1)
+    )
+    + """)
+    GROUP BY dist ORDER BY dist
+    """
+).format(minn=BFS_MIN_TRADES)
+
+
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS REACHABILITY from the graph's hub: starting at the
+    highest-degree node of the repeat-trade graph (deterministic
+    tiebreak: smallest id), expand the frontier BFS_HOPS (3) times and
+    report each hop ring's size and id range — the ego-network /
+    blast-radius question ('how much of the market is within 3 trades
+    of the biggest player?'). HOPS=3 IS THE CONTRACT (the
+    pagerank/HITS/LPA precedent): the output is the per-ring
+    accounting state, attested by a DuckDB unrolled-CTE twin. BFS is
+    the fourth iterative graph kernel shipped — FRONTIER EXPANSION
+    with a visited-set restriction, where components grow regions,
+    k-core shrinks them, and pagerank/HITS/LPA move values.
+
+    Scale shape: the hub pick is a degree aggregate + a 1-row
+    TakeOrderedAndProject (broadcast into round 1 — never a collect);
+    each hop is one edge-sized hash join (frontier onto src) + a
+    DISTINCT + LEFT ANTI joins against the prior rings (keys-only,
+    frontier-sized right sides — at web scale the visited set
+    broadcast-degrades to shuffle exactly like any growing dim). Ring
+    depth is fixed, so lineage stays shallow with no checkpoint."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rep = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BFS_MIN_TRADES)
+        .select("c", "s")
+    )
+    edges = (
+        rep.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(rep.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint()  # feeds the degree pick + one join per hop
+    )
+    hub = (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("v"))
+        .limit(1)
+        .select("v")
+    )
+    rings = [hub]
+    for _ in range(BFS_HOPS):
+        frontier = rings[-1]
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("v", "src"), "src"
+            )
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        for seen in rings:
+            nxt = nxt.join(seen, "v", "left_anti")
+        rings.append(nxt.localCheckpoint())
+    out = None
+    for i, ring in enumerate(rings):
+        tagged = ring.select(F.lit(i).alias("dist"), "v")
+        out = tagged if out is None else out.unionByName(tagged)
+    return (
+        out.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("v").cast("long").alias("min_node"),
+            F.max("v").cast("long").alias("max_node"),
+        )
+        .select(F.col("dist").cast("int").alias("dist"),
+                "n_nodes", "min_node", "max_node")
+        .orderBy("dist")
+    )

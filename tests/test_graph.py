@@ -577,3 +577,51 @@ def test_lpa_majority_beats_smaller_label(spark):
     assert r2[5] == 2
     # and node 4 follows its only neighbor's round-1 label
     assert r2[4] == 2  # lab(5) after round 1 = min(2,3,4,6) = 2
+
+
+def test_bfs_rings_on_planted_path_graph(spark, tmp_path):
+    """graph_bfs_reach semantics on a planted star-plus-path trade
+    graph with KNOWN rings: hub customer 1 trades with suppliers
+    2,3,4 (>=3 line items each); supplier 2 also serves customer 5,
+    who also buys from supplier 6. Node encoding c*2 / s*2+1:
+    hub = 2 (degree 3 beats everyone), ring 1 = {5, 7, 9}
+    (suppliers 2,3,4), ring 2 = {10} (customer 5), ring 3 = {13}
+    (supplier 6)."""
+    import datetime as dt
+
+    from erathia_market_etl_spark.plans.graph_queries import graph_bfs_reach
+
+    rows, ok = [], 0
+
+    def trade(ck, sk, times):
+        nonlocal ok
+        for _ in range(times):
+            ok += 1
+            rows.append((ok, ck, sk))
+
+    trade(1, 2, 3); trade(1, 3, 3); trade(1, 4, 3)
+    trade(5, 2, 3); trade(5, 6, 3)
+    orders = [(o, c, "O", 1.0, dt.date(2024, 3, 1), "1-URGENT")
+              for o, c, _ in rows]
+    lineitem = [(o, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 dt.date(2024, 3, 1)) for o, _, s in rows]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{p}/orders.parquet")
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{p}/lineitem.parquet")
+
+    got = {r["dist"]: (r["n_nodes"], r["min_node"], r["max_node"])
+           for r in graph_bfs_reach(spark, p).collect()}
+    assert got[0] == (1, 2, 2)
+    assert got[1] == (3, 5, 9)
+    assert got[2] == (1, 10, 10)
+    assert got[3] == (1, 13, 13)

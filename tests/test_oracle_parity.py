@@ -535,6 +535,13 @@ def _queued():
             _fq().dq_expectations_suite,
             _fq().DQ_EXPECTATIONS_SUITE_ORACLE,
         ),
+        # r12-implemented k-hop BFS reachability from the hub node:
+        # 3 frontier expansions with visited-set anti-joins (the
+        # fourth iterative graph kernel) vs a DuckDB unrolled-CTE twin
+        "graph_bfs_reach": (
+            _gq().graph_bfs_reach,
+            _gq().GRAPH_BFS_REACH_ORACLE,
+        ),
         # r12-implemented positional window family:
         # first/last/nth_value with the LAST_VALUE full-frame trap and
         # the NTH_VALUE(2) running-frame null edge attested
