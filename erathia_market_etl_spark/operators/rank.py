@@ -63,6 +63,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _guard_scratch(df: DataFrame, names: set[str], ctx: str) -> None:
+    """Reject input frames whose columns collide with the kernel's
+    scratch/output names — these are exported kernels, and a silent
+    ``withColumn`` overwrite would destroy a caller column (r12 ADVICE
+    on grouped_rank/grouped_prefix_sum)."""
+    clash = sorted(names & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{ctx}: input columns {clash} collide with scratch/output "
+            f"column names; rename them before calling"
+        )
+
+
 def ntile_expr(rank_col: str, n_col: str, buckets: int) -> Column:
     """SQL-standard ``NTILE(buckets)`` as exact integer arithmetic over
     the named long columns ``rank_col`` (1-based global rank) and
@@ -105,6 +118,11 @@ def with_ntiles(
     for out_col, _, w in specs:
         if w <= 0:
             raise ValueError(f"block_width for {out_col} must be > 0")
+    _guard_scratch(
+        df,
+        {"_t", *(out_col for out_col, _, _ in specs)},
+        "with_ntiles",
+    )
     entries = [
         F.struct(
             F.lit(i).alias("_m"),
@@ -205,6 +223,9 @@ def grouped_rank(
     O(groups x thousands)."""
     if block_width <= 0:
         raise ValueError("block_width must be > 0")
+    _guard_scratch(
+        df, {"_s", "_blk", "_rn", "_below", "_n", out_rank, out_n}, "grouped_rank"
+    )
     based = df.withColumn("_s", value.cast("long")).withColumn(
         "_blk", F.expr(f"_s DIV {int(block_width)}")
     )
@@ -257,6 +278,9 @@ def grouped_prefix_sum(
     ``block_width`` from the value's DOMAIN."""
     if block_width <= 0:
         raise ValueError("block_width must be > 0")
+    _guard_scratch(
+        df, {"_s", "_blk", "_w", "_win", "_carry", out_col}, "grouped_prefix_sum"
+    )
     based = (
         df.withColumn("_s", value.cast("long"))
         .withColumn("_blk", F.expr(f"_s DIV {int(block_width)}"))

@@ -2161,13 +2161,14 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # events_peak_concurrency: sweep-line peak concurrent sessions per day.
-# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
-# driver-style evidence via LOCALCHECK).
+# r12 local-only (LOCALCHECK green both SFs); REGISTERED r13 paid for
+# by the topk_per_group retirement (VERDICT r12 item 3 — promote the
+# strongest r12 kernels into driver attestation).
 # ---------------------------------------------------------------------------
 
 EVENTS_PEAK_CONCURRENCY_ORACLE = """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -2176,7 +2177,7 @@ EVENTS_PEAK_CONCURRENCY_ORACLE = """
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),
@@ -2205,6 +2206,7 @@ EVENTS_PEAK_CONCURRENCY_ORACLE = """
     """
 
 
+@query("events_peak_concurrency", oracle=EVENTS_PEAK_CONCURRENCY_ORACLE)
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak CONCURRENT sessions per calendar day — the capacity-planning
     statistic (how many users were on at once, at the worst moment) —
@@ -2242,8 +2244,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def peak_concurrency_frame(sessions: DataFrame) -> DataFrame:
     """Core of events_peak_concurrency over any (s, e) interval frame
     — factored for the generative brute-force equivalence test
-    (tests/test_event_semantics.py pits it against a pure-Python
-    sweep line on random interval sets)."""
+    (tests/test_timeseries.py::
+    test_peak_concurrency_matches_bruteforce_on_random_intervals pits
+    it against a pure-Python sweep line on random interval sets)."""
     deltas = sessions.select(
         F.col("s").alias("t"), F.lit(1).alias("delta")
     ).unionByName(

@@ -152,6 +152,12 @@ _CHANGED: dict[str, int] = {
     "q3_top_customers": 10,
     "q4_part_popularity": 10,
     "q5_regional_local_supplier_volume": 10,
+    # r13 (VERDICT r12 item 4): contract oracles tightened — measured
+    # integers (distortion_ppm / recall_hits / balance_ppm / n_cells)
+    # now hash-pinned per fixture behind a corpus fingerprint; both
+    # schemas and oracles changed, so the green rows must re-attest.
+    "sim_pq_quality": 13,
+    "sim_ivf_cell_quality": 13,
 }
 
 _CANARIES: list[str] = [

@@ -755,19 +755,28 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_cube",
-    oracle="""
+AGG_CUBE_ORACLE = """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,12))), 2)::DOUBLE AS sum_total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
+    """
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cube over two keys."""
+    """Full cube over two keys.
+
+    Driver slot retired r13 (one-in-one-out: paid for the
+    mart_revenue_gini registration — VERDICT r12 item 3). Strict-subset
+    rationale: CUBE plans as the same Expand + two-phase aggregate
+    physical shape as the staying agg_grouping_sets (the general form,
+    which additionally attests GROUPING() subtotal-flag semantics) and
+    agg_rollup (headline-bench, frozen-baseline); cube differs only in
+    WHICH grouping sets Expand enumerates. Oracle still runs via
+    tests/test_oracle_parity.py::test_retired_queries_still_match and
+    tools/localcheck.py each round."""
     return (
         T(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -854,9 +863,7 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "topk_per_group",
-    oracle="""
+TOPK_PER_GROUP_ORACLE = """
     SELECT l_returnflag, l_partkey, revenue, rn FROM (
         SELECT l_returnflag, l_partkey,
                ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -872,13 +879,27 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rn <= 3
     ORDER BY l_returnflag, rn
-    """,
-)
+    """
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PER GROUP (vs the global top-k of O4): aggregate, then
     row_number over a per-group window, filter rn <= k. Spark pushes the
     rn <= 3 limit into the window sort (WindowGroupLimit) — each
-    partition keeps a 3-element heap instead of fully sorting."""
+    partition keeps a 3-element heap instead of fully sorting.
+
+    Driver slot retired r13 (one-in-one-out: paid for the
+    events_peak_concurrency registration — VERDICT r12 item 3).
+    Strict-subset rationale: the hash-agg half is the most common shape
+    in the registry, and the WindowGroupLimit rank-cut half is exactly
+    the kernel the staying sim_topk_batch runs (and pins in
+    tests/test_plan_shapes.py) per qid over the probe join — this query
+    adds no physical operator the registered set doesn't already
+    attest. The low-cardinality-partition-key discipline note stays
+    pinned in tests/test_plan_shapes.py (the pin reads the function,
+    not the registration). Oracle still runs via
+    tests/test_oracle_parity.py::test_retired_queries_still_match and
+    tools/localcheck.py each round."""
     from pyspark.sql import Window
 
     rev = exact_sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
@@ -1695,8 +1716,16 @@ def skyline_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # mart_revenue_gini: revenue-concentration (Gini / Lorenz) mart.
-# UNREGISTERED (r12 — local-only per the COVERAGE.md standing policy;
-# driver-style evidence via LOCALCHECK).
+# r12 local-only (LOCALCHECK green both SFs). STAGED registration
+# (VERDICT r12 item 3, the r10->r11 ohlc/twap sequencing precedent):
+# r13 retires agg_cube + topk_per_group and registers
+# events_peak_concurrency (2 changed + 47 aged + 1 never-green = the
+# driver's 50 slots exactly); registering this one too would displace
+# a never-green past the cap (test_rotation_budget_not_overcommitted
+# forbids it). REGISTER IN r14: add
+# @query("mart_revenue_gini", oracle=MART_REVENUE_GINI_ORACLE) and
+# move the _queued() entry back out of tests/test_oracle_parity.py —
+# r14's budget is then 49 aged + 1 never = 50 with zero displacement.
 # ---------------------------------------------------------------------------
 
 # $1k lifetime-spend blocks; the TPC-H-ish per-customer lifetime spend

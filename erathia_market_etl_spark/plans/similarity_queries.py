@@ -392,16 +392,51 @@ IVF_RECALL_FLOOR = 0.3   # measured 0.4 (sf0.001) / 0.5 (sf0.01) @ nprobe=4
 IVF_BALANCE_CEIL = 0.25  # measured max cell fraction 0.074 / 0.086 (k=16)
 
 
+# Corpus fingerprint that keys the frozen measured-value constants in
+# the contract-class oracles below (r12 VERDICT item 4): the k-means /
+# PQ state is not SQL-reproducible, but it IS deterministic per
+# dataset (seeded hash-ordered sample + driver Lloyd — verified
+# bit-identical across shuffle-partition layouts 8 and 17), so the
+# oracle pins the MEASURED integers per frozen fixture, dispatched on
+# a content signature. An unknown corpus yields NULLs -> a loud hash
+# mismatch, never a silent pass.
+_EMB_FINGERPRINT_CTE = """
+    fp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(ABS(embedding[1]) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sig
+        FROM embeddings
+    )"""
+
+# sig values of the three driver fixtures (TESTDATA.md):
+_EMB_SIG_SF0001 = 50598792   # sf0.001 (500 vectors)
+_EMB_SIG_SF001 = 51001045    # sf0.01  (500 vectors)
+_EMB_SIG_SF01 = 196981349    # sf0.1   (2000 vectors)
+
+
+def _sig_case(values: dict[int, int]) -> str:
+    arms = " ".join(
+        f"WHEN sig = {sig} THEN {v}" for sig, v in values.items()
+    )
+    return f"CAST(CASE {arms} END AS BIGINT)"
+
+
 @query(
     "sim_ivf_cell_quality",
     oracle=f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    WITH {_EMB_FINGERPRINT_CTE}
+    SELECT n AS n_vectors,
            {N_CENTROIDS} AS k,
            {IVF_NPROBE} AS n_probe,
+           CAST(16 AS BIGINT) AS n_cells,
+           {_sig_case({_EMB_SIG_SF0001: 74000, _EMB_SIG_SF001: 86000,
+                       _EMB_SIG_SF01: 71000})} AS balance_ppm,
+           {_sig_case({_EMB_SIG_SF0001: 4, _EMB_SIG_SF001: 5,
+                       _EMB_SIG_SF01: 6})} AS recall_hits,
            TRUE AS cells_ok,
            TRUE AS balance_ok,
            TRUE AS recall_ok
-    FROM embeddings
+    FROM fp
     """,
 )
 def sim_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +445,11 @@ def sim_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assign_cells) — in the sim_band_recall / agg_approx_sketches style
     (r4 VERDICT "What's missing" #1: that path had local-only
     evidence). The k-means result is not SQL-reproducible, so the
-    oracle pins the path's CONTRACT instead of its state:
+    oracle pins the path's CONTRACT instead of its state — and, since
+    r13, the MEASURED integers too (balance_ppm, recall_hits,
+    n_cells), frozen per fixture and dispatched on a corpus content
+    fingerprint (r12 VERDICT item 4 — values, not just threshold
+    booleans):
 
       * n_vectors — the assigned-cells table preserves cardinality,
         hash-checked against the exact DuckDB COUNT(*) (the broadcast
@@ -468,12 +507,20 @@ def sim_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk(emb).join(topk(cells.filter(F.col("cid").isin(probes))), "vec_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # measured-value columns (r12 VERDICT item 4): the cell sizes and
+    # shortlist hits are exact integers and the k-means path is
+    # deterministic (hash-ordered seeded sample, driver Lloyd), so the
+    # oracle pins the VALUES per frozen fixture, not just the booleans
+    balance_ppm = F.expr("(max_sz * 1000000) DIV n_vectors").cast("long")
     return stats.crossJoin(hits).select(
         F.col("n_vectors").cast("bigint").alias("n_vectors"),
         F.lit(N_CENTROIDS).alias("k"),
         F.lit(IVF_NPROBE).alias("n_probe"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        balance_ppm.alias("balance_ppm"),
+        F.col("n_hits").cast("bigint").alias("recall_hits"),
         ((F.col("n_cells") >= 2) & (F.col("n_cells") <= N_CENTROIDS)).alias("cells_ok"),
-        ((F.col("max_sz") / F.col("n_vectors")) <= IVF_BALANCE_CEIL).alias("balance_ok"),
+        (balance_ppm <= F.lit(int(IVF_BALANCE_CEIL * 1_000_000))).alias("balance_ok"),
         ((F.col("n_hits") / TOP_K) >= IVF_RECALL_FLOOR).alias("recall_ok"),
     )
 
@@ -755,13 +802,18 @@ PQ_RECALL_FLOOR = 0.5    # re-ranked recall@10 (measured 0.6-0.9)
 PQ_DISTORTION_CEIL = 0.8  # quantization MSE / sample variance (measured ~0.55)
 PQ_CODES_FLOOR = 0.5     # distinct codes / n (measured 1.0)
 
-SIM_PQ_QUALITY_ORACLE = """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+SIM_PQ_QUALITY_ORACLE = f"""
+    WITH {_EMB_FINGERPRINT_CTE}
+    SELECT n AS n_vectors,
            8 AS n_sub, 16 AS k,
+           {_sig_case({_EMB_SIG_SF0001: 548060, _EMB_SIG_SF001: 545112,
+                       _EMB_SIG_SF01: 581354})} AS distortion_ppm,
+           {_sig_case({_EMB_SIG_SF0001: 9, _EMB_SIG_SF001: 6,
+                       _EMB_SIG_SF01: 6})} AS recall_hits,
            TRUE AS codes_ok,
            TRUE AS distortion_ok,
            TRUE AS recall_ok
-    FROM embeddings
+    FROM fp
     """
 
 
@@ -770,7 +822,9 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality contract for the product-quantization ANN path
     (operators/similarity.py: pq_codebooks + pq_assign + pq_adc_topk)
     in the sim_ivf_cell_quality style — PQ state (codebooks, codes) is
-    not SQL-reproducible, so the oracle pins the path's CONTRACT:
+    not SQL-reproducible, so the oracle pins the path's CONTRACT, plus
+    (r13) the MEASURED integers distortion_ppm and recall_hits frozen
+    per fixture behind the corpus fingerprint (r12 VERDICT item 4):
 
       * n_vectors — encoding preserves cardinality, hash-checked
         against the exact DuckDB COUNT(*) (pq_assign is a 1:1 narrow
@@ -818,7 +872,11 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample-estimated variance bound (deterministic, driver-side)
     var_bound = float(((S - S.mean(axis=0)) ** 2).sum(axis=1).mean())
 
-    # per-row reconstruction MSE from the code nibbles
+    # per-row reconstruction MSE from the code nibbles — quantized to
+    # micro ints PER ROW before the sum (r12 VERDICT item 4): each
+    # row's error is a deterministic row-wise double, and the summed
+    # LONGs are exact/associative, so the aggregate is bit-stable
+    # under any partition layout (a double AVG would not be)
     recon_err = None
     for s in range(n_sub):
         book_lit = F.array(*[
@@ -829,10 +887,11 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub, F.element_at(book_lit, pq_nibble(F.col("pq_code"), s) + 1)
         )
         recon_err = part if recon_err is None else recon_err + part
+    err_micro = F.floor(recon_err * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     stats = codes.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("pq_code").alias("n_codes"),
-        F.avg(recon_err).alias("mse"),
+        F.sum(err_micro).alias("err_micro_sum"),
     )
 
     # production retrieval: ADC shortlist over codes -> exact re-rank
@@ -861,13 +920,24 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = rerank.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
+    # distortion_ppm = round(mse / var_bound * 1e6): err_micro_sum/n is
+    # mse in micro units; var_bound is a driver float off the same
+    # deterministic hash-ordered sample — so the ppm is the SAME
+    # integer every run, and the oracle pins its VALUE (not just the
+    # threshold boolean) per frozen fixture (r12 VERDICT item 4)
+    distortion_ppm = F.floor(
+        F.col("err_micro_sum") / F.col("n_vectors") / F.lit(var_bound)
+        + F.lit(0.5)
+    ).cast("long")
     return stats.crossJoin(hits).select(
         F.col("n_vectors").cast("bigint").alias("n_vectors"),
         F.lit(n_sub).alias("n_sub"),
         F.lit(k).alias("k"),
+        distortion_ppm.alias("distortion_ppm"),
+        F.col("n_hits").cast("bigint").alias("recall_hits"),
         ((F.col("n_codes") / F.col("n_vectors")) >= PQ_CODES_FLOOR)
         .alias("codes_ok"),
-        (F.col("mse") <= F.lit(PQ_DISTORTION_CEIL * var_bound))
+        (distortion_ppm <= F.lit(int(PQ_DISTORTION_CEIL * 1_000_000)))
         .alias("distortion_ok"),
         ((F.col("n_hits") / TOP_K) >= PQ_RECALL_FLOOR).alias("recall_ok"),
     )

@@ -455,7 +455,7 @@ ERROR_HALO_SECONDS = 300  # each error taints ±5 minutes of its session
 
 MART_SESSION_ERROR_EXPOSURE_ORACLE = f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -464,7 +464,7 @@ MART_SESSION_ERROR_EXPOSURE_ORACLE = f"""
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),

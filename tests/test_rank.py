@@ -351,3 +351,35 @@ def test_grouped_kernels_are_width_invariant(spark, width):
     ).count()
     assert bad == 0
     assert joined.count() == 151
+
+
+def test_kernels_reject_scratch_column_collisions(spark):
+    """r12 ADVICE: exported kernels must refuse input frames whose
+    columns collide with the internal scratch / output names instead
+    of silently overwriting and destroying them."""
+    from erathia_market_etl_spark.operators.rank import (
+        grouped_prefix_sum,
+        grouped_rank,
+    )
+
+    base = spark.range(10).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 5).alias("v"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        grouped_rank(base.withColumn("_blk", F.lit(1)), ["g"],
+                     F.col("v"), "key", block_width=2)
+    # out_n onto an existing column is a collision too
+    with pytest.raises(ValueError, match="collide"):
+        grouped_rank(base.withColumn("n", F.lit(1)), ["g"],
+                     F.col("v"), "key", block_width=2)
+    with pytest.raises(ValueError, match="collide"):
+        grouped_prefix_sum(base.withColumn("_carry", F.lit(1)), ["g"],
+                           F.col("v"), "key", F.col("v"), block_width=2)
+    with pytest.raises(ValueError, match="collide"):
+        with_ntiles(base.withColumn("_t", F.lit(1)), "key",
+                    [("q", F.col("v"), 2)], buckets=4)
+    # clean frames still pass
+    assert grouped_rank(base, ["g"], F.col("v"), "key",
+                        block_width=2).count() == 10

@@ -17,6 +17,17 @@ not), ``local-only`` (the extension wave, LOCALCHECK only), ``retired``
 Run at round close (after tools/localcheck.py): the table is committed
 so a judge can diff it against the JSON artifacts directly.
 
+r13 (VERDICT r12 items 7+8), two more generated artifacts per run:
+  * the FAMILY SUMMARY header block in COVERAGE.md (between the
+    GENERATED:FAMILY-SUMMARY markers) — families x set counts x newest
+    evidence round, derived from the same JSON, so the judge gets the
+    20-line state view before the 800-line narrative;
+  * STATUS annotations in ADVICE.md — every advice bullet gets a
+    generated `_[status ...]_` line from tools/advice_ledger.json
+    (hand-maintained resolution ledger, keyed by the bullet's
+    file:line anchor); bullets with no ledger entry are annotated
+    OPEN, so a stale ADVICE.md can never silently misdirect a round.
+
 Usage: python tools/evidence_map.py
 """
 
@@ -98,6 +109,143 @@ def query_sets() -> dict[str, str]:
     return sets
 
 
+def query_families() -> dict[str, str]:
+    """name -> defining plan module (the family grouping COVERAGE.md's
+    narrative sections follow), from the live callables."""
+    from erathia_market_etl_spark.plans import all_queries
+    from tests.test_oracle_parity import _queued, _retired
+
+    fns: dict[str, object] = dict(all_queries())
+    fns.update({n: fq[0] for n, fq in _queued().items()})
+    fns.update({n: fq[0] for n, fq in _retired().items()})
+    return {
+        n: getattr(f, "__module__", "?").rsplit(".", 1)[-1]
+        for n, f in fns.items()
+    }
+
+
+_SUMMARY_BEGIN = "<!-- GENERATED:FAMILY-SUMMARY:BEGIN (tools/evidence_map.py) -->"
+_SUMMARY_END = "<!-- GENERATED:FAMILY-SUMMARY:END -->"
+
+
+def write_family_summary(
+    root: Path, evidence: dict[str, dict], sets: dict[str, str]
+) -> None:
+    """Regenerate the COVERAGE.md header block: one row per plan-module
+    family with set counts and the newest green evidence round."""
+    families = query_families()
+    rows: dict[str, dict] = {}
+    for name, fam in families.items():
+        r = rows.setdefault(
+            fam, {"registered": 0, "local-only": 0, "retired": 0, "newest": 0}
+        )
+        r[sets.get(name, "local-only")] += 1
+        ev = evidence.get(name)
+        if ev:
+            r["newest"] = max(r["newest"], ev["round"])
+    lines = [
+        _SUMMARY_BEGIN,
+        "",
+        "| family (plan module) | registered | local-only | retired | total | newest green |",
+        "|---|---|---|---|---|---|",
+    ]
+    tot = {"registered": 0, "local-only": 0, "retired": 0}
+    for fam in sorted(rows):
+        r = rows[fam]
+        total = r["registered"] + r["local-only"] + r["retired"]
+        for k in tot:
+            tot[k] += r[k]
+        lines.append(
+            f"| {fam} | {r['registered']} | {r['local-only']} | "
+            f"{r['retired']} | {total} | r{r['newest']} |"
+        )
+    lines.append(
+        f"| **all** | **{tot['registered']}** | **{tot['local-only']}** | "
+        f"**{tot['retired']}** | **{sum(tot.values())}** | |"
+    )
+    lines += ["", _SUMMARY_END]
+    block = "\n".join(lines)
+
+    path = root / "COVERAGE.md"
+    text = path.read_text()
+    if _SUMMARY_BEGIN in text:
+        pre, rest = text.split(_SUMMARY_BEGIN, 1)
+        _, post = rest.split(_SUMMARY_END, 1)
+        path.write_text(pre + block + post)
+    else:
+        # first run: insert after the opening paragraph (before the
+        # first section heading)
+        idx = text.index("\n## ")
+        path.write_text(text[:idx] + "\n" + block + "\n" + text[idx:])
+
+
+def annotate_advice(root: Path) -> dict:
+    """Rewrite ADVICE.md with a generated status line per bullet, from
+    tools/advice_ledger.json; prune ledger entries whose anchors left
+    the file (the driver rewrites ADVICE.md every round)."""
+    advice_path = root / "ADVICE.md"
+    ledger_path = root / "tools" / "advice_ledger.json"
+    if not advice_path.exists():
+        return {"advice_bullets": 0}
+    ledger = (
+        json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+    )
+    anchor_re = re.compile(r"[\w./-]+\.py:\d+")
+    # drop prior annotations (idempotent regeneration)
+    lines = [
+        ln
+        for ln in advice_path.read_text().splitlines()
+        if not ln.strip().startswith("_[status")
+    ]
+    out: list[str] = []
+    seen_anchors: set[str] = set()
+    pending: str | None = None
+
+    def flush() -> None:
+        nonlocal pending
+        if pending is not None:
+            out.append(pending)
+            pending = None
+
+    n_bullets = n_open = 0
+    for i, ln in enumerate(lines):
+        if ln.startswith("- "):
+            flush()
+            n_bullets += 1
+            m = anchor_re.search(ln)
+            key = m.group(0) if m else None
+            ent = ledger.get(key) if key else None
+            if key:
+                seen_anchors.add(key)
+            if ent:
+                pending = (
+                    f"  _[status r{ent['round']}: "
+                    f"{str(ent['status']).upper()} — {ent['note']}]_"
+                )
+            else:
+                n_open += 1
+                pending = "  _[status: OPEN]_"
+        elif pending is not None and not ln.startswith("  "):
+            flush()
+        out.append(ln)
+    flush()
+    advice_path.write_text("\n".join(out) + "\n")
+
+    pruned = [
+        k for k in ledger
+        if k != "_comment" and k not in seen_anchors
+    ]
+    if pruned:
+        for k in pruned:
+            del ledger[k]
+        ledger_path.write_text(json.dumps(ledger, indent=2) + "\n")
+    return {
+        "advice_bullets": n_bullets,
+        "advice_open": n_open,
+        "advice_ledger_pruned": pruned,
+    }
+
+
 def main() -> None:
     root = Path(__file__).resolve().parents[1]
     evidence = collect_evidence(root)
@@ -163,6 +311,8 @@ def main() -> None:
     ]
     out_path = root / "COVERAGE_EVIDENCE.md"
     out_path.write_text("\n".join(lines))
+    write_family_summary(root, evidence, sets)
+    advice_stats = annotate_advice(root)
     print(json.dumps({
         "queries": len(sets),
         "green": len(with_evidence),
@@ -170,6 +320,7 @@ def main() -> None:
         "aged_past_window": aged,
         "pending_driver_slot": len(pending),
         "artifact": str(out_path),
+        **advice_stats,
     }))
 
 
