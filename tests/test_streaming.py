@@ -695,3 +695,60 @@ def test_streaming_mix_append_merges_to_batch_state(spark, staged_dir, tmp_path)
         state_path
     )
     assert sorted(map(tuple, read_mix_state(spark, state_path).collect())) == want
+
+
+def test_session_watermark_drops_late_row_from_finalized_session(
+    spark, staged_dir
+):
+    """r12 VERDICT item 6: the late-data DROP path of the registered
+    stream_session_stats shape, driven through an actual readStream
+    file source with an out-of-order row crossing the watermark — not
+    just the withWatermark call. Batch sequencing follows the
+    one-batch watermark lag documented in
+    test_watermark_drops_late_data_in_append_mode: b0 establishes the
+    watermark, b1 runs under it and finalizes+emits the hour-1
+    session, b2's late row (which WOULD have merged into that session)
+    arrives behind the watermark and must be dropped."""
+    from erathia_market_etl_spark.streaming.event_stream import (
+        session_stats_stream,
+    )
+
+    _write_batch_file(
+        spark,
+        [(1, _ts(1, 0), 1, "a", 1.0), (2, _ts(1, 10), 1, "a", 2.0),
+         (3, _ts(5, 0), 9, "a", 0.0)],
+        f"{staged_dir}/b0.parquet", 1_000_000,
+    )
+    _write_batch_file(spark, [(4, _ts(5, 30), 9, "a", 0.0)],
+                      f"{staged_dir}/b1.parquet", 1_000_100)
+    # late: inside user 1's already-finalized session, behind the wm
+    _write_batch_file(spark, [(5, _ts(1, 20), 1, "a", 100.0)],
+                      f"{staged_dir}/b2.parquet", 1_000_200)
+
+    agg = session_stats_stream(
+        _read_stream(spark, staged_dir), gap="30 minutes", watermark="1 hour"
+    )
+    out = run_available_now(agg, output_mode="append").collect()
+
+    # exactly ONE finalized session: user 1, [01:00, 01:40), the two
+    # on-time rows only — the late value-100 row neither re-opened the
+    # session nor created a second one; user 9's session end (06:00)
+    # is past the final watermark so append never emits it
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1
+    assert (r["session_start"].hour, r["session_start"].minute) == (1, 0)
+    assert (r["session_end"].hour, r["session_end"].minute) == (1, 40)
+    assert (r["n_events"], r["total_value"]) == (2, 3.0)
+
+    # non-vacuity: the SAME rows through the batch session_window agg
+    # (no watermark) DO merge the late row into one 3-event session —
+    # so the streaming assertion above discriminates the drop path
+    batch = (
+        spark.read.parquet(staged_dir)
+        .filter(F.col("user_id") == 1)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(batch) == 1 and batch[0]["n"] == 3
