@@ -1,0 +1,144 @@
+"""Decade-up scale-step harness (r13, VERDICT r12 item 5).
+
+Synthesizes an **sf1** (one decade above the largest driver fixture)
+for the three tables the steepest-scaling queries touch, then times
+those queries at sf0.1 vs sf1 — the third-decade row of SCALE.md's
+"Measured scaling" table. The synthesis follows the driver fixtures'
+own measured scaling law (every entity table grows 10x per decade):
+
+  * lineitem / events: 10 key-shifted replicas (order/part/user/event
+    ids offset by replica x max+1) — entity cardinality grows 10x,
+    baskets and per-user event streams stay intact, so basket-bounded
+    expansions and per-user windows keep their real shapes;
+  * documents: 10 replicas with per-replica WORD-ROTATED text — the
+    token multiset is preserved (per-row scan cost identical to real
+    docs) while 3-gram shingle sets diverge (near-dup structure does
+    NOT collapse into 10x artificial duplicates, which would melt the
+    LSH caps and measure the wrong thing).
+
+Output lands in .scalecheck/sf1/ (gitignored scratch). The timing leg
+needs a bigger heap than the 4 GiB test default: 32 local threads x
+128 MB is what OOMed the sf1 wedge expansion (local-mode artifact —
+on a cluster this is per-executor memory sizing, not a plan property).
+
+Usage: python tools/gen_scale_step.py          # synthesize + time
+       python tools/gen_scale_step.py --gen    # synthesize only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scalecheck", "sf1")
+REPLICAS = 10
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    mx = {
+        k: con.sql(s).fetchone()[0]
+        for k, s in {
+            "ok": f"SELECT MAX(l_orderkey)+1 FROM '{SRC}/lineitem.parquet'",
+            "pk": f"SELECT MAX(l_partkey)+1 FROM '{SRC}/lineitem.parquet'",
+            "ev": f"SELECT MAX(event_id)+1 FROM '{SRC}/events.parquet'",
+            "us": f"SELECT MAX(user_id)+1 FROM '{SRC}/events.parquet'",
+            "dc": f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'",
+        }.items()
+    }
+    r = f"(SELECT unnest(generate_series(0,{REPLICAS - 1})) AS i) r"
+    con.sql(f"""
+        COPY (
+          SELECT l_orderkey + r.i*{mx['ok']} AS l_orderkey,
+                 l_partkey + r.i*{mx['pk']} AS l_partkey,
+                 * EXCLUDE (l_orderkey, l_partkey)
+          FROM '{SRC}/lineitem.parquet', {r}
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+          SELECT event_id + r.i*{mx['ev']} AS event_id,
+                 user_id + r.i*{mx['us']} AS user_id,
+                 * EXCLUDE (event_id, user_id)
+          FROM '{SRC}/events.parquet', {r}
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+          WITH t AS (SELECT *, string_split(text, ' ') AS toks
+                     FROM '{SRC}/documents.parquet'),
+          reps AS (SELECT unnest(generate_series(0,{REPLICAS - 1})) AS i)
+          SELECT doc_id + reps.i*{mx['dc']} AS doc_id,
+                 CASE WHEN reps.i = 0 OR len(toks) < 2 THEN text
+                      ELSE list_aggregate(
+                             list_concat(toks[1 + (reps.i % len(toks)):],
+                                         toks[:(reps.i % len(toks))]),
+                             'string_agg', ' ')
+                 END AS text,
+                 lang, source, n_chars
+          FROM t, reps
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("lineitem", "events", "documents"):
+        n = con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"generated {t}: {n} rows")
+
+
+def run_timings() -> None:
+    from erathia_market_etl_spark.config import EngineConfig
+    from erathia_market_etl_spark.plans.dedup_queries import (
+        dedup_minhash_jaccard_estimate,
+    )
+    from erathia_market_etl_spark.plans.graph_queries import (
+        graph_triangle_cohesion,
+    )
+    from erathia_market_etl_spark.plans.profile_queries import (
+        profile_fact_columns,
+    )
+    from erathia_market_etl_spark.plans.text_queries import (
+        text_language_id,
+        text_quality_gate,
+    )
+    from erathia_market_etl_spark.session import get_spark
+
+    queries = [
+        graph_triangle_cohesion,
+        dedup_minhash_jaccard_estimate,
+        profile_fact_columns,
+        text_quality_gate,
+        text_language_id,
+    ]
+    spark = get_spark(
+        EngineConfig(app_name="scale-step", driver_memory="24g")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    for sf_dir, tag in [(SRC, "sf0.1"), (DST, "sf1")]:
+        for fn in queries:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            out.setdefault(fn.__name__, {})[tag] = round(best, 3)
+            print("DONE", fn.__name__, tag, round(best, 3), flush=True)
+    for v in out.values():
+        v["d3"] = round(v["sf1"] / v["sf0.1"], 1)
+    print("SCALESTEP " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    generate()
+    if "--gen" not in sys.argv:
+        run_timings()
