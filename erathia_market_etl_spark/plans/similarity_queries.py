@@ -960,10 +960,12 @@ IVFPQ_SHORTLIST = 64      # ADC shortlist fed to exact re-rank
 IVFPQ_RECALL_FLOOR = 0.5
 
 SIM_IVFPQ_TOPK_ORACLE = f"""
-    WITH {{ivf_cte}}
+    WITH {{ivf_cte}},
+    {{fingerprint_cte}}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
            {{n_probe}} AS n_probe, 8 AS n_sub, 16 AS k,
            {IVFPQ_SHORTLIST} AS shortlist,
+           (SELECT {{recall_case}} FROM fp) AS recall_hits,
            TRUE AS shortlist_bounded,
            TRUE AS recall_ok
     FROM cells JOIN probes ON cells.cid = probes.cid
@@ -989,7 +991,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 — the PQ stage's own loss, separated from the IVF cell-miss
     loss that sim_topk_ivf already evidences) plus shortlist_bounded
     (the shortlist genuinely prunes: IVFPQ_SHORTLIST < n_candidates,
-    so recall_ok is non-vacuous).
+    so recall_ok is non-vacuous) — and, since r13, the measured
+    recall_hits INTEGER itself, frozen per fixture behind the corpus
+    fingerprint (the sim_pq_quality pattern; r12 VERDICT item 4).
 
     Scale shape: at 100 TB the codes table is encoded offline
     corpus-wide (pq_assign's narrow map) and written partitioned by
@@ -1058,6 +1062,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(books)).alias("n_sub"),
         F.lit(len(books[0])).alias("k"),
         F.lit(IVFPQ_SHORTLIST).alias("shortlist"),
+        # measured-value column (r13, the sim_pq_quality pattern): the
+        # shortlist∩in-cell-exact hit count is a deterministic integer
+        # per fixture — the oracle pins its VALUE behind the corpus
+        # fingerprint, not just the >= floor boolean
+        F.col("n_hits").cast("bigint").alias("recall_hits"),
         (F.lit(IVFPQ_SHORTLIST) < F.col("n_candidates"))
         .alias("shortlist_bounded"),
         ((F.col("n_hits") / TOP_K) >= IVFPQ_RECALL_FLOOR).alias("recall_ok"),
@@ -1065,8 +1074,17 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle() -> str:
+    # recall_hits values measured r13 (deterministic per fixture —
+    # repeat-run verified), pinned behind the corpus fingerprint like
+    # the sim_pq_quality oracle
     return SIM_IVFPQ_TOPK_ORACLE.format(
-        ivf_cte=_IVF_CTE, n_probe=N_PROBE, query_vec_id=QUERY_VEC_ID
+        ivf_cte=_IVF_CTE,
+        n_probe=N_PROBE,
+        query_vec_id=QUERY_VEC_ID,
+        fingerprint_cte=_EMB_FINGERPRINT_CTE,
+        recall_case=_sig_case(
+            {_EMB_SIG_SF0001: 10, _EMB_SIG_SF001: 8, _EMB_SIG_SF01: 6}
+        ),
     )
 
 

@@ -296,7 +296,13 @@ def test_rank_limits_push_map_side_group_limit(spark, name):
     per map task instead of N rows in one sort). Losing the pushdown
     (e.g. by switching row_number to a non-rank function or adding a
     second window column) would still pass the value oracles."""
-    plan = plan_of(QUERIES[name](spark, SF_T2))
+    # topk_per_group's driver slot was retired r13, but this pin reads
+    # the FUNCTION, not the registration — the kernel shape must hold
+    # for the retired-set compare too
+    from erathia_market_etl_spark.plans.relational import topk_per_group
+
+    fn = QUERIES[name] if name in QUERIES else topk_per_group
+    plan = plan_of(fn(spark, SF_T2))
     assert re.search(r"WindowGroupLimit .*, Partial", plan), name
     assert re.search(r"WindowGroupLimit .*, Final", plan), name
 
