@@ -66,7 +66,15 @@ class EngineConfig:
     # default stays double for parity (SURVEY.md §1.3).
     decimal_money: bool = False
     session_timezone: str = "UTC"
-    driver_memory: str = "4g"
+    # 4g suits the driver fixtures (<= sf0.1); decade-up local runs
+    # (tools/gen_scale_step.py's sf1) need more heap per the 32-thread
+    # local JVM — override via env like the SF_DIR/CPUS knobs so
+    # bench.py can be pointed at bigger data without a code edit.
+    driver_memory: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "4g"
+        )
+    )
     sim: SimulationConfig = field(default_factory=SimulationConfig)
 
 

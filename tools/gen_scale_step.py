@@ -21,8 +21,23 @@ needs a bigger heap than the 4 GiB test default: 32 local threads x
 128 MB is what OOMed the sf1 wedge expansion (local-mode artifact —
 on a cluster this is per-executor memory sizing, not a plan property).
 
+`--full` additionally synthesizes the REST of the star schema
+(region/nation copied — bounded dims; customer/supplier/part/orders
+key-shifted x10 with replica-consistent foreign keys so every join
+lands inside its own replica; embeddings x4 — the fixtures' own
+measured decade growth for that table — with per-replica cyclic
+dimension rotation, which preserves norms and within-replica pairwise
+structure while decorrelating replicas, so near-dup structure does not
+collapse into artificial exact duplicates), which makes
+`.scalecheck/sf1` a complete fixture dir the FULL bench can run
+against:
+
+    SPARK_GRAFT_SF_DIR=$REPO/.scalecheck/sf1 \
+    SPARK_GRAFT_DRIVER_MEM=24g python bench.py
+
 Usage: python tools/gen_scale_step.py          # synthesize + time
        python tools/gen_scale_step.py --gen    # synthesize only
+       python tools/gen_scale_step.py --gen --full  # whole star schema
 """
 
 from __future__ import annotations
@@ -60,7 +75,7 @@ def generate() -> None:
         COPY (
           SELECT l_orderkey + r.i*{mx['ok']} AS l_orderkey,
                  l_partkey + r.i*{mx['pk']} AS l_partkey,
-                 * EXCLUDE (l_orderkey, l_partkey)
+                 * EXCLUDE (l_orderkey, l_partkey, i)
           FROM '{SRC}/lineitem.parquet', {r}
         ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
     """)
@@ -68,7 +83,7 @@ def generate() -> None:
         COPY (
           SELECT event_id + r.i*{mx['ev']} AS event_id,
                  user_id + r.i*{mx['us']} AS user_id,
-                 * EXCLUDE (event_id, user_id)
+                 * EXCLUDE (event_id, user_id, i)
           FROM '{SRC}/events.parquet', {r}
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
@@ -88,9 +103,91 @@ def generate() -> None:
           FROM t, reps
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
     """)
-    for t in ("lineitem", "events", "documents"):
+    tables = ["lineitem", "events", "documents"]
+    if "--full" in sys.argv:
+        generate_rest(con, mx, r)
+        tables += ["region", "nation", "customer", "supplier", "part",
+                   "orders", "embeddings"]
+    for t in tables:
         n = con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"generated {t}: {n} rows")
+
+
+EMB_REPLICAS = 4  # embeddings measured 4x per decade in the fixtures
+
+
+def generate_rest(con, mx: dict, r: str) -> None:
+    """The remaining star-schema tables, replica-consistent FKs."""
+    for t in ("region", "nation"):  # bounded dims: copy
+        con.sql(f"""
+            COPY (SELECT * FROM '{SRC}/{t}.parquet')
+            TO '{DST}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    mx["ck"] = con.sql(
+        f"SELECT MAX(c_custkey)+1 FROM '{SRC}/customer.parquet'"
+    ).fetchone()[0]
+    mx["sk"] = con.sql(
+        f"SELECT MAX(s_suppkey)+1 FROM '{SRC}/supplier.parquet'"
+    ).fetchone()[0]
+    mx["vk"] = con.sql(
+        f"SELECT MAX(vec_id)+1 FROM '{SRC}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT c_custkey + r.i*{mx['ck']} AS c_custkey,
+                 * EXCLUDE (c_custkey, i)
+          FROM '{SRC}/customer.parquet', {r}
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+          SELECT s_suppkey + r.i*{mx['sk']} AS s_suppkey,
+                 * EXCLUDE (s_suppkey, i)
+          FROM '{SRC}/supplier.parquet', {r}
+        ) TO '{DST}/supplier.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+          SELECT p_partkey + r.i*{mx['pk']} AS p_partkey,
+                 * EXCLUDE (p_partkey, i)
+          FROM '{SRC}/part.parquet', {r}
+        ) TO '{DST}/part.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+          SELECT o_orderkey + r.i*{mx['ok']} AS o_orderkey,
+                 o_custkey + r.i*{mx['ck']} AS o_custkey,
+                 * EXCLUDE (o_orderkey, o_custkey, i)
+          FROM '{SRC}/orders.parquet', {r}
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+    """)
+    # lineitem needs replica-consistent l_suppkey too: regenerate it
+    # over the --full run (the base generate() shifted order/part only)
+    if con.sql(
+        f"SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM "
+        f"'{SRC}/lineitem.parquet') WHERE column_name='l_suppkey'"
+    ).fetchone()[0]:
+        con.sql(f"""
+            COPY (
+              SELECT l_orderkey + r.i*{mx['ok']} AS l_orderkey,
+                     l_partkey + r.i*{mx['pk']} AS l_partkey,
+                     l_suppkey + r.i*{mx['sk']} AS l_suppkey,
+                     * EXCLUDE (l_orderkey, l_partkey, l_suppkey, i)
+              FROM '{SRC}/lineitem.parquet', {r}
+            ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+    er = f"(SELECT unnest(generate_series(0,{EMB_REPLICAS - 1})) AS i) r"
+    con.sql(f"""
+        COPY (
+          SELECT vec_id + r.i*{mx['vk']} AS vec_id,
+                 CASE WHEN r.i = 0 THEN embedding
+                      ELSE list_concat(embedding[1 + r.i*16:],
+                                       embedding[:r.i*16])
+                 END AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet', {er}
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
 
 
 def run_timings() -> None:
