@@ -235,7 +235,78 @@ def run_timings() -> None:
     spark.stop()
 
 
+# The scale-SENSITIVE exactness classes: exact-money accumulation,
+# int64 envelopes (gini, pagerank fixed-point, HLL packing), bucket
+# caps, window ties, uint64 wraparound (winnowing), iterative
+# convergence. The fingerprint-dispatched contract oracles (sim_pq /
+# sim_ivf / sim_ivfpq) are excluded BY DESIGN: on a non-fixture corpus
+# they return NULLs (a loud mismatch), which is their documented
+# unknown-corpus behavior, not evidence either way.
+COMPARE_NAMES = [
+    "q1_net_revenue_by_nation", "q2_monthly_price_history",
+    "q3_top_customers", "agg_rollup", "agg_exact_percentiles",
+    "window_running_total", "session_window_stats",
+    "events_peak_concurrency", "dedup_minhash_lsh_pairs",
+    "sim_near_dup_pairs", "text_winnowing_fingerprints",
+    "bm25_topk_postings", "pack_token_budget_shards",
+    "text_length_trim", "dedup_cluster_components",
+    "graph_pagerank_influence", "scd2_dimension_merge",
+    "agg_approx_sketches",
+]
+
+
+def run_compare() -> None:
+    """Driver-exact oracle compare (same compare_query as CORRECTNESS/
+    LOCALCHECK) of the scale-sensitive classes at the synthetic sf1 —
+    attests that EXACTNESS, not just speed, survives the decade step.
+    r13 measured: 20/20 hash-exact (incl. 4.5M winnowing fingerprints,
+    303k capped LSH pairs, 1M-row running totals, the 160k-row
+    pagerank fixed-point, and the Gini int64 envelope)."""
+    from erathia_market_etl_spark.config import EngineConfig
+    from erathia_market_etl_spark.plans import registry
+    from erathia_market_etl_spark.plans.relational import (
+        MART_REVENUE_GINI_ORACLE,
+        mart_revenue_gini,
+    )
+    from erathia_market_etl_spark.plans.sketch_queries import (
+        AGG_HLL_REGISTERS_ORACLE,
+        agg_hll_registers,
+    )
+    from erathia_market_etl_spark.session import get_spark
+    from erathia_market_etl_spark.testing import compare_query
+
+    registry._load_all()
+    items = [
+        (n, registry.QUERIES[n], registry.ORACLES[n]) for n in COMPARE_NAMES
+    ]
+    items += [
+        ("mart_revenue_gini", mart_revenue_gini, MART_REVENUE_GINI_ORACLE),
+        ("agg_hll_registers", agg_hll_registers, AGG_HLL_REGISTERS_ORACLE),
+    ]
+    spark = get_spark(
+        EngineConfig(app_name="sf1-compare", driver_memory="24g")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for name, fn, oracle in items:
+        try:
+            r = compare_query(name, fn(spark, DST), oracle, DST)
+            ok = (
+                r.spark_rows == r.oracle_rows
+                and r.columns_match
+                and r.hash_match
+            )
+            out[name] = {"ok": ok, "rows": r.spark_rows}
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            out[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
+        print(("OK " if out[name]["ok"] else "FAIL ") + name, flush=True)
+    print("SF1COMPARE " + json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     generate()
-    if "--gen" not in sys.argv:
+    if "--compare" in sys.argv:
+        run_compare()
+    elif "--gen" not in sys.argv:
         run_timings()
