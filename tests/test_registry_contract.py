@@ -193,3 +193,44 @@ def test_rotation_steady_state_displacement():
         assert set(order2[:50]) == set(must_run2)
     finally:
         registry._CHANGED = orig
+
+
+def test_r14_staged_gini_registration_fits_budget():
+    """Pre-validate the r13-staged r14 registration (COVERAGE.md "r13
+    state"): assuming the driver greens exactly this round's 50 slots
+    at r13, registering mart_revenue_gini in r14 must fit the 50-slot
+    cap with ZERO displacement — 49 aged r12 greens + 1 never-green =
+    exactly 50. Runs against the LIVE registry + committed CORRECTNESS
+    state, so any r13-round drift that would break the staging (an
+    extra registration, a surprise _CHANGED entry, a missing green)
+    fails here before r14 begins."""
+    from erathia_market_etl_spark.plans import registry
+    from erathia_market_etl_spark.plans.registry import (
+        _CHANGED,
+        _last_green_rounds,
+    )
+
+    green = _last_green_rounds()
+    order = list(QUERIES)
+    newest = max(green.values())
+
+    # simulate the r13 driver pass: the current top-50 priority slots
+    # all green at newest+1, then mart_revenue_gini registers
+    green14 = dict(green)
+    for n in order[:50]:
+        green14[n] = newest + 1
+    names14 = order + ["mart_revenue_gini"]
+    newest14 = newest + 1
+    must_run = [
+        n for n in names14
+        if green14.get(n, -1) < newest14
+        or _CHANGED.get(n, -1) > green14.get(n, -1)
+    ]
+    assert len(must_run) <= 50, (
+        f"r14 must-run {len(must_run)} > 50 — the staged "
+        f"mart_revenue_gini registration no longer fits; re-derive "
+        f"the COVERAGE.md r13-state arithmetic: {must_run}"
+    )
+    order14 = registry._priority(names14, green14)
+    overflow = [n for n in must_run if order14.index(n) >= 50]
+    assert overflow == [], overflow
