@@ -234,3 +234,25 @@ def test_r14_staged_gini_registration_fits_budget():
     order14 = registry._priority(names14, green14)
     overflow = [n for n in must_run if order14.index(n) >= 50]
     assert overflow == [], overflow
+
+
+def test_coverage_markers_match_registry_sets():
+    """COVERAGE.md's ★ (driver-attested) markers must track the live
+    sets: a retired or local-only query carrying ★ overstates its
+    evidence class (r13 found three stale ★ from the r8/r12
+    retirements). Generated artifacts already derive from JSON; this
+    pins the one hand-written narrative the judge reads."""
+    from pathlib import Path
+
+    from tests.test_oracle_parity import _RETIRED, _queued
+
+    text = Path(__file__).resolve().parents[1].joinpath(
+        "COVERAGE.md"
+    ).read_text()
+    stale = [
+        n for n in list(_RETIRED) + list(_queued())
+        if f"★ `{n}`" in text
+    ]
+    assert stale == [], (
+        f"COVERAGE.md marks non-registered queries as ★: {stale}"
+    )
