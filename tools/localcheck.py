@@ -106,7 +106,11 @@ def main() -> None:
     # (r9 added an sf0.1 twin next to the per-round sf0.01 artifact)
     out["_meta"] = {"round": rnd, "sf_dir": sf_dir,
                     "green": green, "total": len(out)}
-    path = root / f"LOCALCHECK_r{rnd:02d}.json"
+    # the sf0.1 twin gets its own artifact name — before r13 both runs
+    # wrote LOCALCHECK_r{N}.json and the twin silently OVERWROTE the
+    # sf0.01 artifact unless the operator copied it aside first
+    suffix = "_sf01" if sf_dir.rstrip("/").endswith("sf0.1") else ""
+    path = root / f"LOCALCHECK_r{rnd:02d}{suffix}.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(json.dumps({"round": rnd, "sf_dir": sf_dir, "green": green,
                       "total": len(out) - 1, "artifact": str(path)}))
