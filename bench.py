@@ -131,9 +131,6 @@ def _tier2_queries():
     from erathia_market_etl_spark.plans.event_windows import (
         scd2_user_tier_history,
     )
-    from erathia_market_etl_spark.plans.graph_queries import (
-        graph_pagerank_influence,
-    )
 
     def stream_rollup_maintenance(spark, sf_dir):
         # one AvailableNow maintenance run: stage the event log as a
@@ -164,18 +161,14 @@ def _tier2_queries():
         agg_hll_registers,
     )
 
-    from erathia_market_etl_spark.plans.event_windows import (
-        events_peak_concurrency,
-    )
-    from erathia_market_etl_spark.plans.relational import mart_revenue_gini
-
+    # registered tier-2 names (graph_pagerank_influence,
+    # events_peak_concurrency, and since r14 mart_revenue_gini) resolve
+    # through the registry fallback in main(); only local-only callables
+    # and the streaming closure need explicit entries here
     return {
-        "graph_pagerank_influence": graph_pagerank_influence,
         "scd2_user_tier_history": scd2_user_tier_history,
         "stream_rollup_maintenance": stream_rollup_maintenance,
         "agg_hll_registers": agg_hll_registers,
-        "mart_revenue_gini": mart_revenue_gini,
-        "events_peak_concurrency": events_peak_concurrency,
     }
 
 

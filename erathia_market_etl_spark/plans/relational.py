@@ -1716,16 +1716,12 @@ def skyline_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # mart_revenue_gini: revenue-concentration (Gini / Lorenz) mart.
-# r12 local-only (LOCALCHECK green both SFs). STAGED registration
-# (VERDICT r12 item 3, the r10->r11 ohlc/twap sequencing precedent):
-# r13 retires agg_cube + topk_per_group and registers
-# events_peak_concurrency (2 changed + 47 aged + 1 never-green = the
-# driver's 50 slots exactly); registering this one too would displace
-# a never-green past the cap (test_rotation_budget_not_overcommitted
-# forbids it). REGISTER IN r14: add
-# @query("mart_revenue_gini", oracle=MART_REVENUE_GINI_ORACLE) and
-# move the _queued() entry back out of tests/test_oracle_parity.py —
-# r14's budget is then 49 aged + 1 never = 50 with zero displacement.
+# r12 local-only (LOCALCHECK green both SFs); REGISTERED r14 exactly as
+# staged in r13 (VERDICT r12 item 3, the r10->r11 ohlc/twap sequencing
+# precedent): the slot was pre-paid by the r13 agg_cube retirement, so
+# r14's budget is 48 aged r12 greens + 2 never-green (this one and
+# mart_pareto_concentration, paid by the r14 text_quality_score
+# retirement) = the driver's 50 slots with zero displacement.
 # ---------------------------------------------------------------------------
 
 # $1k lifetime-spend blocks; the TPC-H-ish per-customer lifetime spend
@@ -1763,6 +1759,7 @@ MART_REVENUE_GINI_ORACLE = """
     """
 
 
+@query("mart_revenue_gini", oracle=MART_REVENUE_GINI_ORACLE)
 def mart_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation revenue concentration: the GINI COEFFICIENT of
     customer lifetime spend — the classic inequality statistic
@@ -1854,8 +1851,13 @@ def mart_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # mart_pareto_concentration: the 80/20 point of the revenue Lorenz
-# curve. UNREGISTERED (r12 — local-only per the COVERAGE.md standing
-# policy; driver-style evidence via LOCALCHECK).
+# curve. r12 local-only; PROMOTED to a driver slot in r14 (VERDICT r13
+# item 8 — one-in-one-out, paid by the text_quality_score retirement in
+# plans/text_queries.py): it is the only consumer of the
+# operators/rank.py grouped_prefix_sum block decomposition reachable by
+# the driver, so promoting it puts BOTH rank-decomposition kernels
+# (grouped_rank via mart_revenue_gini, grouped_prefix_sum here) under
+# cross-engine CORRECTNESS attestation rather than local-only sweeps.
 # ---------------------------------------------------------------------------
 
 PARETO_TARGET_NUM = 4  # top customers covering >= 4/5 (80%) of revenue
@@ -1899,6 +1901,7 @@ MART_PARETO_CONCENTRATION_ORACLE = f"""
     """
 
 
+@query("mart_pareto_concentration", oracle=MART_PARETO_CONCENTRATION_ORACLE)
 def mart_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 80/20 (Pareto) point of each nation's revenue Lorenz curve:
     the SMALLEST count of top-spending customers whose lifetime spend

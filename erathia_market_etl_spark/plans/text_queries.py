@@ -98,9 +98,15 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("predicted_lang", TX.predicted_language(score_cols)).orderBy("doc_id")
 
 
-@query(
-    "text_quality_score",
-    oracle="""
+# Driver slot RETIRED r14 (one-in-one-out: paid for the
+# mart_pareto_concentration promotion — VERDICT r13 item 8). Strict
+# subset of staying siblings: the same map-only per-document signal
+# projection over `documents` (narrow scan -> array HOFs -> ORDER BY
+# doc_id) as text_quality_signals, and its composite score is one term
+# of text_quality_gate's registered C4/Gopher composite. Values stay
+# attested by the retired-set sweep (tests/test_oracle_parity.py +
+# tools/localcheck.py at sf0.01/sf0.1 every round).
+TEXT_QUALITY_SCORE_ORACLE = """
     WITH t AS (
         SELECT doc_id,
                string_split(text, ' ') AS toks,
@@ -117,8 +123,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) * 1000000 + 0.5) / 1000000 AS quality_score
     FROM t
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation + lexical diversity composite
     (the shape of a pre-training quality filter; weights are config)."""

@@ -75,6 +75,10 @@ _RETIRED = [
     # rationales at the definition sites in plans/relational.py
     "agg_cube",
     "topk_per_group",
+    # r14 retired (one-in-one-out: paid for the mart_pareto_concentration
+    # promotion — VERDICT r13 item 8); strict-subset rationale at the
+    # definition site in plans/text_queries.py
+    "text_quality_score",
 ]
 
 
@@ -479,7 +483,12 @@ def _queued():
         ),
         # r12-implemented 2-D skyline via the block decomposition vs
         # the single-node global-window DuckDB twin — hash equality
-        # attests the distributed dominance split itself
+        # attests the distributed dominance split itself.
+        # TERMINAL-LOCAL (r14 decision, VERDICT r13 item 8): both
+        # operators/rank.py block-decomposition kernels it builds on are
+        # now driver-attested (grouped_rank via mart_revenue_gini,
+        # grouped_prefix_sum via mart_pareto_concentration); the skyline
+        # composition stays on the per-round LOCALCHECK sweep
         "skyline_part_frontier": (
             _rq().skyline_part_frontier,
             _rq().SKYLINE_PART_FRONTIER_ORACLE,
@@ -524,16 +533,8 @@ def _queued():
             _tmq().funnel_time_to_convert,
             _tmq().FUNNEL_TIME_TO_CONVERT_ORACLE,
         ),
-        # r12-implemented revenue-concentration mart: per-nation Gini
-        # coefficient via the grouped block-rank decomposition
-        # (operators/rank.py grouped_rank — no per-nation global sort).
-        # Slot pre-paid by the r13 agg_cube retirement; REGISTERS r14
-        # (staged — see the definition-site comment in
-        # plans/relational.py for the budget arithmetic)
-        "mart_revenue_gini": (
-            _rq().mart_revenue_gini,
-            _rq().MART_REVENUE_GINI_ORACLE,
-        ),
+        # (mart_revenue_gini registered r14 exactly as staged in r13 —
+        # slot pre-paid by the r13 agg_cube retirement)
         # r12-implemented gaps-and-islands engagement distribution:
         # longest consecutive-active-day streak per user (windows ride
         # the calendar-bounded per-user day grain)
@@ -550,7 +551,12 @@ def _queued():
         ),
         # r12-implemented k-hop BFS reachability from the hub node:
         # 3 frontier expansions with visited-set anti-joins (the
-        # fourth iterative graph kernel) vs a DuckDB unrolled-CTE twin
+        # fourth iterative graph kernel) vs a DuckDB unrolled-CTE twin.
+        # TERMINAL-LOCAL (r14 decision, VERDICT r13 item 8): the
+        # iterative-join machinery it exercises (persisted edges,
+        # localCheckpoint lineage control, bounded rounds) is
+        # driver-attested through graph_pagerank_influence; no
+        # registered graph sibling is a strict subset to trade against
         "graph_bfs_reach": (
             _gq().graph_bfs_reach,
             _gq().GRAPH_BFS_REACH_ORACLE,
@@ -643,18 +649,18 @@ def _queued():
         ),
         # r12-implemented experiment assignment + SRM audit: avalanche
         # hash buckets -> weighted variants, per-arm Pearson chi-square
-        # contribution in exact integer micro-units
+        # contribution in exact integer micro-units.
+        # TERMINAL-LOCAL (r14 decision, VERDICT r13 item 8): the
+        # deterministic hash-bucket assignment primitive is
+        # driver-attested through sample_stratified_by, and the SRM
+        # chi-square readout composes it with plain conditional sums;
+        # stays on the LOCALCHECK sweep with exp_variant_conversion
         "exp_assignment_srm": (
             _pq().exp_assignment_srm,
             _pq().EXP_ASSIGNMENT_SRM_ORACLE,
         ),
-        # r12-implemented Lorenz 80/20 point: smallest top-spender
-        # count covering 80% of each nation's revenue, via the
-        # grouped_prefix_sum block decomposition (all-integer)
-        "mart_pareto_concentration": (
-            _rq().mart_pareto_concentration,
-            _rq().MART_PARETO_CONCENTRATION_ORACLE,
-        ),
+        # (mart_pareto_concentration promoted to a driver slot r14 —
+        # paid for by the text_quality_score retirement)
         # r12-implemented LPA community detection: 2 synchronous
         # most-frequent-neighbor-label rounds (ties to smallest) over
         # the k-core's repeat-trade graph vs a DuckDB unrolled-CTE twin
@@ -802,6 +808,10 @@ def _retired():
         sample_mixture_weighted,
         sample_split_assign,
     )
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_QUALITY_SCORE_ORACLE,
+        text_quality_score,
+    )
 
     return {
         "dedup_distinct_rows": (dedup_distinct_rows, DISTINCT_ROWS_ORACLE),
@@ -831,6 +841,9 @@ def _retired():
         "scalar_string_kit": (scalar_string_kit, SCALAR_STRING_KIT_ORACLE),
         "agg_cube": (agg_cube, AGG_CUBE_ORACLE),
         "topk_per_group": (topk_per_group, TOPK_PER_GROUP_ORACLE),
+        "text_quality_score": (
+            text_quality_score, TEXT_QUALITY_SCORE_ORACLE,
+        ),
     }
 
 

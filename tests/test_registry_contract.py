@@ -195,44 +195,39 @@ def test_rotation_steady_state_displacement():
         registry._CHANGED = orig
 
 
-def test_r14_staged_gini_registration_fits_budget():
-    """Pre-validate the r13-staged r14 registration (COVERAGE.md "r13
-    state"): assuming the driver greens exactly this round's 50 slots
-    at r13, registering mart_revenue_gini in r14 must fit the 50-slot
-    cap with ZERO displacement — 49 aged r12 greens + 1 never-green =
-    exactly 50. Runs against the LIVE registry + committed CORRECTNESS
-    state, so any r13-round drift that would break the staging (an
-    extra registration, a surprise _CHANGED entry, a missing green)
-    fails here before r14 begins."""
-    from erathia_market_etl_spark.plans import registry
+def test_r14_registrations_landed_with_zero_displacement():
+    """The r13-staged r14 state, landed: mart_revenue_gini (slot
+    pre-paid by the r13 agg_cube retirement) and
+    mart_pareto_concentration (paid by the r14 text_quality_score
+    retirement) are REGISTERED and both sit inside the driver's 50-slot
+    cap together with every aged green — 48 aged r12 greens + 2
+    never-green = exactly 50, zero displacement. Runs against the LIVE
+    registry + committed CORRECTNESS state so any later registration or
+    _CHANGED entry that would push an aged green past the freshness
+    window fails here first."""
     from erathia_market_etl_spark.plans.registry import (
         _CHANGED,
         _last_green_rounds,
     )
 
-    green = _last_green_rounds()
     order = list(QUERIES)
-    newest = max(green.values())
+    for name in ("mart_revenue_gini", "mart_pareto_concentration"):
+        assert name in QUERIES, f"{name} lost its r14 registration"
+    assert "text_quality_score" not in QUERIES, (
+        "text_quality_score was retired r14 to pay for the "
+        "mart_pareto_concentration promotion"
+    )
 
-    # simulate the r13 driver pass: the current top-50 priority slots
-    # all green at newest+1, then mart_revenue_gini registers
-    green14 = dict(green)
-    for n in order[:50]:
-        green14[n] = newest + 1
-    names14 = order + ["mart_revenue_gini"]
-    newest14 = newest + 1
+    green = _last_green_rounds()
+    newest = max(green.values())
     must_run = [
-        n for n in names14
-        if green14.get(n, -1) < newest14
-        or _CHANGED.get(n, -1) > green14.get(n, -1)
+        n for n in order
+        if green.get(n, -1) < newest or _CHANGED.get(n, -1) > green.get(n, -1)
     ]
     assert len(must_run) <= 50, (
-        f"r14 must-run {len(must_run)} > 50 — the staged "
-        f"mart_revenue_gini registration no longer fits; re-derive "
-        f"the COVERAGE.md r13-state arithmetic: {must_run}"
+        f"r14 must-run {len(must_run)} > 50; retire or defer: {must_run}"
     )
-    order14 = registry._priority(names14, green14)
-    overflow = [n for n in must_run if order14.index(n) >= 50]
+    overflow = [n for n in must_run if order.index(n) >= 50]
     assert overflow == [], overflow
 
 

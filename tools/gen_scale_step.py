@@ -252,6 +252,8 @@ COMPARE_NAMES = [
     "text_length_trim", "dedup_cluster_components",
     "graph_pagerank_influence", "scd2_dimension_merge",
     "agg_approx_sketches",
+    # registered r14 (was appended as a local-only extra before)
+    "mart_revenue_gini",
 ]
 
 
@@ -264,10 +266,6 @@ def run_compare() -> None:
     pagerank fixed-point, and the Gini int64 envelope)."""
     from erathia_market_etl_spark.config import EngineConfig
     from erathia_market_etl_spark.plans import registry
-    from erathia_market_etl_spark.plans.relational import (
-        MART_REVENUE_GINI_ORACLE,
-        mart_revenue_gini,
-    )
     from erathia_market_etl_spark.plans.sketch_queries import (
         AGG_HLL_REGISTERS_ORACLE,
         agg_hll_registers,
@@ -280,7 +278,6 @@ def run_compare() -> None:
         (n, registry.QUERIES[n], registry.ORACLES[n]) for n in COMPARE_NAMES
     ]
     items += [
-        ("mart_revenue_gini", mart_revenue_gini, MART_REVENUE_GINI_ORACLE),
         ("agg_hll_registers", agg_hll_registers, AGG_HLL_REGISTERS_ORACLE),
     ]
     spark = get_spark(
