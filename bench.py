@@ -191,6 +191,36 @@ def _tier2_queries():
 # figure exists to separate machine drift from plan drift.
 PROBE_REF_SEC = 0.130
 
+# The round driver records BENCH_r{N}.json from the LAST 2000 BYTES of
+# this script's stdout and json-parses what it finds there. r13's JSON
+# line outgrew that window when two tier-2 queries joined (the line hit
+# ~2600 bytes), so the committed artifact carried a byte-truncated
+# `tail` (q1's timing cut off) and `parsed: null` — VERDICT r13 item 2.
+# Fix: the FULL payload is always written to BENCH_FULL.json next to
+# this script, and the stdout line is kept under the window by compact
+# separators plus dropping the per-query RATIO maps (re-derivable from
+# `queries` x BASELINE_BENCH.json, and present in BENCH_FULL.json)
+# before ever touching the raw per-query TIMINGS — every timed query
+# incl. q1 stays in the parsed driver artifact.
+STDOUT_BUDGET = 1900  # leave margin for stray progress-bar bytes
+_DROPPABLE = ("vs_baseline", "tier2_vs_baseline")
+
+
+def emit_result(out: dict, root: str) -> str:
+    """Write the full payload to BENCH_FULL.json and return the stdout
+    line (full payload if it fits, else with ratio maps dropped)."""
+    with open(os.path.join(root, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    line_obj = dict(out)
+    line_obj["full"] = "BENCH_FULL.json"
+    for key in ("",) + _DROPPABLE:
+        line_obj.pop(key, None)
+        line = json.dumps(line_obj, separators=(",", ":"))
+        if len(line) <= STDOUT_BUDGET:
+            return line
+    return line  # raw timings alone have never approached the window
+
 
 def _calibration_probe() -> float:
     import numpy as np
@@ -355,7 +385,7 @@ def main() -> None:
                     / sum(base_q[n] for n in shared), 3
                 )
 
-    print(json.dumps(out))
+    print(emit_result(out, os.path.dirname(os.path.abspath(__file__))))
     spark.stop()
 
 
