@@ -206,14 +206,17 @@ STDOUT_BUDGET = 1900  # leave margin for stray progress-bar bytes
 _DROPPABLE = ("vs_baseline", "tier2_vs_baseline")
 
 
-def emit_result(out: dict, root: str) -> str:
-    """Write the full payload to BENCH_FULL.json and return the stdout
-    line (full payload if it fits, else with ratio maps dropped)."""
-    with open(os.path.join(root, "BENCH_FULL.json"), "w") as f:
+def emit_result(out: dict, root: str, artifact: str = "BENCH_FULL.json") -> str:
+    """Write the full payload to the artifact file and return the
+    stdout line (full payload if it fits, else with ratio maps
+    dropped). Non-default SF dirs get their own artifact name (the
+    localcheck suffix convention) so an sf1 decade-step bench never
+    overwrites the canonical sf0.1 artifact."""
+    with open(os.path.join(root, artifact), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     line_obj = dict(out)
-    line_obj["full"] = "BENCH_FULL.json"
+    line_obj["full"] = artifact
     for key in ("",) + _DROPPABLE:
         line_obj.pop(key, None)
         line = json.dumps(line_obj, separators=(",", ":"))
@@ -385,7 +388,11 @@ def main() -> None:
                     / sum(base_q[n] for n in shared), 3
                 )
 
-    print(emit_result(out, os.path.dirname(os.path.abspath(__file__))))
+    default_dir = sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+    basename = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
+    artifact = "BENCH_FULL.json" if default_dir else f"BENCH_FULL_{basename}.json"
+    print(emit_result(out, os.path.dirname(os.path.abspath(__file__)),
+                      artifact))
     spark.stop()
 
 

@@ -408,10 +408,38 @@ _EMB_FINGERPRINT_CTE = """
         FROM embeddings
     )"""
 
-# sig values of the three driver fixtures (TESTDATA.md):
-_EMB_SIG_SF0001 = 50598792   # sf0.001 (500 vectors)
-_EMB_SIG_SF001 = 51001045    # sf0.01  (500 vectors)
-_EMB_SIG_SF01 = 196981349    # sf0.1   (2000 vectors)
+# sig values of the three driver fixtures (TESTDATA.md) plus the
+# synthetic sf1 decade-step corpus (tools/gen_scale_step.py --gen
+# --full — 4 cyclically dimension-rotated replicas of the sf0.1
+# embeddings; r13 VERDICT item 3: a corpus the fixtures' generator
+# never produced, so the contract class is attested beyond the two
+# shipped data distributions):
+_EMB_SIG_SF0001 = 50598792    # sf0.001 (500 vectors)
+_EMB_SIG_SF001 = 51001045     # sf0.01  (500 vectors)
+_EMB_SIG_SF01 = 196981349     # sf0.1   (2000 vectors)
+_EMB_SIG_SF1SYN = 797541686   # .scalecheck/sf1 (8000 vectors)
+
+# RE-MEASUREMENT PROCEDURE (r13 ADVICE: the pinned integers are
+# per-row doubles quantized via FLOOR(x*1e6+0.5) — deterministic
+# across partition layouts (verified at shuffle.partitions 8/17/32),
+# but a Spark/JVM/numpy upgrade could move a value one ULP across a
+# rounding boundary and hard-fail a previously-green row with a VALUE
+# mismatch; that is the deliberate loud-fail design, and this is how
+# to diagnose it as an environment bump rather than an engine
+# regression). For each frozen corpus: (1) recompute sig with the
+# _EMB_FINGERPRINT_CTE SQL in DuckDB over embeddings.parquet — if sig
+# moved, the CORPUS changed, regenerate or re-pin; (2) run
+# sim_ivf_cell_quality / sim_pq_quality / sim_ivfpq_topk twice under
+# different spark.sql.shuffle.partitions and confirm the measured
+# integers agree run-to-run — if they do but differ from the pinned
+# value, it is an environment bump: re-pin the integers in ONE commit
+# that cites the component upgrade, leaving the threshold BOOLEANS
+# (the semantic contract) untouched. Booleans are pinned per corpus
+# too (not blanket TRUE): e.g. PQ recall_ok is genuinely FALSE on the
+# synthetic sf1 corpus — the 100-vector shortlist is a 4x smaller
+# corpus fraction there, the expected ANN recall/scale trade — so the
+# oracle records the measured verdict instead of asserting quality
+# that does not hold.
 
 
 def _sig_case(values: dict[int, int]) -> str:
@@ -419,6 +447,14 @@ def _sig_case(values: dict[int, int]) -> str:
         f"WHEN sig = {sig} THEN {v}" for sig, v in values.items()
     )
     return f"CAST(CASE {arms} END AS BIGINT)"
+
+
+def _sig_case_bool(values: dict[int, bool]) -> str:
+    arms = " ".join(
+        f"WHEN sig = {sig} THEN {'TRUE' if v else 'FALSE'}"
+        for sig, v in values.items()
+    )
+    return f"CAST(CASE {arms} END AS BOOLEAN)"
 
 
 @query(
@@ -430,9 +466,11 @@ def _sig_case(values: dict[int, int]) -> str:
            {IVF_NPROBE} AS n_probe,
            CAST(16 AS BIGINT) AS n_cells,
            {_sig_case({_EMB_SIG_SF0001: 74000, _EMB_SIG_SF001: 86000,
-                       _EMB_SIG_SF01: 71000})} AS balance_ppm,
+                       _EMB_SIG_SF01: 71000, _EMB_SIG_SF1SYN: 65750})}
+               AS balance_ppm,
            {_sig_case({_EMB_SIG_SF0001: 4, _EMB_SIG_SF001: 5,
-                       _EMB_SIG_SF01: 6})} AS recall_hits,
+                       _EMB_SIG_SF01: 6, _EMB_SIG_SF1SYN: 7})}
+               AS recall_hits,
            TRUE AS cells_ok,
            TRUE AS balance_ok,
            TRUE AS recall_ok
@@ -807,12 +845,16 @@ SIM_PQ_QUALITY_ORACLE = f"""
     SELECT n AS n_vectors,
            8 AS n_sub, 16 AS k,
            {_sig_case({_EMB_SIG_SF0001: 548060, _EMB_SIG_SF001: 545112,
-                       _EMB_SIG_SF01: 581354})} AS distortion_ppm,
+                       _EMB_SIG_SF01: 581354, _EMB_SIG_SF1SYN: 605557})}
+               AS distortion_ppm,
            {_sig_case({_EMB_SIG_SF0001: 9, _EMB_SIG_SF001: 6,
-                       _EMB_SIG_SF01: 6})} AS recall_hits,
+                       _EMB_SIG_SF01: 6, _EMB_SIG_SF1SYN: 2})}
+               AS recall_hits,
            TRUE AS codes_ok,
            TRUE AS distortion_ok,
-           TRUE AS recall_ok
+           {_sig_case_bool({_EMB_SIG_SF0001: True, _EMB_SIG_SF001: True,
+                            _EMB_SIG_SF01: True, _EMB_SIG_SF1SYN: False})}
+               AS recall_ok
     FROM fp
     """
 
@@ -967,7 +1009,7 @@ SIM_IVFPQ_TOPK_ORACLE = f"""
            {IVFPQ_SHORTLIST} AS shortlist,
            (SELECT {{recall_case}} FROM fp) AS recall_hits,
            TRUE AS shortlist_bounded,
-           TRUE AS recall_ok
+           (SELECT {{recall_ok_case}} FROM fp) AS recall_ok
     FROM cells JOIN probes ON cells.cid = probes.cid
     WHERE cells.vec_id <> {{query_vec_id}}
     """
@@ -1083,7 +1125,12 @@ def _ivfpq_oracle() -> str:
         query_vec_id=QUERY_VEC_ID,
         fingerprint_cte=_EMB_FINGERPRINT_CTE,
         recall_case=_sig_case(
-            {_EMB_SIG_SF0001: 10, _EMB_SIG_SF001: 8, _EMB_SIG_SF01: 6}
+            {_EMB_SIG_SF0001: 10, _EMB_SIG_SF001: 8, _EMB_SIG_SF01: 6,
+             _EMB_SIG_SF1SYN: 2}
+        ),
+        recall_ok_case=_sig_case_bool(
+            {_EMB_SIG_SF0001: True, _EMB_SIG_SF001: True,
+             _EMB_SIG_SF01: True, _EMB_SIG_SF1SYN: False}
         ),
     )
 

@@ -779,3 +779,33 @@ def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path):
     assert abs(got[7][1]) == PCA_V_SCALE  # dominant axis at full scale
     others = [abs(v2) for pos, (_, v2) in got.items() if pos != 7]
     assert max(others) < PCA_V_SCALE // 4
+
+
+def test_fixture_corpora_hit_frozen_fingerprint_arms():
+    """The contract-class oracles (sim_pq_quality / sim_ivf_cell_quality
+    / sim_ivfpq_topk) dispatch their pinned measured integers on the
+    _EMB_FINGERPRINT_CTE corpus signature. This pins that the driver
+    fixtures land on their FROZEN arms — and therefore that the r14
+    synthetic-sf1 arm (_EMB_SIG_SF1SYN) is machine-verified UNREACHED
+    by every registered query's fixture execution, which is what lets
+    its addition skip a _CHANGED re-attestation slot (the r8
+    unreached-branch precedent in plans/registry.py)."""
+    import duckdb
+
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        _EMB_SIG_SF0001,
+        _EMB_SIG_SF001,
+        _EMB_SIG_SF1SYN,
+    )
+
+    from .conftest import SF_SMOKE, SF_T2
+
+    con = duckdb.connect()
+    expected = {SF_SMOKE: _EMB_SIG_SF0001, SF_T2: _EMB_SIG_SF001}
+    for sf_dir, frozen in expected.items():
+        sig = con.sql(
+            "SELECT CAST(SUM(CAST(FLOOR(ABS(embedding[1]) * 1000000 + 0.5)"
+            f" AS BIGINT)) AS BIGINT) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert sig == frozen, (sf_dir, sig, frozen)
+        assert sig != _EMB_SIG_SF1SYN, sf_dir

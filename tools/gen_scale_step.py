@@ -55,6 +55,60 @@ DST = os.path.join(REPO, ".scalecheck", "sf1")
 REPLICAS = 10
 
 
+def _round() -> int:
+    """Current round = newest committed CORRECTNESS round + 1 (the
+    localcheck convention)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(p)))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _write_artifact(section: str | None = None,
+                    payload: dict | None = None) -> None:
+    """Merge one leg's results into SCALESTEP_r{N}.json (VERDICT r13
+    item 6: the decade-step evidence was a hand-run whose results lived
+    only in SCALE.md prose — making each leg write the per-round
+    artifact the way localcheck does means it cannot silently go stale
+    as queries are added). Sections accumulate across invocations of
+    the same round: `timings` from the steep-query leg, `compare` from
+    the exactness leg, and `bench_totals` folded in from the
+    BENCH_FULL twins whenever both SFs have been benched."""
+    rnd = _round()
+    path = os.path.join(REPO, f"SCALESTEP_r{rnd:02d}.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    if section is not None:
+        data[section] = payload
+    data["_meta"] = {"round": rnd, "src": SRC, "dst": DST,
+                     "replicas": REPLICAS}
+    totals = {}
+    for tag, name in (("sf0.1", "BENCH_FULL.json"),
+                      ("sf1", "BENCH_FULL_sf1.json")):
+        p = os.path.join(REPO, name)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    totals[tag] = json.load(f).get("value")
+            except ValueError:
+                pass
+    if totals.get("sf0.1") and totals.get("sf1"):
+        totals["d3"] = round(totals["sf1"] / totals["sf0.1"], 2)
+    if totals:
+        data["bench_totals"] = totals
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("ARTIFACT " + path, flush=True)
+
+
 def generate() -> None:
     import duckdb
 
@@ -92,11 +146,18 @@ def generate() -> None:
           WITH t AS (SELECT *, string_split(text, ' ') AS toks
                      FROM '{SRC}/documents.parquet'),
           reps AS (SELECT unnest(generate_series(0,{REPLICAS - 1})) AS i)
+          -- rotation offset 1 + (i*7919) % (len-1) lands in [1, len-1],
+          -- never 0 mod len: the plain (i % len) offset was a NO-OP
+          -- whenever i % len == 0 (all 2-token docs at even replicas,
+          -- 3-token docs at replicas 3/6/9, ...), silently producing
+          -- byte-identical replica texts — exactly the artificial
+          -- near-dup collapse the rotation exists to avoid (r13 ADVICE)
           SELECT doc_id + reps.i*{mx['dc']} AS doc_id,
                  CASE WHEN reps.i = 0 OR len(toks) < 2 THEN text
                       ELSE list_aggregate(
-                             list_concat(toks[1 + (reps.i % len(toks)):],
-                                         toks[:(reps.i % len(toks))]),
+                             list_concat(
+                               toks[1 + (1 + (reps.i * 7919) % (len(toks) - 1)):],
+                               toks[:(1 + (reps.i * 7919) % (len(toks) - 1))]),
                              'string_agg', ' ')
                  END AS text,
                  lang, source, n_chars
@@ -232,6 +293,12 @@ def run_timings() -> None:
     for v in out.values():
         v["d3"] = round(v["sf1"] / v["sf0.1"], 1)
     print("SCALESTEP " + json.dumps(out))
+    _write_artifact("timings", {
+        "queries": out,
+        "worst_d3": max(v["d3"] for v in out.values()),
+        "total_sf01": round(sum(v["sf0.1"] for v in out.values()), 3),
+        "total_sf1": round(sum(v["sf1"] for v in out.values()), 3),
+    })
     spark.stop()
 
 
@@ -239,9 +306,11 @@ def run_timings() -> None:
 # int64 envelopes (gini, pagerank fixed-point, HLL packing), bucket
 # caps, window ties, uint64 wraparound (winnowing), iterative
 # convergence. The fingerprint-dispatched contract oracles (sim_pq /
-# sim_ivf / sim_ivfpq) are excluded BY DESIGN: on a non-fixture corpus
-# they return NULLs (a loud mismatch), which is their documented
-# unknown-corpus behavior, not evidence either way.
+# sim_ivf / sim_ivfpq) JOIN the sweep in r14: this synthetic corpus's
+# fingerprint and measured integers are pinned as a third arm in each
+# CASE (VERDICT r13 item 3 — _EMB_SIG_SF1SYN in plans/
+# similarity_queries.py), so they now hash-attest here instead of
+# returning their unknown-corpus NULLs.
 COMPARE_NAMES = [
     "q1_net_revenue_by_nation", "q2_monthly_price_history",
     "q3_top_customers", "agg_rollup", "agg_exact_percentiles",
@@ -254,6 +323,8 @@ COMPARE_NAMES = [
     "agg_approx_sketches",
     # registered r14 (was appended as a local-only extra before)
     "mart_revenue_gini",
+    # contract class, third-fingerprint-pinned r14
+    "sim_pq_quality", "sim_ivf_cell_quality",
 ]
 
 
@@ -273,12 +344,19 @@ def run_compare() -> None:
     from erathia_market_etl_spark.session import get_spark
     from erathia_market_etl_spark.testing import compare_query
 
+    from erathia_market_etl_spark.plans.similarity_queries import (
+        _ivfpq_oracle,
+        sim_ivfpq_topk,
+    )
+
     registry._load_all()
     items = [
         (n, registry.QUERIES[n], registry.ORACLES[n]) for n in COMPARE_NAMES
     ]
     items += [
         ("agg_hll_registers", agg_hll_registers, AGG_HLL_REGISTERS_ORACLE),
+        # local-only contract sibling, third-fingerprint-pinned r14
+        ("sim_ivfpq_topk", sim_ivfpq_topk, _ivfpq_oracle()),
     ]
     spark = get_spark(
         EngineConfig(app_name="sf1-compare", driver_memory="24g")
@@ -298,12 +376,24 @@ def run_compare() -> None:
             out[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
         print(("OK " if out[name]["ok"] else "FAIL ") + name, flush=True)
     print("SF1COMPARE " + json.dumps(out))
+    _write_artifact("compare", {
+        "green": sum(1 for v in out.values() if v["ok"]),
+        "total": len(out),
+        "fails": sorted(n for n, v in out.items() if not v["ok"]),
+        "queries": out,
+    })
     spark.stop()
 
 
 if __name__ == "__main__":
-    generate()
-    if "--compare" in sys.argv:
-        run_compare()
-    elif "--gen" not in sys.argv:
-        run_timings()
+    if "--artifact" in sys.argv:
+        # refresh-only: fold the BENCH_FULL twins' totals into the
+        # round artifact without regenerating or re-timing (the sf1
+        # bench usually runs AFTER the compare leg wrote the artifact)
+        _write_artifact()
+    else:
+        generate()
+        if "--compare" in sys.argv:
+            run_compare()
+        elif "--gen" not in sys.argv:
+            run_timings()
