@@ -86,11 +86,17 @@ def test_state_persists_across_microbatches(spark, staged_dir):
 
 
 def test_watermark_drops_late_data_in_append_mode(spark, staged_dir):
-    # Spark applies a newly computed watermark one batch AFTER the data
-    # that produced it (the late-row filter for batch N uses the
-    # watermark derived from batches <= N-2's commit). Hence 3 batches:
-    # b0 establishes max ts 03:30 -> wm 02:30; b1 runs under that wm and
-    # emits/evicts the hour-1 window; b2's late hour-1 row is dropped.
+    """The late-data DROP path of the registered stream_tumbling_hourly
+    shape (hourly_stats_stream is the builder that query wraps), driven
+    through an actual readStream file source with an out-of-order row
+    crossing the watermark (r13 VERDICT item 5 — the session twin is
+    test_session_watermark_drops_late_row_from_finalized_session).
+
+    Spark applies a newly computed watermark one batch AFTER the data
+    that produced it (the late-row filter for batch N uses the
+    watermark derived from batches <= N-2's commit). Hence 3 batches:
+    b0 establishes max ts 03:30 -> wm 02:30; b1 runs under that wm and
+    emits/evicts the hour-1 window; b2's late hour-1 row is dropped."""
     _write_batch_file(
         spark,
         [(1, _ts(1, 10), 1, "a", 1.0), (2, _ts(2, 10), 1, "a", 1.0),
@@ -110,6 +116,17 @@ def test_watermark_drops_late_data_in_append_mode(spark, staged_dir):
     # arrived after eviction and was dropped. hour-2/3 windows end after
     # the final watermark (02:40) so append never emits them.
     assert emitted == {(1, 1, 1.0)}
+
+    # non-vacuity: the SAME files through the batch tumbling aggregate
+    # (no watermark) DO count the late row — hour 1 holds 2 events
+    batch = (
+        spark.read.parquet(staged_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_hour = {r["w"]["start"].hour: r["n"] for r in batch}
+    assert by_hour[1] == 2
 
 
 def test_checkpoint_recovery_restores_state(spark, staged_dir, tmp_path):
@@ -752,3 +769,70 @@ def test_session_watermark_drops_late_row_from_finalized_session(
         .collect()
     )
     assert len(batch) == 1 and batch[0]["n"] == 3
+
+
+def test_interval_join_drops_late_purchase_behind_watermark(
+    spark, staged_dir
+):
+    """The late-data DROP path of the registered
+    stream_stream_interval_join shape
+    (click_purchase_interval_join_stream is the builder that query
+    wraps), driven through an actual readStream file source with an
+    out-of-order purchase crossing the watermark (r13 VERDICT item 5 —
+    completes the file-source trilogy with the tumbling and session
+    pins above). Batch sequencing per the one-batch watermark lag:
+    b0 carries an ON-TIME click+purchase match for user 1 plus a
+    06:00 row that establishes wm 04:00; b1 and b2 are fillers running
+    under that wm — JOIN STATE EVICTION lags one batch beyond the
+    late-row filter (measured here: with only one filler, b2's late
+    purchase still found the click in state and joined), so user 1's
+    click (matchable only through 02:00 < wm 04:00) is gone by the end
+    of b2; b3's late user-1 purchase at 01:40 — inside the click's
+    one-hour join interval but far behind the watermark — finds no
+    state and must be dropped instead of joined."""
+    from erathia_market_etl_spark.streaming.event_stream import (
+        click_purchase_interval_join_stream,
+    )
+
+    _write_batch_file(
+        spark,
+        [(1, _ts(1, 0), 1, "click", 0.0), (2, _ts(1, 20), 1, "purchase", 9.0),
+         (3, _ts(6, 0), 9, "click", 0.0)],
+        f"{staged_dir}/b0.parquet", 1_000_000,
+    )
+    _write_batch_file(spark, [(4, _ts(6, 10), 8, "purchase", 5.0)],
+                      f"{staged_dir}/b1.parquet", 1_000_100)
+    _write_batch_file(spark, [(6, _ts(6, 20), 8, "purchase", 5.0)],
+                      f"{staged_dir}/b2.parquet", 1_000_200)
+    _write_batch_file(spark, [(5, _ts(1, 40), 1, "purchase", 100.0)],
+                      f"{staged_dir}/b3.parquet", 1_000_300)
+
+    joined = click_purchase_interval_join_stream(
+        _read_stream(spark, staged_dir)
+    )
+    out = run_available_now(joined, output_mode="append").collect()
+
+    # exactly the on-time match: user 1's click joined its 01:20
+    # purchase; the late 01:40 purchase (in-interval!) was dropped, and
+    # user 8/9's unmatched rows never emit in an inner join
+    assert [(r["click_id"], r["purchase_id"], r["purchase_value"])
+            for r in out] == [(1, 2, 9.0)]
+
+    # non-vacuity: the batch theta join over the SAME files matches
+    # BOTH purchases to the click — the streaming assertion above
+    # discriminates the watermark drop, not join selectivity
+    ev = spark.read.parquet(staged_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"))
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).collect()
+    assert sorted(r["purchase_id"] for r in batch) == [2, 5]
