@@ -298,10 +298,17 @@ def test_rank_limits_push_map_side_group_limit(spark, name):
     second window column) would still pass the value oracles."""
     # topk_per_group's driver slot was retired r13, but this pin reads
     # the FUNCTION, not the registration — the kernel shape must hold
-    # for the retired-set compare too
+    # for the retired-set compare too. Explicit name->callable map
+    # (r13 ADVICE): a bare `QUERIES.get(name, topk_per_group)` would
+    # silently re-test topk_per_group for ANY name that later leaves
+    # the registry, turning this pin vacuous.
     from erathia_market_etl_spark.plans.relational import topk_per_group
 
-    fn = QUERIES[name] if name in QUERIES else topk_per_group
+    retired_fns = {"topk_per_group": topk_per_group}
+    if name in QUERIES:
+        fn = QUERIES[name]
+    else:
+        fn = retired_fns[name]  # KeyError = unknown name, loud failure
     plan = plan_of(fn(spark, SF_T2))
     assert re.search(r"WindowGroupLimit .*, Partial", plan), name
     assert re.search(r"WindowGroupLimit .*, Final", plan), name

@@ -106,10 +106,14 @@ def main() -> None:
     # (r9 added an sf0.1 twin next to the per-round sf0.01 artifact)
     out["_meta"] = {"round": rnd, "sf_dir": sf_dir,
                     "green": green, "total": len(out)}
-    # the sf0.1 twin gets its own artifact name — before r13 both runs
-    # wrote LOCALCHECK_r{N}.json and the twin silently OVERWROTE the
-    # sf0.01 artifact unless the operator copied it aside first
-    suffix = "_sf01" if sf_dir.rstrip("/").endswith("sf0.1") else ""
+    # any non-default sf_dir gets its own artifact name — before r13 the
+    # sf0.1 twin silently OVERWROTE the sf0.01 artifact, and the r13 fix
+    # special-cased only the literal "sf0.1" (r13 ADVICE: a .scalecheck/
+    # sf1 run would have overwritten the canonical artifact the same
+    # way); derive the suffix from the basename whenever it differs
+    basename = os.path.basename(sf_dir.rstrip("/"))
+    default = sf_dir.rstrip("/") == "/root/testdata/sf0.01"
+    suffix = "" if default else "_" + basename.replace(".", "")
     path = root / f"LOCALCHECK_r{rnd:02d}{suffix}.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(json.dumps({"round": rnd, "sf_dir": sf_dir, "green": green,
