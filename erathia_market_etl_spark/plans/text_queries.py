@@ -1367,6 +1367,160 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_dedup_span_removal: the REWRITE half of exact-substring dedup
+# (Lee et al. 2021, arXiv:2107.06499 §4 removes the duplicated spans
+# from the training text — text_duplicate_spans above only SCORES
+# them). UNREGISTERED (r14 — local-only per the COVERAGE.md standing
+# policy; driver-style evidence via the LOCALCHECK sweep).
+# ---------------------------------------------------------------------------
+
+TEXT_DEDUP_SPAN_REMOVAL_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i,
+               array_to_string(t[i:i + {SPAN_K - 1}], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - {SPAN_K - 1})) AS u(i)
+        WHERE len(t) >= {SPAN_K}
+    ),
+    per_span AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS keeper
+        FROM spans GROUP BY s
+    ),
+    removal AS (
+        SELECT sp.doc_id, sp.i
+        FROM spans sp JOIN per_span ps ON sp.s = ps.s
+        WHERE ps.n_docs >= 2 AND sp.doc_id <> ps.keeper
+    ),
+    dup AS (
+        SELECT doc_id, list(DISTINCT i) AS starts
+        FROM removal GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT d.doc_id, t,
+               list_filter(
+                   range(1, len(t) + 1),
+                   p -> len(list_filter(
+                            COALESCE(dup.starts, []),
+                            st -> st <= p AND p <= st + {SPAN_K - 1})) = 0
+               ) AS kept
+        FROM toks d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN len(t) = 0 THEN 0
+                     ELSE (len(t) - len(kept)) * 1000000 // len(t)
+                END AS BIGINT) AS removed_ppm,
+           -- COALESCE: a fully-removed doc is the EMPTY string on both
+           -- engines (DuckDB's array_to_string([]) yields NULL where
+           -- Spark's concat_ws yields '')
+           COALESCE(array_to_string(list_transform(kept, p -> t[p]), ' '),
+                    '') AS text_rewritten
+    FROM rebuilt
+    ORDER BY doc_id
+    """
+
+
+def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL — the rewrite that follows
+    text_duplicate_spans' scoring (Lee et al. 2021: training text loses
+    substrings long enough to be memorizable that the corpus already
+    contains elsewhere): every overlapping SPAN_K (8)-token span seen
+    in >= 2 distinct documents keeps exactly ONE canonical copy (the
+    smallest doc_id — deterministic, so the hash compare attests the
+    keep-one rule itself) and every other document drops the tokens
+    those span occurrences cover. Per document: token count, removed
+    count, exact-ppm removal rate, and the REWRITTEN text (so a silent
+    off-by-one in span coverage breaks the hash, not just a count).
+
+    Scale shape: spans are hashed to int64 (xxhash64) before any
+    exchange (~8 B rides the shuffles — the text_duplicate_spans
+    trick; span identity, keeper election, and removal positions all
+    key on the hash, so engines agree unless xxhash64 collides within
+    one span's doc set, P ~ n²/2⁶⁵). Start positions travel THROUGH
+    the (span, doc) aggregate as a collect_list — never a join back
+    onto the corpus-sized span stream — so the plan is: one
+    (span, doc) combine-collapsed aggregate, one span-keyed window
+    (n_docs + keeper over the same collapsed subtree), one doc-keyed
+    collect of removal starts, one doc-keyed left join back to
+    documents; the rebuild itself is a narrow array-HOF projection
+    (filter positions against the bounded per-doc starts array,
+    re-join tokens). Documents shorter than SPAN_K tokens never enter
+    the span stream and pass through unchanged via the left join.
+
+    Reference parity: beyond-reference (the reference has no text
+    surface); completes the flag->rewrite pair the dedup family's
+    production story needs."""
+    from pyspark.sql import Window
+
+    from ..sources.parquet_io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    span_hashes = F.expr(
+        f"transform(sequence(1, size(t) - {SPAN_K - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(t, i, {SPAN_K}))))"
+    )
+    spans = (
+        fan_out(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        # pre-filter short docs: sequence(1, n) with n < 1 counts DOWN
+        .filter(F.size("t") >= SPAN_K)
+        .select("doc_id", F.posexplode(span_hashes).alias("pos", "s"))
+        .select("doc_id", (F.col("pos") + 1).alias("i"), "s")
+    )
+    occ = spans.groupBy("s", "doc_id").agg(
+        F.collect_list("i").alias("starts")
+    )
+    w = Window.partitionBy("s")
+    wd = occ.withColumn("n_docs", F.count(F.lit(1)).over(w)).withColumn(
+        "keeper", F.min("doc_id").over(w)
+    )
+    dup_starts = (
+        wd.filter((F.col("n_docs") >= 2) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", F.explode("starts").alias("i"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("dup_starts"))
+    )
+    t = F.split(F.col("text"), " ")
+    starts = F.coalesce(
+        F.col("dup_starts"), F.expr("array()").cast("array<int>")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda p: ~F.exists(
+            starts, lambda st: (st <= p) & (p <= st + F.lit(SPAN_K - 1))
+        ),
+    )
+    return (
+        docs.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda p: F.element_at(t, p))
+            ).alias("text_rewritten"),
+        )
+        # exact integer ppm: truncating DIV over the already-computed
+        # longs (a double division cast back can cross an integer
+        # boundary by one correctly-rounded ULP)
+        .withColumn(
+            "removed_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_tokens = 0 THEN 0 "
+                "ELSE n_removed * 1000000 DIV n_tokens END AS BIGINT)"
+            ),
+        )
+        .select("doc_id", "n_tokens", "n_removed", "removed_ppm",
+                "text_rewritten")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_merges: distributed BPE merge learning (Sennrich et al. 2016,
 # arXiv:1508.07909 — the tokenizer-training loop, run on-cluster).
 # UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing

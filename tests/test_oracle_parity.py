@@ -209,6 +209,14 @@ def _queued():
         "text_duplicate_spans": (
             text_duplicate_spans, TEXT_DUPLICATE_SPANS_ORACLE,
         ),
+        # r14-implemented REWRITE half of exact-substring dedup (Lee et
+        # al. §4): duplicated spans keep one canonical copy (smallest
+        # doc_id), every other doc's covered tokens are removed; the
+        # rewritten text itself is part of the hashed result
+        "text_dedup_span_removal": (
+            _tq().text_dedup_span_removal,
+            _tq().TEXT_DEDUP_SPAN_REMOVAL_ORACLE,
+        ),
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
         "sample_temperature_mixture": (
             sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,

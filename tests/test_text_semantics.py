@@ -851,3 +851,67 @@ def test_vocab_hapax_profile_planted(spark, tmp_path):
         ("srcA", 6, 4, 3, 3, 666666, 750000),
         ("srcB", 5, 1, 0, 5, 200000, 0),
     ]
+
+
+def test_span_removal_keep_one_semantics(spark, tmp_path):
+    """r14 rewrite half of exact-substring dedup: the duplicated span
+    keeps its SMALLEST-doc_id copy and is removed everywhere else;
+    intra-doc-only repeats are never removed; short docs and docs with
+    no duplicated spans pass through byte-identical; removal takes the
+    full covered window, not just the span start."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        SPAN_K,
+        text_dedup_span_removal,
+    )
+
+    shared = " ".join(f"d{i}" for i in range(SPAN_K))
+    intra = " ".join(f"r{i}" for i in range(SPAN_K))
+    rows = [
+        # doc 0: keeper (smallest doc_id containing `shared`), with a
+        # unique prefix token so removal WOULD be visible if it fired
+        (0, "u0 " + shared, "en", "s", 1),
+        # doc 1: loser — `shared` plus unique tokens either side
+        (1, "u1 " + shared + " u2", "en", "s", 1),
+        # doc 2: intra-doc repeat only (same span twice, no other doc)
+        (2, intra + " " + intra, "en", "s", 1),
+        # doc 3: short (< SPAN_K tokens), untouched
+        (3, "a b c", "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r for r in text_dedup_span_removal(spark, d).collect()}
+
+    assert set(out) == {0, 1, 2, 3}
+    # keeper keeps everything
+    assert out[0]["n_removed"] == 0
+    assert out[0]["text_rewritten"] == "u0 " + shared
+    # loser drops exactly the SPAN_K covered tokens, keeps its unique ends
+    assert out[1]["n_removed"] == SPAN_K
+    assert out[1]["text_rewritten"] == "u1 u2"
+    assert out[1]["removed_ppm"] == SPAN_K * 1_000_000 // (SPAN_K + 2)
+    # intra-doc-only repeats never removed (cross-doc containment rule)
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text_rewritten"] == intra + " " + intra
+    # short doc passes through
+    assert out[3]["n_removed"] == 0 and out[3]["text_rewritten"] == "a b c"
+
+
+def test_span_removal_overlapping_spans_cover_union(spark, tmp_path):
+    """Overlapping duplicated spans remove the UNION of their covered
+    windows: doc 1 shares a (SPAN_K+1)-token run with doc 0, which is
+    two overlapping SPAN_K spans — the loser loses all SPAN_K+1 tokens
+    exactly once (no double counting, no gap at the overlap seam)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        SPAN_K,
+        text_dedup_span_removal,
+    )
+
+    run = " ".join(f"v{i}" for i in range(SPAN_K + 1))
+    rows = [
+        (0, run, "en", "s", 1),
+        (1, "head " + run + " tail", "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r for r in text_dedup_span_removal(spark, d).collect()}
+    assert out[0]["n_removed"] == 0  # keeper
+    assert out[1]["n_removed"] == SPAN_K + 1
+    assert out[1]["text_rewritten"] == "head tail"
