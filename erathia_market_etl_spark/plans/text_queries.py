@@ -1521,6 +1521,123 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_cdc_chunks: content-defined chunking accounting (Muthitacharoen
+# et al. SOSP'01, LBFS — the variable-size chunker under rsync-style
+# storage dedup, applied to training text for fragment-level duplicate
+# discovery). UNREGISTERED (r14 — local-only per the COVERAGE.md
+# standing policy; driver-style evidence via the LOCALCHECK sweep).
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the CDC gram hash = the winnowing polynomial (same
+# base/k — operators.text is the single source of truth); a cut falls
+# AFTER gram start i wherever h % CDC_DIV == 0, excluding a cut flush
+# at the text end (it would emit an empty chunk).
+TEXT_CDC_CHUNKS_ORACLE = f"""
+    WITH grams AS (
+        SELECT doc_id, i, length(text) AS n, {_WINNOW_GRAM_HASH_SQL} AS h
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - {TX.CDC_K - 1})) AS u(i)
+        WHERE length(text) >= {TX.CDC_K}
+    ),
+    cuts AS (
+        SELECT doc_id, list_sort(list(i + {TX.CDC_K})) AS cs
+        FROM grams
+        WHERE h % {TX.CDC_DIV} = 0 AND i + {TX.CDC_K} <= n
+        GROUP BY doc_id
+    ),
+    bounds AS (
+        SELECT d.doc_id, d.text,
+               list_concat(
+                   list_concat([CAST(1 AS BIGINT)], COALESCE(cs, [])),
+                   [CAST(length(d.text) + 1 AS BIGINT)]) AS bs
+        FROM documents d LEFT JOIN cuts USING (doc_id)
+    ),
+    chunks AS (
+        SELECT doc_id,
+               substr(text, CAST(bs[j] AS INT),
+                      CAST(bs[j + 1] - bs[j] AS INT)) AS chunk
+        FROM bounds, UNNEST(generate_series(1, len(bs) - 1)) AS v(j)
+    ),
+    occ AS (
+        SELECT doc_id, chunk, COUNT(*) AS n_occ
+        FROM chunks GROUP BY doc_id, chunk
+    ),
+    wd AS (
+        SELECT doc_id, chunk, n_occ,
+               COUNT(*) OVER (PARTITION BY chunk) AS n_docs
+        FROM occ
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+           CAST(SUM(length(chunk) * n_occ) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+                * 1000000 // SUM(n_occ) AS BIGINT) AS dup_chunk_ppm
+    FROM wd GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-document chunk-dedup
+    accounting: each document is cut into variable-size chunks wherever
+    the winnowing rolling hash of the preceding CDC_K (8)-char gram is
+    0 mod CDC_DIV (32 — the expected chunk length), and a chunk is
+    DUPLICATED when its exact text appears in >= 2 distinct documents.
+    Because boundaries depend only on local content, an edit re-aligns
+    within ~one chunk — the property that makes CDC the storage-dedup
+    standard and a fragment-level near-dup signal fixed-size chunking
+    (text_chunk_overlap) structurally cannot give: insert one token at
+    a document's head and every fixed chunk shifts, while the CDC
+    chunks after the first cut are byte-identical (pinned).
+
+    Scale shape: chunking is the winnowing mapInPandas plumbing
+    (fan_out raw-text scan, Arrow batches, zero shuffles — chunk
+    strings are born in the map stage and hashed to int64 xxhash64
+    before any exchange, the text_duplicate_spans trick: every output
+    is a count, so each engine may key dup-detection on its own hash
+    of the same chunk text). Then the bm25 window-over-subtree
+    pattern: one (chunk-hash, doc) combine-collapsed aggregate, the
+    documents-per-chunk count as a window over that same collapsed
+    table, one doc-keyed rollup. The DuckDB twin recomputes the cut
+    positions from the SAME polynomial (HUGEINT + one final mod 2^64),
+    so the compare attests boundary placement itself, not just the
+    counting."""
+    from pyspark.sql import Window
+
+    from ..operators.text import cdc_chunk_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_frame(docs, "text", "doc_id").select(
+        F.col("doc").alias("doc_id"),
+        F.xxhash64("chunk").alias("h"),
+        F.length("chunk").alias("clen"),
+    )
+    occ = chunks.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("clen").alias("len_sum"),
+    )
+    wd = occ.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return (
+        wd.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_chunks"),
+            F.sum("len_sum").cast("long").alias("n_chars"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ppm",
+            F.expr("CAST(n_dup_chunks * 1000000 DIV n_chunks AS BIGINT)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_merges: distributed BPE merge learning (Sennrich et al. 2016,
 # arXiv:1508.07909 — the tokenizer-training loop, run on-cluster).
 # UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing

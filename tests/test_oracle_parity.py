@@ -217,6 +217,15 @@ def _queued():
             _tq().text_dedup_span_removal,
             _tq().TEXT_DEDUP_SPAN_REMOVAL_ORACLE,
         ),
+        # r14-implemented content-defined chunking (LBFS/rsync-style):
+        # cut boundaries from the winnowing rolling hash, cross-doc
+        # duplicate-chunk accounting; the DuckDB twin recomputes the
+        # cut positions from the same polynomial, so hash equality
+        # attests boundary placement itself
+        "text_cdc_chunks": (
+            _tq().text_cdc_chunks,
+            _tq().TEXT_CDC_CHUNKS_ORACLE,
+        ),
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
         "sample_temperature_mixture": (
             sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,

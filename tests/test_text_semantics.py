@@ -915,3 +915,62 @@ def test_span_removal_overlapping_spans_cover_union(spark, tmp_path):
     assert out[0]["n_removed"] == 0  # keeper
     assert out[1]["n_removed"] == SPAN_K + 1
     assert out[1]["text_rewritten"] == "head tail"
+
+
+def test_cdc_chunks_core_properties():
+    """CDC core (no SparkSession): chunks reconstruct the text exactly,
+    every boundary sits right after a gram whose hash is 0 mod the
+    divisor, and short/None inputs behave."""
+    from erathia_market_etl_spark.operators.text import (
+        CDC_DIV,
+        CDC_K,
+        cdc_chunks,
+        winnow_doc,
+    )
+
+    s = " ".join(f"tok{i * 7 % 93}x{i}" for i in range(60))
+    cs = cdc_chunks(s)
+    assert "".join(cs) == s
+    assert len(cs) > 3  # non-degenerate at divisor 32 on ~500 chars
+    assert all(c != "" for c in cs)
+    assert cdc_chunks("ab") == ["ab"]  # < CDC_K chars: one whole chunk
+    assert cdc_chunks(None) == []
+    # boundary law: each cut position (start of chunk j>0) equals
+    # previous-content length, and the k-gram ENDING at the cut hashes
+    # to 0 mod CDC_DIV — recompute with the same polynomial
+    import numpy as np
+
+    # pure-Python ints (arbitrary precision) with one final mod 2^64 —
+    # the independent formulation, and no numpy scalar-overflow warning
+    codes = [ord(ch) for ch in s]
+    pos = 0
+    for c in cs[:-1]:
+        pos += len(c)
+        h = 0
+        for cp in codes[pos - CDC_K:pos]:
+            h = h * 1_000_003 + cp
+        assert (h % 2**64) % CDC_DIV == 0, pos
+
+
+def test_cdc_chunks_realign_after_insertion(spark, tmp_path):
+    """THE content-defined property: a prefix insertion shifts every
+    fixed-size chunk but leaves CDC chunks after the first cut
+    byte-identical — so the duplicate-chunk counter sees the shared
+    content. Both docs must report duplicated chunks, covering most of
+    their chunk stream."""
+    from erathia_market_etl_spark.plans.text_queries import text_cdc_chunks
+
+    s = " ".join(f"tok{i * 7 % 93}x{i}" for i in range(60))
+    rows = [
+        (0, s, "en", "s", 1),
+        (1, "INSERTED PREFIX " + s, "en", "s", 1),
+        (2, "completely different content here entirely", "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r for r in text_cdc_chunks(spark, d).collect()}
+    assert out[0]["n_dup_chunks"] >= out[0]["n_chunks"] - 1
+    assert out[1]["n_dup_chunks"] >= out[1]["n_chunks"] - 2
+    assert out[2]["n_dup_chunks"] == 0
+    # chunk streams reconstruct their documents
+    assert out[0]["n_chars"] == len(s)
+    assert out[1]["n_chars"] == len("INSERTED PREFIX " + s)
