@@ -206,6 +206,22 @@ STDOUT_BUDGET = 1900  # leave margin for stray progress-bar bytes
 _DROPPABLE = ("vs_baseline", "tier2_vs_baseline")
 
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def bench_artifact_name(sf_dir: str) -> str:
+    """Canonical artifact for the default sf dir, suffixed otherwise.
+    realpath before comparing (r14 ADVICE): a relative or symlinked
+    spelling of the default dir must still write the CANONICAL
+    artifact — gen_scale_step's bench_totals fold reads only the
+    canonical names, so a suffixed twin would silently drop the
+    totals from the round artifact."""
+    if os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR):
+        return "BENCH_FULL.json"
+    basename = os.path.basename(os.path.realpath(sf_dir)).replace(".", "")
+    return f"BENCH_FULL_{basename}.json"
+
+
 def emit_result(out: dict, root: str, artifact: str = "BENCH_FULL.json") -> str:
     """Write the full payload to the artifact file and return the
     stdout line (full payload if it fits, else with ratio maps
@@ -222,7 +238,17 @@ def emit_result(out: dict, root: str, artifact: str = "BENCH_FULL.json") -> str:
         line = json.dumps(line_obj, separators=(",", ":"))
         if len(line) <= STDOUT_BUDGET:
             return line
-    return line  # raw timings alone have never approached the window
+    # fail HERE, at bench time, not in the driver's 2000-byte stdout
+    # tail (r14 ADVICE: the fallback used to return the oversized line
+    # and only the CI worst-case test guarded the budget — a HEADLINE/
+    # TIER2 growth spurt would have produced a truncated driver
+    # artifact at runtime). The full payload is already on disk.
+    raise RuntimeError(
+        f"bench stdout line {len(line)}B exceeds the {STDOUT_BUDGET}B "
+        f"driver window even with ratio maps dropped; shrink the "
+        f"headline sets or add droppable keys (full payload written "
+        f"to {artifact})"
+    )
 
 
 def _calibration_probe() -> float:
@@ -388,11 +414,8 @@ def main() -> None:
                     / sum(base_q[n] for n in shared), 3
                 )
 
-    default_dir = sf_dir.rstrip("/") == "/root/testdata/sf0.1"
-    basename = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
-    artifact = "BENCH_FULL.json" if default_dir else f"BENCH_FULL_{basename}.json"
     print(emit_result(out, os.path.dirname(os.path.abspath(__file__)),
-                      artifact))
+                      bench_artifact_name(sf_dir)))
     spark.stop()
 
 

@@ -1551,6 +1551,12 @@ TEXT_CDC_CHUNKS_ORACLE = f"""
                    list_concat([CAST(1 AS BIGINT)], COALESCE(cs, [])),
                    [CAST(length(d.text) + 1 AS BIGINT)]) AS bs
         FROM documents d LEFT JOIN cuts USING (doc_id)
+        -- NULL-text symmetry (r14 ADVICE): the Spark side's
+        -- cdc_chunks(None) returns [] so a NULL-text doc emits no
+        -- rows; without this filter the oracle would keep the doc
+        -- with NULL aggregates — a latent cross-engine divergence the
+        -- current fixtures never exercise
+        WHERE d.text IS NOT NULL
     ),
     chunks AS (
         SELECT doc_id,

@@ -32,8 +32,13 @@ def duckdb_connect_fixtures(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # a Spark-written planted table is a DIRECTORY of part
+            # files; the driver's fixtures are single files
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

@@ -74,3 +74,54 @@ def test_small_payload_passes_through_untrimmed(tmp_path):
            "vs_baseline": {"q1_net_revenue_by_nation": 0.25}}
     parsed = json.loads(bench.emit_result(out, str(tmp_path)))
     assert parsed["vs_baseline"] == {"q1_net_revenue_by_nation": 0.25}
+
+
+def test_oversized_line_fails_loudly_at_bench_time(tmp_path):
+    """r14 ADVICE: if the payload exceeds the driver window even after
+    every droppable key is gone, emit_result must RAISE — returning
+    the oversized line would let the driver's 2000-byte tail produce
+    a silently-truncated artifact at runtime. The full payload still
+    lands on disk before the raise."""
+    import pytest
+
+    out = _worst_case_payload()
+    out["queries"]["x_pad"] = "y" * (bench.STDOUT_BUDGET + 1)
+    with pytest.raises(RuntimeError, match="driver window"):
+        bench.emit_result(out, str(tmp_path))
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert full == out
+
+
+def test_artifact_names_normalize_equivalent_dir_spellings(tmp_path):
+    """r14 ADVICE: a symlinked/relative/trailing-slash spelling of the
+    default sf dir must write the CANONICAL artifact name — the
+    gen_scale_step bench_totals fold only reads the canonical names."""
+    import os
+
+    from tools.localcheck import artifact_suffix
+
+    for spelling in (
+        bench.DEFAULT_SF_DIR,
+        bench.DEFAULT_SF_DIR + "/",
+        "/root/testdata/../testdata/sf0.1",
+    ):
+        assert bench.bench_artifact_name(spelling) == "BENCH_FULL.json"
+    link = tmp_path / "sf_default_link"
+    os.symlink(bench.DEFAULT_SF_DIR, link)
+    assert bench.bench_artifact_name(str(link)) == "BENCH_FULL.json"
+    assert bench.bench_artifact_name("/root/testdata/sf1") == \
+        "BENCH_FULL_sf1.json"
+
+    from tools import localcheck
+
+    for spelling in (
+        localcheck.DEFAULT_SF_DIR,
+        localcheck.DEFAULT_SF_DIR + "/",
+        "/root/testdata/../testdata/sf0.01",
+    ):
+        assert artifact_suffix(spelling) == ""
+    link2 = tmp_path / "sf_localcheck_link"
+    os.symlink(localcheck.DEFAULT_SF_DIR, link2)
+    assert artifact_suffix(str(link2)) == ""
+    assert artifact_suffix("/root/testdata/sf0.1") == "_sf01"
+    assert artifact_suffix("/root/testdata/sf1/") == "_sf1"

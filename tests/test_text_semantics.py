@@ -974,3 +974,31 @@ def test_cdc_chunks_realign_after_insertion(spark, tmp_path):
     # chunk streams reconstruct their documents
     assert out[0]["n_chars"] == len(s)
     assert out[1]["n_chars"] == len("INSERTED PREFIX " + s)
+
+
+def test_cdc_chunks_null_text_symmetric_across_engines(spark, tmp_path):
+    """r14 ADVICE: cdc_chunks(None) returns [] so a NULL-text document
+    must vanish from BOTH engines' output — before the oracle's bounds
+    CTE gained `WHERE text IS NOT NULL` the DuckDB side kept the doc
+    with NULL aggregates while Spark dropped it. Planted NULL-text
+    corpus, full driver-style compare."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_CDC_CHUNKS_ORACLE,
+        text_cdc_chunks,
+    )
+    from erathia_market_etl_spark.testing import compare_query
+
+    s = " ".join(f"tok{i * 7 % 93}x{i}" for i in range(60))
+    rows = [
+        (0, s, "en", "s", 1),
+        (1, None, "en", "s", 0),
+        (2, "short but real text content", "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r for r in text_cdc_chunks(spark, d).collect()}
+    assert set(out) == {0, 2}, "NULL-text doc must emit no rows"
+    r = compare_query(
+        "text_cdc_chunks", text_cdc_chunks(spark, d),
+        TEXT_CDC_CHUNKS_ORACLE, d,
+    )
+    assert r.ok, r

@@ -35,6 +35,18 @@ from erathia_market_etl_spark.session import get_spark
 from erathia_market_etl_spark.testing import compare_query
 
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def artifact_suffix(sf_dir: str) -> str:
+    """'' for the default sf dir, '_<basename>' otherwise. realpath
+    first (r14 ADVICE): a relative/symlinked spelling of the default
+    dir must still land in the canonical artifact name."""
+    if os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR):
+        return ""
+    return "_" + os.path.basename(os.path.realpath(sf_dir)).replace(".", "")
+
+
 def _current_round(root: Path) -> int:
     rounds = [
         int(m.group(1))
@@ -111,10 +123,7 @@ def main() -> None:
     # special-cased only the literal "sf0.1" (r13 ADVICE: a .scalecheck/
     # sf1 run would have overwritten the canonical artifact the same
     # way); derive the suffix from the basename whenever it differs
-    basename = os.path.basename(sf_dir.rstrip("/"))
-    default = sf_dir.rstrip("/") == "/root/testdata/sf0.01"
-    suffix = "" if default else "_" + basename.replace(".", "")
-    path = root / f"LOCALCHECK_r{rnd:02d}{suffix}.json"
+    path = root / f"LOCALCHECK_r{rnd:02d}{artifact_suffix(sf_dir)}.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(json.dumps({"round": rnd, "sf_dir": sf_dir, "green": green,
                       "total": len(out) - 1, "artifact": str(path)}))
