@@ -407,10 +407,20 @@ def filter_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "count_probe",
-    oracle="SELECT COUNT(*) AS row_count, COUNT(DISTINCT l_orderkey) AS order_count FROM lineitem",
+# Driver slot retired r15 (slot economics: one in, one out for the
+# text_dedup_span_removal promotion — VERDICT r14 item 6). Strict
+# subset: both aggregates are contained in registered siblings over the
+# SAME table — COUNT(*) is q1/q3/agg_grouping_sets' n_rows and
+# COUNT(DISTINCT) is agg_distinct_aggregates' distinct_parts (whose
+# ungrouped case is agg_grouping_sets' () grouping set). The §2 S13 row
+# keeps driver-style evidence through the retired-query compare in
+# tests/test_oracle_parity.py and the per-round LOCALCHECK sweep.
+COUNT_PROBE_ORACLE = (
+    "SELECT COUNT(*) AS row_count, "
+    "COUNT(DISTINCT l_orderkey) AS order_count FROM lineitem"
 )
+
+
 def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 row-count verification probe (silver_processor.py:88-93),
     plus a distinct count the reference lacks (SURVEY §2.4 gap)."""

@@ -1370,8 +1370,10 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_dedup_span_removal: the REWRITE half of exact-substring dedup
 # (Lee et al. 2021, arXiv:2107.06499 §4 removes the duplicated spans
 # from the training text — text_duplicate_spans above only SCORES
-# them). UNREGISTERED (r14 — local-only per the COVERAGE.md standing
-# policy; driver-style evidence via the LOCALCHECK sweep).
+# them). REGISTERED r15 (VERDICT r14 item 6: promoted one-in-one-out,
+# slot paid by the count_probe retirement in plans/relational.py —
+# this is the named rewrite-half of the Lee-et-al. dedup story, the
+# strongest promotion candidate since mart_pareto_concentration).
 # ---------------------------------------------------------------------------
 
 TEXT_DEDUP_SPAN_REMOVAL_ORACLE = f"""
@@ -1424,6 +1426,7 @@ TEXT_DEDUP_SPAN_REMOVAL_ORACLE = f"""
     """
 
 
+@query("text_dedup_span_removal", oracle=TEXT_DEDUP_SPAN_REMOVAL_ORACLE)
 def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span REMOVAL — the rewrite that follows
     text_duplicate_spans' scoring (Lee et al. 2021: training text loses
@@ -1524,8 +1527,13 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_cdc_chunks: content-defined chunking accounting (Muthitacharoen
 # et al. SOSP'01, LBFS — the variable-size chunker under rsync-style
 # storage dedup, applied to training text for fragment-level duplicate
-# discovery). UNREGISTERED (r14 — local-only per the COVERAGE.md
-# standing policy; driver-style evidence via the LOCALCHECK sweep).
+# discovery). TERMINAL-LOCAL (r15 decision, VERDICT r14 item 6: stays
+# local-only BY DESIGN — its cross-engine value is boundary-placement
+# attestation, which the LOCALCHECK sweep's identical compare already
+# gives it every round at both SFs; the registry's duplicate-fragment
+# driver evidence is carried by the registered span-removal /
+# duplicate-spans pair, and no strict-subset retiree remains whose
+# loss wouldn't cost more §2 surface than this adds).
 # ---------------------------------------------------------------------------
 
 # DuckDB twin of the CDC gram hash = the winnowing polynomial (same

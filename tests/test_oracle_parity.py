@@ -79,6 +79,10 @@ _RETIRED = [
     # promotion — VERDICT r13 item 8); strict-subset rationale at the
     # definition site in plans/text_queries.py
     "text_quality_score",
+    # r15 retired (one-in-one-out: paid for the text_dedup_span_removal
+    # promotion — VERDICT r14 item 6); strict-subset rationale at the
+    # definition site in plans/relational.py
+    "count_probe",
 ]
 
 
@@ -209,14 +213,8 @@ def _queued():
         "text_duplicate_spans": (
             text_duplicate_spans, TEXT_DUPLICATE_SPANS_ORACLE,
         ),
-        # r14-implemented REWRITE half of exact-substring dedup (Lee et
-        # al. §4): duplicated spans keep one canonical copy (smallest
-        # doc_id), every other doc's covered tokens are removed; the
-        # rewritten text itself is part of the hashed result
-        "text_dedup_span_removal": (
-            _tq().text_dedup_span_removal,
-            _tq().TEXT_DEDUP_SPAN_REMOVAL_ORACLE,
-        ),
+        # (text_dedup_span_removal graduated to a driver slot r15 —
+        # one-in-one-out, paid by the count_probe retirement)
         # r14-implemented content-defined chunking (LBFS/rsync-style):
         # cut boundaries from the winnowing rolling hash, cross-doc
         # duplicate-chunk accounting; the DuckDB twin recomputes the
@@ -801,6 +799,7 @@ def _retired():
     )
     from erathia_market_etl_spark.plans.relational import (
         AGG_CUBE_ORACLE,
+        COUNT_PROBE_ORACLE,
         DISTINCT_ROWS_ORACLE,
         SCALAR_STRING_KIT_ORACLE,
         SETOP_EXCEPT_ORACLE,
@@ -810,6 +809,7 @@ def _retired():
         TOPK_PARTS_ORACLE,
         TOPK_PER_GROUP_ORACLE,
         agg_cube,
+        count_probe,
         dedup_distinct_rows,
         scalar_string_kit,
         setop_except,
@@ -861,6 +861,7 @@ def _retired():
         "text_quality_score": (
             text_quality_score, TEXT_QUALITY_SCORE_ORACLE,
         ),
+        "count_probe": (count_probe, COUNT_PROBE_ORACLE),
     }
 
 

@@ -231,6 +231,40 @@ def test_r14_registrations_landed_with_zero_displacement():
     assert overflow == [], overflow
 
 
+def test_r15_promotion_landed_with_zero_displacement():
+    """The r15 one-in-one-out: text_dedup_span_removal (the Lee-et-al.
+    rewrite half, VERDICT r14 item 6) is REGISTERED, paid by the
+    count_probe retirement (strict subset of agg_distinct_aggregates /
+    agg_grouping_sets over the same table). Must-run = 49 aged r13
+    greens + 1 never-green = exactly 50, zero displacement. Runs
+    against the LIVE registry + committed CORRECTNESS state."""
+    from erathia_market_etl_spark.plans.registry import (
+        _CHANGED,
+        _last_green_rounds,
+    )
+
+    order = list(QUERIES)
+    assert "text_dedup_span_removal" in QUERIES, (
+        "text_dedup_span_removal lost its r15 registration"
+    )
+    assert "count_probe" not in QUERIES, (
+        "count_probe was retired r15 to pay for the "
+        "text_dedup_span_removal promotion"
+    )
+
+    green = _last_green_rounds()
+    newest = max(green.values())
+    must_run = [
+        n for n in order
+        if green.get(n, -1) < newest or _CHANGED.get(n, -1) > green.get(n, -1)
+    ]
+    assert len(must_run) <= 50, (
+        f"r15 must-run {len(must_run)} > 50; retire or defer: {must_run}"
+    )
+    overflow = [n for n in must_run if order.index(n) >= 50]
+    assert overflow == [], overflow
+
+
 def test_coverage_markers_match_registry_sets():
     """COVERAGE.md's ★ (driver-attested) markers must track the live
     sets: a retired or local-only query carrying ★ overstates its
