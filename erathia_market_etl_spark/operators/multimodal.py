@@ -7,10 +7,12 @@ pruning drops ``content`` unless a stage touches it), and per-modality
 work runs as Arrow-batched ``mapInPandas`` so Python sees zero-copy
 byte buffers, never row-at-a-time objects.
 
-Decode status (r6, extended r9): codec-library-free container formats
-decode FOR REAL — WAV/PCM16 via the stdlib ``wave`` parser, BMP
-(24-bit BI_RGB) and PPM (P6) via struct + numpy, and PNG (8-bit RGB)
-via stdlib ``zlib`` inflate + the five spec filter reconstructions —
+Decode status (r6, extended r9/r15): codec-library-free container
+formats decode FOR REAL — WAV/PCM16 via the stdlib ``wave`` parser,
+BMP (24-bit BI_RGB) and PPM (P6) via struct + numpy, and PNG (every
+spec-legal color type / bit depth: gray 1-16, RGB 8/16, palette
+1/2/4/8, gray+alpha and RGBA 8/16; Adam7 interlace still gated) via
+stdlib ``zlib`` inflate + the five spec filter reconstructions —
 and ``resize_image_real`` is a genuine decode → nearest-neighbor
 resample → re-encode. ``decode_real`` sniffs the payload magic and
 dispatches; only codecs that genuinely need native libraries
@@ -246,12 +248,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_predict(ftype: int, x: int, cur, prior) -> int:
+def _png_predict(ftype: int, x: int, cur, prior, bpp: int = _PNG_BPP) -> int:
     """Predictor byte for filter ``ftype`` at byte offset ``x`` of a
     scanline, given the (reconstructed) current row bytes so far and the
     full prior reconstructed row — the shared half of filter (encode)
-    and reconstruct (decode), which differ only in add vs subtract."""
-    left = int(cur[x - _PNG_BPP]) if x >= _PNG_BPP else 0
+    and reconstruct (decode), which differ only in add vs subtract.
+    ``bpp`` is the spec's filter unit: the number of bytes per complete
+    pixel, rounding UP to one for sub-byte depths (spec §9: filters
+    operate on the packed bytes, not on unpacked samples)."""
+    left = int(cur[x - bpp]) if x >= bpp else 0
     if ftype == 1:  # Sub
         return left
     up = int(prior[x])
@@ -260,27 +265,41 @@ def _png_predict(ftype: int, x: int, cur, prior) -> int:
     if ftype == 3:  # Average (floor of the EXACT sum — no /2 rounding)
         return (left + up) // 2
     if ftype == 4:  # Paeth
-        ul = int(prior[x - _PNG_BPP]) if x >= _PNG_BPP else 0
+        ul = int(prior[x - bpp]) if x >= bpp else 0
         return _paeth(left, up, ul)
     raise ValueError(f"unknown PNG filter type {ftype}")
 
 
-def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
-    """Real PNG encoder for (h, w, 3) uint8 RGB — pure stdlib zlib +
-    struct, no codec libraries. 8-bit color type 2, no interlace.
-    ``filter_type`` is a spec filter (0 None / 1 Sub / 2 Up / 3 Average
-    / 4 Paeth) applied to every scanline, or ``"mixed"`` (row y uses
-    filter y % 5) so one payload exercises every reconstruction path —
-    the cross-container tests use it to prove decode_png handles all
-    five filters, not just the one this encoder favors. Predictions use
-    the ORIGINAL prior-scanline bytes (spec: filtering is lossless, so
-    reconstructed == original)."""
+# channel count and spec-legal bit depths per PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    h, w, _ = img.shape
-    stride = w * _PNG_BPP
-    flat = img.reshape(h, stride)
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_rows(flat: np.ndarray, bpp: int, filter_type) -> bytearray:
+    """Apply spec filters to packed scanline bytes ``flat`` (h, stride):
+    one filter-type byte + filtered bytes per row. ``filter_type`` is a
+    spec filter (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) for every
+    scanline, or ``"mixed"`` (row y uses filter y % 5) so one payload
+    exercises every reconstruction path. Predictions use the ORIGINAL
+    prior-scanline bytes (spec: filtering is lossless, so reconstructed
+    == original)."""
+    h, stride = flat.shape
     lines = bytearray()
     zero = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -296,33 +315,105 @@ def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
         else:
             out = bytearray(stride)
             for x in range(stride):
-                out[x] = (int(cur[x]) - _png_predict(ft, x, cur, prior)) & 0xFF
+                out[x] = (
+                    int(cur[x]) - _png_predict(ft, x, cur, prior, bpp)
+                ) & 0xFF
             lines += out
+    return lines
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + ctype + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Real PNG encoder for (h, w, 3) uint8 RGB — pure stdlib zlib +
+    struct, no codec libraries. 8-bit color type 2, no interlace; the
+    general-shape twin is encode_png_ex below."""
+    return encode_png_ex(img, color_type=2, bit_depth=8,
+                         filter_type=filter_type)
+
+
+def encode_png_ex(
+    img: np.ndarray,
+    color_type: int,
+    bit_depth: int,
+    filter_type: int | str = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """PNG encoder for EVERY spec-legal (color type, bit depth) pair,
+    no interlace — the fixture factory for the full decode_png surface.
+    ``img`` shapes: (h, w) or (h, w, 1) gray/palette-index, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB, (h, w, 4) RGBA; dtype uint8 (depths
+    1-8; sub-byte values must fit the depth) or uint16 (depth 16).
+    Sub-byte rows pack MSB-first with zero padding to the byte
+    boundary (spec §7.2); 16-bit samples are big-endian. ``palette``
+    is the (n, 3) uint8 PLTE for color type 3."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or c != channels:
+        raise ValueError(
+            f"color type {color_type} wants {channels} channel(s), got {c}"
         )
+    if bit_depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {bit_depth} is not spec-legal for color type "
+            f"{color_type}"
+        )
+    if bit_depth == 8:
+        flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c)
+    elif bit_depth == 16:
+        v = img.astype(np.uint16).reshape(h, w * c)
+        flat = np.zeros((h, w * c * 2), dtype=np.uint8)
+        flat[:, 0::2] = (v >> 8).astype(np.uint8)
+        flat[:, 1::2] = (v & 0xFF).astype(np.uint8)
+    else:
+        vals = img[..., 0].astype(np.uint8)
+        if int(vals.max(initial=0)) >= (1 << bit_depth):
+            raise ValueError(f"sample exceeds {bit_depth}-bit range")
+        shifts = np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)
+        bits = ((vals[..., None] >> shifts) & 1).astype(np.uint8)
+        flat = np.packbits(bits.reshape(h, w * bit_depth), axis=1)
+    bpp = max(1, channels * bit_depth // 8)
+    lines = _png_filter_rows(flat, bpp, filter_type)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    parts = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("color type 3 requires a palette")
+        parts += _png_chunk(
+            b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes()
+        )
     return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
+        parts
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Real PNG decoder -> (h, w, 3) uint8 RGB — stdlib zlib inflate +
-    the five spec filter reconstructions (None/Sub/Up/Average/Paeth),
-    per-chunk CRC verified, multi-IDAT concatenated. 8-bit color type 2
-    only; grayscale/palette/alpha and Adam7 interlace raise
-    NotImplementedError (the honest-gate pattern of the other
-    decoders). This closes the one compressed container reachable
-    without codec libraries (r8 VERDICT item 5) — jpeg/h264 still
-    genuinely need PIL/PyAV and keep their raising hooks."""
+def decode_png(payload: bytes, keep_alpha: bool = False) -> np.ndarray:
+    """Real PNG decoder — stdlib zlib inflate + the five spec filter
+    reconstructions (None/Sub/Up/Average/Paeth), per-chunk CRC
+    verified, multi-IDAT concatenated. EVERY spec-legal (color type,
+    bit depth) pair decodes (r15, VERDICT r14 item 2 — the r9 decoder
+    gated everything but 8-bit RGB): grayscale 1/2/4/8/16, RGB 8/16,
+    palette 1/2/4/8 (PLTE lookup, index-range checked), gray+alpha and
+    RGBA 8/16. Only Adam7 interlace still raises NotImplementedError;
+    jpeg/h264 still genuinely need PIL/PyAV and keep their raising
+    hooks in decode_real.
+
+    Returns (h, w, 3) uint8 RGB by default. Alpha policy: PNG color
+    samples are NON-premultiplied (spec §12.8), so dropping the alpha
+    channel returns the stored color bytes exactly — deterministic and
+    lossless on RGB, no compositing convention smuggled in; pass
+    ``keep_alpha=True`` to get (h, w, 4) RGBA from color types 4/6.
+    The ancillary tRNS chunk is ignored for the same reason (it IS an
+    alpha channel). Sample scaling to 8 bits is exact: sub-byte v maps
+    to v*255 // (2**depth - 1) (integer — 255 is divisible by every
+    sub-byte max), 16-bit v to (v*255 + 32767) // 65535 (correctly
+    rounded v*255/65535, the spec §12.5 resampling)."""
     import struct
     import zlib
 
@@ -330,6 +421,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
@@ -342,6 +434,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -349,10 +445,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color != 2:
-        raise NotImplementedError(
-            f"only 8-bit RGB (color type 2) PNG is wired, got "
-            f"depth={depth} color={color}"
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if depth not in _PNG_VALID_DEPTHS[color]:
+        raise ValueError(
+            f"bit depth {depth} is not spec-legal for color type {color}"
         )
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
@@ -364,7 +462,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         # contract: garbage payloads fail inside the decoder's sane
         # error set (ValueError), never a raw zlib.error
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * _PNG_BPP
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -380,8 +479,46 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             rec = out[y]  # filled left-to-right; Sub/Avg/Paeth read it back
             for x in range(stride):
-                rec[x] = (int(line[x]) + _png_predict(ftype, x, rec, prior)) & 0xFF
-    return out.reshape(h, w, _PNG_BPP).copy()
+                rec[x] = (
+                    int(line[x]) + _png_predict(ftype, x, rec, prior, bpp)
+                ) & 0xFF
+
+    # unpack reconstructed bytes -> (h, w, channels) uint8 samples
+    if depth == 8:
+        samples = out.reshape(h, w, channels)
+    elif depth == 16:
+        wide = out.reshape(h, w, channels, 2).astype(np.uint32)
+        v16 = (wide[..., 0] << 8) | wide[..., 1]
+        samples = ((v16 * 255 + 32767) // 65535).astype(np.uint8)
+    else:  # 1/2/4-bit gray values or palette indices, packed MSB-first
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (bits.astype(np.uint16) * weights).sum(axis=2)
+        if color == 0:
+            vals = vals * 255 // ((1 << depth) - 1)
+        samples = vals.astype(np.uint8)[..., None]
+
+    alpha = None
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+    elif color == 0:
+        rgb = np.repeat(samples, 3, axis=2)
+    elif color == 2:
+        rgb = samples
+    elif color == 4:
+        rgb = np.repeat(samples[..., :1], 3, axis=2)
+        alpha = samples[..., 1:]
+    else:  # 6
+        rgb = samples[..., :3]
+        alpha = samples[..., 3:]
+    if keep_alpha and alpha is not None:
+        return np.concatenate([rgb, alpha], axis=2).copy()
+    return np.ascontiguousarray(rgb)
 
 
 def resample_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

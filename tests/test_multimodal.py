@@ -268,13 +268,22 @@ def test_png_honest_gates_and_corruption():
         # IHDR chunk right after the 8-byte signature)
         return good[:8] + chunk + good[8 + 25 :]
 
-    with pytest.raises(NotImplementedError):  # 16-bit depth
+    # r15 opened the depth/color gates: 16-bit, palette, and RGBA now
+    # DECODE (see test_png_all_spec_shapes_roundtrip); the doctored
+    # IHDRs here disagree with the spliced RGB8 scanline payload, so
+    # they must fail the size/consistency checks — as ValueError, not
+    # garbage pixels
+    with pytest.raises(ValueError):  # 16-bit IHDR over 8-bit scanlines
         decode_png(rebuild(depth=16))
-    with pytest.raises(NotImplementedError):  # palette
+    with pytest.raises(ValueError):  # palette IHDR without PLTE
         decode_png(rebuild(color=3))
-    with pytest.raises(NotImplementedError):  # RGBA
+    with pytest.raises(ValueError):  # RGBA IHDR over RGB scanlines
         decode_png(rebuild(color=6))
-    with pytest.raises(NotImplementedError):  # Adam7
+    with pytest.raises(ValueError):  # spec-illegal depth for RGB
+        decode_png(rebuild(depth=4))
+    with pytest.raises(ValueError):  # invalid color type
+        decode_png(rebuild(color=5))
+    with pytest.raises(NotImplementedError):  # Adam7 — the one gate left
         decode_png(rebuild(interlace=1))
 
     # flip one IDAT byte: the chunk CRC must catch it
@@ -285,6 +294,150 @@ def test_png_honest_gates_and_corruption():
         decode_png(bytes(corrupt))
     with pytest.raises(ValueError):  # truncation
         decode_png(good[: len(good) // 2])
+
+
+def test_png_all_spec_shapes_roundtrip():
+    """r15 (VERDICT r14 item 2): every spec-legal (color type, bit
+    depth) pair decodes — grayscale 1/2/4/8/16, RGB 8/16, palette
+    1/2/4/8, gray+alpha 8/16, RGBA 8/16 — across all five filters plus
+    mixed. Exactness contracts: 8-bit samples round-trip identically;
+    sub-byte gray scales v*255//(2^d-1) (integer-exact: 255 divides
+    evenly by every sub-byte max); 16-bit scales (v*255+32767)//65535
+    (correctly-rounded v*255/65535), so v8*257 round-trips to exactly
+    v8. Alpha policy: default output drops the alpha channel (PNG
+    color is NON-premultiplied, so the RGB bytes are stored exactly);
+    keep_alpha=True returns the RGBA plane."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png_ex,
+    )
+
+    rng = np.random.default_rng(1515)
+    filters = [0, 1, 2, 3, 4, "mixed"]
+
+    # grayscale, every depth
+    for i, d in enumerate((1, 2, 4, 8)):
+        g = rng.integers(0, 1 << d, (5, 9), dtype=np.uint8)
+        out = decode_png(encode_png_ex(g, 0, d, filters[i % 6]))
+        exp = (g.astype(np.uint16) * 255 // ((1 << d) - 1)).astype(np.uint8)
+        assert out.shape == (5, 9, 3)
+        assert (out == exp[..., None]).all(), f"gray depth {d}"
+    v16 = rng.integers(0, 65536, (5, 9), dtype=np.uint16)
+    out = decode_png(encode_png_ex(v16, 0, 16, "mixed"))
+    exp = ((v16.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8)
+    assert (out[..., 0] == exp).all()
+    g8 = rng.integers(0, 256, (4, 6), dtype=np.uint16)
+    out = decode_png(encode_png_ex((g8 * 257).astype(np.uint16), 0, 16, 2))
+    assert (out[..., 0] == g8.astype(np.uint8)).all(), "v8*257 identity"
+
+    # RGB 16-bit, every filter
+    for ft in filters:
+        v = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+        out = decode_png(encode_png_ex(v, 2, 16, ft))
+        exp = ((v.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8)
+        assert (out == exp).all(), f"rgb16 filter {ft}"
+
+    # palette, every legal depth (incl. sub-byte packing) + range check
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for i, d in enumerate((1, 2, 4, 8)):
+        n = min(1 << d, 16)
+        idx = rng.integers(0, n, (6, 7), dtype=np.uint8)
+        out = decode_png(encode_png_ex(idx, 3, d, filters[(i + 3) % 6],
+                                       palette=pal))
+        assert (out == pal[idx]).all(), f"palette depth {d}"
+    import pytest as _pytest
+    oob = np.full((2, 2), 5, dtype=np.uint8)  # index 5 into a 4-entry PLTE
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_ex(oob, 3, 8, 0, palette=pal[:4]))
+
+    # gray+alpha and RGBA: alpha dropped by default, exact with keep_alpha
+    ga = rng.integers(0, 256, (5, 4, 2), dtype=np.uint8)
+    out = decode_png(encode_png_ex(ga, 4, 8, "mixed"))
+    assert out.shape == (5, 4, 3) and (out[..., 0] == ga[..., 0]).all()
+    out4 = decode_png(encode_png_ex(ga, 4, 8, "mixed"), keep_alpha=True)
+    assert out4.shape == (5, 4, 4) and (out4[..., 3] == ga[..., 1]).all()
+    ga16 = rng.integers(0, 65536, (3, 4, 2), dtype=np.uint16)
+    out4 = decode_png(encode_png_ex(ga16, 4, 16, 4), keep_alpha=True)
+    exp = ((ga16.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8)
+    assert (out4[..., 0] == exp[..., 0]).all()
+    assert (out4[..., 3] == exp[..., 1]).all()
+
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    out = decode_png(encode_png_ex(rgba, 6, 8, "mixed"))
+    assert (out == rgba[..., :3]).all(), "RGB bytes exact when alpha drops"
+    out4 = decode_png(encode_png_ex(rgba, 6, 8, "mixed"), keep_alpha=True)
+    assert (out4 == rgba).all()
+    rgba16 = rng.integers(0, 65536, (3, 4, 4), dtype=np.uint16)
+    out4 = decode_png(encode_png_ex(rgba16, 6, 16, 3), keep_alpha=True)
+    exp = ((rgba16.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8)
+    assert (out4 == exp).all()
+
+
+def test_png_spec_shapes_fuzz_roundtrip():
+    """Hypothesis sweep over ALL spec-legal PNG shapes: arbitrary
+    dims/contents/filters per (color, depth) pair must reconstruct the
+    expected 8-bit samples — the filter bpp generalization (bpp is now
+    1/2/3/4/6/8 bytes depending on shape) is exactly where an
+    off-by-one would corrupt pixels silently."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png_ex,
+    )
+
+    SHAPES = [(c, d) for c, ds in
+              [(0, (1, 2, 4, 8, 16)), (2, (8, 16)), (3, (1, 2, 4, 8)),
+               (4, (8, 16)), (6, (8, 16))] for d in ds]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.sampled_from(SHAPES),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2 ** 32 - 1),
+    )
+    def roundtrip(shape, h, w, seed):
+        from erathia_market_etl_spark.operators.multimodal import (
+            _PNG_CHANNELS,
+        )
+
+        color, depth = shape
+        rng = np.random.default_rng(seed)
+        ft = [0, 1, 2, 3, 4, "mixed"][seed % 6]
+        c = _PNG_CHANNELS[color]
+        hi = 1 << depth
+        dtype = np.uint16 if depth == 16 else np.uint8
+        if color == 3:
+            pal = rng.integers(0, 256, (hi if depth < 8 else 16, 3),
+                               dtype=np.uint8)
+            img = rng.integers(0, len(pal), (h, w), dtype=np.uint8)
+            out = decode_png(encode_png_ex(img, 3, depth, ft, palette=pal))
+            assert (out == pal[img]).all()
+            return
+        img = rng.integers(0, hi, (h, w, c) if c > 1 else (h, w),
+                           dtype=dtype)
+        out = decode_png(encode_png_ex(img, color, depth, ft),
+                         keep_alpha=True)
+        plane = img.reshape(h, w, c).astype(np.uint64)
+        if depth == 16:
+            exp = ((plane * 255 + 32767) // 65535).astype(np.uint8)
+        else:
+            exp = (plane * 255 // (hi - 1)).astype(np.uint8)
+        if color == 0:
+            assert (out == exp[..., [0, 0, 0]]).all()
+        elif color == 2:
+            assert (out == exp).all()
+        elif color == 4:
+            assert (out == exp[..., [0, 0, 0, 1]]).all()
+        else:  # 6
+            assert (out == exp).all()
+
+    roundtrip()
 
 
 def test_resize_image_real_accepts_png(spark):
@@ -311,6 +464,55 @@ def test_resize_image_real_accepts_png(spark):
     assert len(out) == 1
     got = decode_bmp(bytes(out[0]["content"]))
     assert (got == resample_nearest(img, 4, 4)).all()
+
+
+def test_resize_and_hash_accept_all_png_shapes(spark):
+    """r15: planted palette, RGBA, gray+alpha, and 16-bit PNG payloads
+    ride the REAL pipeline ops (decode→resample→re-encode and the
+    64-bit hash pass) — the opened gates are first-class citizens, not
+    just unit-level decoders. Expected pixels come from the same
+    arithmetic the decoder contracts pin (palette lookup / alpha drop /
+    exact 16→8 scaling), so the resize outputs are value-checked, not
+    just counted."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_png_ex,
+        media_ahash,
+        resample_nearest,
+        resize_image_real,
+    )
+
+    rng = np.random.default_rng(77)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 7), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (8, 6, 4), dtype=np.uint8)
+    ga = rng.integers(0, 256, (7, 7, 2), dtype=np.uint8)
+    v16 = rng.integers(0, 65536, (6, 8, 3), dtype=np.uint16)
+
+    expected = {
+        1: pal[idx],
+        2: rgba[..., :3],
+        3: np.repeat(ga[..., :1], 3, axis=2),
+        4: ((v16.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8),
+    }
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png_ex(idx, 3, 4, "mixed", palette=pal))),
+            (2, bytearray(encode_png_ex(rgba, 6, 8, "mixed"))),
+            (3, bytearray(encode_png_ex(ga, 4, 8, 2))),
+            (4, bytearray(encode_png_ex(v16, 2, 16, 4))),
+        ],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_image_real(media, 4, 4).collect()}
+    assert set(out) == {1, 2, 3, 4}, "every shape must decode, none dropped"
+    for mid, exp in expected.items():
+        got = decode_bmp(bytes(out[mid]["content"]))
+        assert (got == resample_nearest(exp, 4, 4)).all(), f"media {mid}"
+    hashes = media_ahash(media).collect()
+    assert len(hashes) == 4, "hash pass must accept every shape"
 
 
 def test_resample_nearest_arithmetic():
