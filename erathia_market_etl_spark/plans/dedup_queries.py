@@ -751,15 +751,37 @@ _SIG_MATCHES_SQL = " + ".join(
     for j in range(N_MINHASH)
 )
 
+# Deterministic audit-sample cap (r14 VERDICT item 4): the exact-Jaccard
+# verify is pair-proportional, so an uncapped audit rides the FULL
+# candidate-pair count — 8.5× for 10× data at the sf0.1→sf1 decade step
+# (SCALESTEP_r14.json, 98 s at synthetic sf1, 3× the next-heaviest
+# query). The audit's value is a statistically representative read on
+# estimator drift, not exhaustive coverage, so it samples: pairs ranked
+# by md5(doc_a||'|'||doc_b) — engine-portable, corpus-independent,
+# uniform over pairs — keep the lowest AUDIT_PAIR_CAP. Below the cap
+# (both fixture SFs: 34 / 804 pairs) output is the identical full set;
+# above it the verify cost is bounded by the cap, never the corpus.
+# Coverage is derivable from registered outputs alone: audited pairs =
+# min(cap, |dedup_minhash_lsh_pairs|), the latter a driver-checked row
+# count — no silent truncation (the no-silent-caps rule).
+AUDIT_PAIR_CAP = 2048
+
+_AUDIT_SEL_SQL = "md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR))"
+
 DEDUP_MINHASH_JACCARD_ESTIMATE_ORACLE = f"""
     WITH {_CANDIDATES_CTE},
+    audit AS (
+        SELECT doc_a, doc_b FROM pairs
+        ORDER BY {_AUDIT_SEL_SQL}, doc_a, doc_b
+        LIMIT {AUDIT_PAIR_CAP}
+    ),
     da AS (
         SELECT DISTINCT doc_id, unnest(s) AS sx FROM sh WHERE len(s) > 0
     ),
     szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM da GROUP BY doc_id),
     inter AS (
         SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM pairs p
+        FROM audit p
         JOIN da a ON a.doc_id = p.doc_a
         JOIN da b ON b.doc_id = p.doc_b AND b.sx = a.sx
         GROUP BY p.doc_a, p.doc_b
@@ -775,7 +797,7 @@ DEDUP_MINHASH_JACCARD_ESTIMATE_ORACLE = f"""
                     - COALESCE(i.n_inter, 0) * 1000000
                       // (za.n + zb.n - COALESCE(i.n_inter, 0)))
                 AS BIGINT) AS err_ppm
-    FROM pairs p
+    FROM audit p
     JOIN sig sa ON sa.doc_id = p.doc_a
     JOIN sig sb ON sb.doc_id = p.doc_b
     JOIN szs za ON za.doc_id = p.doc_a
@@ -786,7 +808,7 @@ DEDUP_MINHASH_JACCARD_ESTIMATE_ORACLE = f"""
 
 
 def dedup_minhash_jaccard_estimate(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, audit_cap: int = AUDIT_PAIR_CAP
 ) -> DataFrame:
     """The MinHash sketch's OWN accuracy contract (the
     agg_approx_sketches philosophy applied to the dedup family): for
@@ -804,14 +826,24 @@ def dedup_minhash_jaccard_estimate(
     dedup_ngram_jaccard discipline — at 100 TB the verify cost rides
     the candidate count, never the corpus); the intersection join is
     shingle-keyed with LEFT JOIN + COALESCE for the no-overlap edge
-    (media_feature_extract precedent)."""
+    (media_feature_extract precedent). The candidate set itself is
+    capped at ``audit_cap`` pairs via a deterministic engine-portable
+    md5 ranking (rationale + coverage accounting at AUDIT_PAIR_CAP
+    above; TakeOrderedAndProject, never a full sort), so at any scale
+    the verify cost is min(cap, pairs)-proportional."""
     from ..operators.dedup import (
         minhash_signature_cols,
         shingles_from_tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shared_minhash_pairs(spark, sf_dir).localCheckpoint()
+    sel = F.md5(F.concat_ws("|", "doc_a", "doc_b"))
+    pairs = (
+        shared_minhash_pairs(spark, sf_dir)
+        .orderBy(sel.asc(), "doc_a", "doc_b")
+        .limit(audit_cap)
+        .localCheckpoint()
+    )
     # the verify cost must ride the CANDIDATE count, never the corpus
     # (dedup_ngram_jaccard discipline): restrict the shingle/signature
     # pipelines to pair members with keys-only semi joins before any
