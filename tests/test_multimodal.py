@@ -283,8 +283,13 @@ def test_png_honest_gates_and_corruption():
         decode_png(rebuild(depth=4))
     with pytest.raises(ValueError):  # invalid color type
         decode_png(rebuild(color=5))
-    with pytest.raises(NotImplementedError):  # Adam7 — the one gate left
+    # Adam7 DECODES since r15 (test_png_adam7_interlace_roundtrip); a
+    # doctored interlace flag over a sequential payload must fail the
+    # pass-size consistency check, not produce scrambled pixels
+    with pytest.raises(ValueError):
         decode_png(rebuild(interlace=1))
+    with pytest.raises(ValueError):  # interlace method 2 does not exist
+        decode_png(rebuild(interlace=2))
 
     # flip one IDAT byte: the chunk CRC must catch it
     idat_at = good.index(b"IDAT") + 4
@@ -375,6 +380,99 @@ def test_png_all_spec_shapes_roundtrip():
     assert (out4 == exp).all()
 
 
+def test_png_adam7_geometry_matches_hand_built_stream():
+    """Independent reference for the Adam7 PASS GEOMETRY: a 4x4 gray-8
+    interlaced payload is assembled BY HAND (pass order / reduced-image
+    dims / scatter grid worked out from spec §8.2 on paper, all rows
+    filter 0, never touching our encoder), so a decoder that had the
+    pass table wrong could not pass by agreeing with its own twin.
+    For 4x4: p1 -> (0,0); p2/p3 empty; p4 -> (0,2); p5 -> (2,0),(2,2);
+    p6 -> (0,1),(0,3),(2,1),(2,3); p7 -> rows 1 and 3 whole."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    v = np.arange(16, dtype=np.uint8).reshape(4, 4) * 7 % 251
+    raw = bytes(
+        [0, v[0, 0]]                                    # pass 1
+        + [0, v[0, 2]]                                  # pass 4
+        + [0, v[2, 0], v[2, 2]]                         # pass 5
+        + [0, v[0, 1], v[0, 3]] + [0, v[2, 1], v[2, 3]]  # pass 6
+        + [0, *v[1]] + [0, *v[3]]                       # pass 7
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    payload = (PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    out = decode_png(payload)
+    assert out.shape == (4, 4, 3)
+    assert (out == v[..., None]).all()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r15 closed the last PNG gate: Adam7-interlaced payloads decode
+    for every spec-legal (color type, depth) pair and every filter.
+    Contracts: interlaced decode == the SAME pixels as the sequential
+    encoding of the same image (deinterlacing is lossless); the
+    interlaced stream is genuinely different bytes (IHDR interlace
+    flag 1, different scanline layout); odd dims exercise empty and
+    truncated passes (1x1 keeps only pass 1; 9x5 hits every pass at a
+    ragged width)."""
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png_ex,
+    )
+
+    rng = np.random.default_rng(715)
+    filters = [0, 1, 2, 3, 4, "mixed"]
+    shapes = [(0, 1), (0, 2), (0, 4), (0, 8), (0, 16),
+              (2, 8), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8),
+              (4, 8), (4, 16), (6, 8), (6, 16)]
+    dims = [(1, 1), (1, 8), (8, 1), (4, 4), (7, 7), (9, 5), (5, 9),
+            (16, 3), (3, 16)]
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+    for i, (color, depth) in enumerate(shapes):
+        from erathia_market_etl_spark.operators.multimodal import (
+            _PNG_CHANNELS,
+        )
+
+        c = _PNG_CHANNELS[color]
+        ft = filters[i % 6]
+        for h, w in dims:
+            if color == 3:
+                img = rng.integers(0, min(1 << depth, 16), (h, w),
+                                   dtype=np.uint8)
+                kw = {"palette": pal}
+            else:
+                dtype = np.uint16 if depth == 16 else np.uint8
+                shape = (h, w, c) if c > 1 else (h, w)
+                img = rng.integers(0, 1 << depth, shape, dtype=dtype)
+                kw = {}
+            seq = encode_png_ex(img, color, depth, ft, **kw)
+            ilv = encode_png_ex(img, color, depth, ft, interlace=1, **kw)
+            a = decode_png(seq, keep_alpha=True)
+            b = decode_png(ilv, keep_alpha=True)
+            assert (a == b).all(), f"adam7 mismatch c{color} d{depth} {h}x{w}"
+            # the interlaced file is a genuinely different byte stream
+            assert ilv[28] == 1 and seq[28] == 0  # IHDR interlace flag
+            if h * w > 1:
+                assert ilv != seq
+
+
 def test_png_spec_shapes_fuzz_roundtrip():
     """Hypothesis sweep over ALL spec-legal PNG shapes: arbitrary
     dims/contents/filters per (color, depth) pair must reconstruct the
@@ -400,8 +498,9 @@ def test_png_spec_shapes_fuzz_roundtrip():
         st.integers(min_value=1, max_value=9),
         st.integers(min_value=1, max_value=9),
         st.integers(min_value=0, max_value=2 ** 32 - 1),
+        st.sampled_from([0, 1]),  # r15: Adam7 rides the same sweep
     )
-    def roundtrip(shape, h, w, seed):
+    def roundtrip(shape, h, w, seed, interlace):
         from erathia_market_etl_spark.operators.multimodal import (
             _PNG_CHANNELS,
         )
@@ -416,12 +515,14 @@ def test_png_spec_shapes_fuzz_roundtrip():
             pal = rng.integers(0, 256, (hi if depth < 8 else 16, 3),
                                dtype=np.uint8)
             img = rng.integers(0, len(pal), (h, w), dtype=np.uint8)
-            out = decode_png(encode_png_ex(img, 3, depth, ft, palette=pal))
+            out = decode_png(encode_png_ex(img, 3, depth, ft, palette=pal,
+                                           interlace=interlace))
             assert (out == pal[img]).all()
             return
         img = rng.integers(0, hi, (h, w, c) if c > 1 else (h, w),
                            dtype=dtype)
-        out = decode_png(encode_png_ex(img, color, depth, ft),
+        out = decode_png(encode_png_ex(img, color, depth, ft,
+                                       interlace=interlace),
                          keep_alpha=True)
         plane = img.reshape(h, w, c).astype(np.uint64)
         if depth == 16:
@@ -496,6 +597,10 @@ def test_resize_and_hash_accept_all_png_shapes(spark):
         2: rgba[..., :3],
         3: np.repeat(ga[..., :1], 3, axis=2),
         4: ((v16.astype(np.uint64) * 255 + 32767) // 65535).astype(np.uint8),
+        # Adam7-interlaced twins (r15 closed the interlace gate): same
+        # pixels must come out of the scattered-pass layout
+        5: pal[idx],
+        6: rgba[..., :3],
     }
     media = spark.createDataFrame(
         [
@@ -503,16 +608,21 @@ def test_resize_and_hash_accept_all_png_shapes(spark):
             (2, bytearray(encode_png_ex(rgba, 6, 8, "mixed"))),
             (3, bytearray(encode_png_ex(ga, 4, 8, 2))),
             (4, bytearray(encode_png_ex(v16, 2, 16, 4))),
+            (5, bytearray(encode_png_ex(idx, 3, 4, "mixed", palette=pal,
+                                        interlace=1))),
+            (6, bytearray(encode_png_ex(rgba, 6, 8, 4, interlace=1))),
         ],
         "media_id long, content binary",
     )
     out = {r["media_id"]: r for r in resize_image_real(media, 4, 4).collect()}
-    assert set(out) == {1, 2, 3, 4}, "every shape must decode, none dropped"
+    assert set(out) == {1, 2, 3, 4, 5, 6}, (
+        "every shape must decode, none dropped"
+    )
     for mid, exp in expected.items():
         got = decode_bmp(bytes(out[mid]["content"]))
         assert (got == resample_nearest(exp, 4, 4)).all(), f"media {mid}"
     hashes = media_ahash(media).collect()
-    assert len(hashes) == 4, "hash pass must accept every shape"
+    assert len(hashes) == 6, "hash pass must accept every shape"
 
 
 def test_resample_nearest_arithmetic():
