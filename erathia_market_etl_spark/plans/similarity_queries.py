@@ -1927,7 +1927,13 @@ def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = ranked.select(
         "vec_id",
         "dim",
-        F.expr(f"(rk - 1) * 1000000 DIV ({n_vecs} - 1)").alias("r_ppm"),
+        # rk is INT; widen BEFORE the ppm scale-up — at sf1 (8000 vecs)
+        # rk*1e6 tops 2^31 and ANSI mode turns the silent wrap into an
+        # ARITHMETIC_OVERFLOW (caught by the r15 full-registry sf1
+        # sweep; sub-2147-vec fixtures never tripped it)
+        F.expr(
+            f"(CAST(rk AS BIGINT) - 1) * 1000000 DIV ({n_vecs} - 1)"
+        ).alias("r_ppm"),
     )
     return (
         norm.groupBy("vec_id")
