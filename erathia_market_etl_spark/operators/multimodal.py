@@ -621,8 +621,10 @@ def decode_real(payload: bytes, kind: str | None = None):
     codec-free decoders above. Returns (modality, decoded):
     ("audio", (samples, rate)) for WAV, ("image", ndarray) for
     BMP/PPM/PNG (PNG decoded for real via stdlib zlib + the five filter
-    reconstructions — r9). COMPRESSED codecs that genuinely need native
-    libraries (jpeg/h264/...) require PIL/soundfile/PyAV, which this
+    reconstructions — r9) and baseline JPEG (r15 — pure numpy Huffman +
+    IDCT in operators/jpeg.py; progressive/arithmetic frames raise
+    NotImplementedError by name inside that decoder). Codecs that
+    genuinely need native libraries (h264/...) require PyAV, which this
     container does not ship — they raise NotImplementedError until
     wired here (a pure function swap)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -633,11 +635,15 @@ def decode_real(payload: bytes, kind: str | None = None):
         return "image", decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return "image", decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from erathia_market_etl_spark.operators.jpeg import decode_jpeg
+
+        return "image", decode_jpeg(payload)
     if not HAVE_CODECS:
         raise NotImplementedError(
-            "compressed-codec decode requires libraries (PIL/soundfile/"
-            "PyAV) not present in this environment; uncompressed "
-            "WAV/BMP/PPM decode for real above"
+            "compressed-video decode requires libraries (PyAV/ffmpeg) "
+            "not present in this environment; WAV/BMP/PPM/PNG/JPEG "
+            "decode for real above"
         )
     raise NotImplementedError("compressed-codec path not wired yet")
 

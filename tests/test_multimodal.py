@@ -80,11 +80,17 @@ def test_resize_stub_rewrites_metadata(media):
 
 
 def test_decode_real_compressed_is_gated():
-    # codecs that genuinely need native libs still raise until they
-    # exist; the codec-free formats (WAV/BMP/PPM/PNG) decode for real
+    # codecs that genuinely need native libs (video) still raise until
+    # they exist; WAV/BMP/PPM/PNG — and, since r15, baseline JPEG —
+    # decode for real
     if not HAVE_CODECS:
         with pytest.raises(NotImplementedError):
-            decode_real(b"\xff\xd8\xff\xe0junk-jpeg", "image")
+            decode_real(b"\x00\x00\x00\x18ftypmp42-fake-h264", "video")
+    # JPEG is sniffed into the REAL decoder now (r15): garbage after
+    # the SOI magic is a contracted decode failure, not an unwired
+    # codec (same downgrade PNG got in r9)
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff\xe0junk-jpeg", "image")
     # PNG is sniffed into the REAL decoder now (r9) — garbage after the
     # signature is a contracted decode failure, not an unwired codec
     with pytest.raises(ValueError):
