@@ -52,16 +52,17 @@ _ITER_CTE = """
 
 GRAPH_PAGERANK_INFLUENCE_ORACLE = (
     """
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM base
         UNION ALL
         SELECT s AS src, c AS dst FROM base
     ),
-    deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (
+        SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
     r0 AS (SELECT v, CAST({scale} AS BIGINT) AS rank FROM deg),"""
     + ",".join(
         _ITER_CTE.format(k=k, prev=k - 1, teleport=(15 * PAGERANK_SCALE) // 100)
@@ -146,10 +147,10 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOP_K = 50
 
 GRAPH_TRIANGLE_COHESION_ORACLE = f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT a.p AS x, b.p AS y
         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p
@@ -162,7 +163,7 @@ GRAPH_TRIANGLE_COHESION_ORACLE = f"""
     -- id-orientation closure: x < y < z counts each triangle once;
     -- triangle totals are orientation-independent, so this attests the
     -- degree-oriented Spark kernel bit-for-bit
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.x AS a, e1.y AS b, e2.y AS c
         FROM edges e1
         JOIN edges e2 ON e1.y = e2.x
@@ -337,24 +338,31 @@ KCORE_K = 3           # survive with >= 3 repeat-trade partners
 KCORE_ROUNDS = 4      # THE CONTRACT: round-4 accounting state
 KCORE_MIN_TRADES = 3  # an edge = pair traded >= 3 line items
 
+# MATERIALIZED fences (r15): DuckDB INLINES plain CTEs, and in this
+# chained unroll e{r} references e{p} three ways (directly + twice via
+# k{r} -> d{p}), so inlining recomputes the corpus-sized base ~3^rounds
+# times — at synthetic sf1 that spilled the full-registry sweep to
+# disk. Materializing each round's tables makes the unroll linear;
+# results are identical (the hint is an optimization fence only).
 _KCORE_ROUND_CTE = """
-    d{p} AS (SELECT src AS v, COUNT(*) AS deg FROM e{p} GROUP BY src),
-    k{r} AS (SELECT v FROM d{p} WHERE deg >= {k}),
-    e{r} AS (
+    d{p} AS MATERIALIZED (
+        SELECT src AS v, COUNT(*) AS deg FROM e{p} GROUP BY src),
+    k{r} AS MATERIALIZED (SELECT v FROM d{p} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
         SELECT src, dst FROM e{p}
         WHERE src IN (SELECT v FROM k{r}) AND dst IN (SELECT v FROM k{r})
     )"""
 
 GRAPH_KCORE_LOYALTY_ORACLE = (
     """
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
     ),
-    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
-    e0 AS (
+    rep AS MATERIALIZED (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM rep
         UNION ALL
         SELECT s AS src, c AS dst FROM rep
@@ -446,11 +454,12 @@ def graph_kcore_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
 HITS_ROUNDS = 2  # the contract: round-2 accounting state, not the fixpoint
 
 GRAPH_HITS_INFLUENCE_ORACLE = """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s),
+    a1 AS MATERIALIZED (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s),
     h1 AS (
         SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
         FROM e JOIN a1 ON e.s = a1.s GROUP BY e.c
@@ -567,13 +576,13 @@ _LPA_ROUND_CTE = """
 
 GRAPH_LABEL_PROPAGATION_ORACLE = (
     """
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
     ),
-    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
-    e0 AS (
+    rep AS MATERIALIZED (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM rep
         UNION ALL
         SELECT s AS src, c AS dst FROM rep
@@ -689,7 +698,7 @@ def _bfs_round_cte(r: int) -> str:
     p = r - 1
     seen = " UNION ALL ".join(f"SELECT v FROM f{i}" for i in range(r))
     return f"""
-    f{r} AS (
+    f{r} AS MATERIALIZED (
         SELECT DISTINCT e.dst AS v
         FROM e0 e JOIN f{p} ON e.src = f{p}.v
         WHERE e.dst NOT IN ({seen})
@@ -698,19 +707,20 @@ def _bfs_round_cte(r: int) -> str:
 
 GRAPH_BFS_REACH_ORACLE = (
     """
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
     ),
-    rep AS (SELECT c, s FROM base WHERE n >= {minn}),
-    e0 AS (
+    rep AS MATERIALIZED (SELECT c, s FROM base WHERE n >= {minn}),
+    e0 AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM rep
         UNION ALL
         SELECT s AS src, c AS dst FROM rep
     ),
-    deg AS (SELECT src AS v, COUNT(*) AS d FROM e0 GROUP BY src),
-    f0 AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),"""
+    deg AS MATERIALIZED (
+        SELECT src AS v, COUNT(*) AS d FROM e0 GROUP BY src),
+    f0 AS MATERIALIZED (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),"""
     + ",".join(_bfs_round_cte(r) for r in range(1, BFS_HOPS + 1))
     + """
     SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
