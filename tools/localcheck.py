@@ -15,9 +15,14 @@ sweeps the DISPLACED half of the registered rotation (priority slots
 2-round window when re-attestations crowd the driver cap (r10 VERDICT
 item 1 — the winnowing displacement).
 
-Usage: python tools/localcheck.py [round] [sf_dir]
+Usage: python tools/localcheck.py [round] [sf_dir] [--full]
   round  defaults to (max committed CORRECTNESS round) + 1
   sf_dir defaults to /root/testdata/sf0.01
+  --full additionally sweeps the driver-slotted top-50 registered
+         queries (tag "registered"), making the artifact cover the
+         ENTIRE registry — used for the per-round synthetic-sf1
+         exactness sweep (r15, VERDICT r14 item 5), where the slotted
+         queries have no driver artifact of their own at that SF.
 """
 
 from __future__ import annotations
@@ -58,8 +63,10 @@ def _current_round(root: Path) -> int:
 
 def main() -> None:
     root = Path(__file__).resolve().parents[1]
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else _current_round(root)
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    rnd = int(args[0]) if len(args) > 0 else _current_round(root)
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     from tests.test_oracle_parity import _queued, _retired
 
@@ -82,6 +89,14 @@ def main() -> None:
     for name in list(queries)[50:]:
         if name not in targets and name in oracles:
             targets[name] = (queries[name], oracles[name], "displaced")
+
+    # --full: the driver-slotted top 50 too — at a non-default SF those
+    # queries have no driver artifact, so a full-registry exactness
+    # sweep must run them itself (r15: the synthetic-sf1 decade sweep)
+    if full:
+        for name in list(queries)[:50]:
+            if name not in targets and name in oracles:
+                targets[name] = (queries[name], oracles[name], "registered")
 
     spark = get_spark(EngineConfig(app_name="erathia-localcheck"))
     spark.sparkContext.setLogLevel("ERROR")
