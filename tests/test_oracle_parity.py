@@ -453,6 +453,15 @@ def _queued():
             _mq().media_wav_resample,
             _mq().MEDIA_WAV_RESAMPLE_ORACLE,
         ),
+        # r15-implemented lossy-codec twin of media_wav_real_decode:
+        # flat gray tiles at q50 decode bit-exactly (even v makes the
+        # DC quantize without remainder), so the full baseline-JPEG
+        # Huffman/IDCT/restart path runs under the driver compare with
+        # a pure-arithmetic oracle
+        "media_jpeg_real_decode": (
+            _mq().media_jpeg_real_decode,
+            _mq().MEDIA_JPEG_REAL_DECODE_ORACLE,
+        ),
         # r11-implemented exact truncating-fold EWMA (alpha=1/2) — the
         # non-associative fold CUSUM's prefix-sum rewrite can't express
         "ts_ewma_smoothing": (
