@@ -17,8 +17,12 @@ Scope (honest, like the PNG gates were):
 - ENCODE: the fixture factory — grayscale or RGB in, 4:4:4 or 4:2:0
   out, IJG quality scaling of the Annex K quantization tables, the
   Annex K Huffman tables written into DHT.
-- GATED: progressive (SOF2), arithmetic coding (SOF9+), 12-bit,
-  hierarchical — NotImplementedError with the frame type named.
+- GATED: arithmetic coding (SOF9+), lossless/hierarchical, 12-bit —
+  NotImplementedError with the frame type named. Progressive (SOF2)
+  DECODES since later in r15: spectral selection + successive
+  approximation, DC/AC first + refinement scans, cross-block EOB
+  runs; the encoder grew a progressive mode (fixed scan script) as
+  its fixture factory.
 
 Determinism: the DCT is the exact orthonormal separable transform in
 float64; quantization rounds half away from zero explicitly. JPEG is
@@ -369,11 +373,83 @@ def _encode_block_stream(
     return dc
 
 
+def _emit_ac_first(writer, band, al, ac_codes) -> None:
+    """Progressive AC first scan for one block's band (already
+    truncated-shifted by al): run-length + magnitude like baseline with
+    a per-block EOB0 end-of-band. Cross-block EOBn runs need symbols
+    (r, 0) with r >= 1, which the Annex K tables deliberately omit
+    (real progressive encoders ship custom DHTs) — so this fixture
+    factory stays Annex-K-compatible and the decoder's multi-block
+    EOBRUN path is pinned by a hand-assembled custom-DHT stream in
+    tests/test_jpeg.py instead."""
+    run = 0
+    for v in band:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        writer.write(code, ln)
+
+
+def _emit_ac_refine(writer, band, al, ac_codes) -> None:
+    """Progressive AC refinement for one block's band. t = |v| >> al
+    classifies each position: 0 = still zero (counts toward runs),
+    1 = newly significant this scan, >1 = nonzero history (one
+    buffered correction bit t & 1). CRITICAL window discipline (the
+    libjpeg encode_mcu_AC_refine shape): pending ZRLs flush at the
+    FIRST nonzero position of EITHER kind once 16 zeros accumulate —
+    flushing only at newly-significant positions would let correction
+    bits span a ZRL's 16-zero advance window and desynchronize the
+    decoder (caught by the q95 fuzz case)."""
+    run = 0
+    pending: list[int] = []
+    for v in band:
+        v = int(v)
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if t > 1:  # history coefficient: buffer its correction bit
+            pending.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]  # newly significant
+        writer.write(code, ln)
+        writer.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac_codes[0x00]  # EOB covers the band's tail
+        writer.write(code, ln)
+        for b in pending:
+            writer.write(b, 1)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 85,
     subsample: bool = True,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder. ``img``: (h, w) or (h, w, 1) grayscale, or
     (h, w, 3) uint8 RGB. RGB writes YCbCr with 4:2:0 subsampling when
@@ -382,7 +458,14 @@ def encode_jpeg(
     tables embedded via DHT. Quantization rounds half away from zero.
     ``restart_interval`` > 0 writes DRI and emits RST0..RST7 markers
     every that many MCUs (predictors reset, stream byte-aligned) — the
-    fixture knob for the decoder's restart path."""
+    fixture knob for the decoder's restart path. ``progressive=True``
+    writes SOF2 with a fixed six/ten-scan script (DC first at Al=1, DC
+    refinement to Al=0, then per component an AC 1..63 first scan at
+    Al=1 and its refinement to Al=0) — spectral selection AND
+    successive approximation, the fixture factory for the progressive
+    decode path; restart intervals are baseline-only."""
+    if progressive and restart_interval:
+        raise ValueError("restart intervals are wired for baseline only")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[..., 0]
     if img.ndim == 2:
@@ -438,32 +521,110 @@ def encode_jpeg(
     dc_codes = [_build_codes(*s) for s in dc_specs]
     ac_codes = [_build_codes(*s) for s in ac_specs]
 
-    writer = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                # byte-align (1-padded), emit RSTn, reset DC predictors
-                tail = writer.flush()
-                writer = _BitWriter()
-                writer.out += tail + bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            mcu_count += 1
-            for ci, (hi, vi) in enumerate(samps):
-                tid = min(ci, 1)
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = comp_zz[ci][my * vi + by, mx * hi + bx]
-                        preds[ci] = _encode_block_stream(
-                            writer, zz, preds[ci],
-                            dc_codes[tid], ac_codes[tid],
-                        )
-    entropy = writer.flush()
+    def sos_header(comps_tabs, ss, se, ah, al) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps_tabs), len(comps_tabs)
+        )
+        for cid, td, ta in comps_tabs:
+            hdr += bytes([cid, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    scans: list[bytes] = []  # each = SOS header + its entropy bytes
+    if not progressive:
+        writer = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    # byte-align (1-padded), emit RSTn, reset predictors
+                    tail = writer.flush()
+                    writer = _BitWriter()
+                    writer.out += tail + bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(planes)
+                mcu_count += 1
+                for ci, (hi, vi) in enumerate(samps):
+                    tid = min(ci, 1)
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = comp_zz[ci][my * vi + by, mx * hi + bx]
+                            preds[ci] = _encode_block_stream(
+                                writer, zz, preds[ci],
+                                dc_codes[tid], ac_codes[tid],
+                            )
+        scans.append(
+            sos_header(
+                [(ci + 1, min(ci, 1), min(ci, 1))
+                 for ci in range(len(planes))],
+                0, 63, 0, 0,
+            )
+            + writer.flush()
+        )
+    else:
+        # fixed scan script: DC(Ah=0,Al=1) -> DC refine(Ah=1,Al=0),
+        # then per component AC 1..63 first(Al=1) + refine(Ah=1,Al=0)
+        all_ct = [(ci + 1, min(ci, 1), 0) for ci in range(len(planes))]
+
+        writer = _BitWriter()  # DC first, interleaved, point transform 1
+        preds = [0] * len(planes)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    tid = min(ci, 1)
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(comp_zz[ci][my * vi + by,
+                                                 mx * hi + bx, 0]) >> 1
+                            size, bits = _magnitude(dc - preds[ci])
+                            code, ln = dc_codes[tid][size]
+                            writer.write(code, ln)
+                            if size:
+                                writer.write(bits, size)
+                            preds[ci] = dc
+        scans.append(sos_header(all_ct, 0, 0, 0, 1) + writer.flush())
+
+        writer = _BitWriter()  # DC refinement: one raw bit per block
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            writer.write(
+                                int(comp_zz[ci][my * vi + by,
+                                                mx * hi + bx, 0]) & 1,
+                                1,
+                            )
+        scans.append(sos_header(all_ct, 0, 0, 1, 0) + writer.flush())
+
+        for ci, (hi, vi) in enumerate(samps):
+            tid = min(ci, 1)
+            # non-interleaved scans iterate the component's REAL grid
+            cw = (-(-w * hi // hmax) + 7) // 8
+            ch = (-(-h * vi // vmax) + 7) // 8
+            zz = comp_zz[ci]
+
+            writer = _BitWriter()  # AC first at Al=1: trunc toward zero
+            for n in range(cw * ch):
+                band = zz[n // cw, n % cw, 1:]
+                tv = np.sign(band) * (np.abs(band) >> 1)
+                _emit_ac_first(writer, tv, 1, ac_codes[tid])
+            scans.append(
+                sos_header([(ci + 1, 0, tid)], 1, 63, 0, 1)
+                + writer.flush()
+            )
+
+            writer = _BitWriter()  # AC refinement to full precision
+            for n in range(cw * ch):
+                band = zz[n // cw, n % cw, 1:]
+                _emit_ac_refine(writer, band, 0, ac_codes[tid])
+            scans.append(
+                sos_header([(ci + 1, 0, tid)], 1, 63, 1, 0)
+                + writer.flush()
+            )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16)  # APP0 JFIF
@@ -471,7 +632,7 @@ def encode_jpeg(
     for tq, table in enumerate(qtables):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(table[i]) for i in ZIGZAG)
-    out += b"\xff\xc0" + struct.pack(
+    out += bytes([0xFF, 0xC2 if progressive else 0xC0]) + struct.pack(
         ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
     )
     for ci, ((hi, vi), qid) in enumerate(zip(samps, qids)):
@@ -484,19 +645,14 @@ def encode_jpeg(
             out += bytes(bits) + bytes(symbols)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
-    for ci in range(len(planes)):
-        tid = min(ci, 1)
-        out += bytes([ci + 1, (tid << 4) | tid])
-    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0 (baseline)
-    out += entropy
+    for s in scans:
+        out += s
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 _GATED_SOFS = {
     0xC1: "extended sequential",
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -510,14 +666,128 @@ _GATED_SOFS = {
 }
 
 
+class _ScanState:
+    """Mutable entropy-decoding state shared across one scan's blocks:
+    per-component DC predictors plus the cross-block EOB run counter
+    (progressive AC scans, T.81 G.1.2.2)."""
+
+    __slots__ = ("preds", "eobrun")
+
+    def __init__(self) -> None:
+        self.preds: dict[int, int] = {}
+        self.eobrun = 0
+
+    def reset(self) -> None:  # restart-marker semantics
+        self.preds = dict.fromkeys(self.preds, 0)
+        self.eobrun = 0
+
+
+def _decode_block(
+    zz, reader, dcm, acm, cs, ss, se, ah, al, state: _ScanState
+) -> None:
+    """Decode one block's contribution from the current scan into the
+    zigzag coefficient row ``zz``. Baseline is the ss=0/se=63/ah=al=0
+    special case of the same four paths (T.81 F.2 and G.1.2):
+    DC first / DC refine / AC first (with EOB runs) / AC refine."""
+    k = ss
+    if ss == 0:
+        if ah == 0:
+            s = reader.decode_symbol(dcm)
+            state.preds[cs] += _extend(reader.receive(s), s)
+            zz[0] = state.preds[cs] << al
+        else:  # DC successive-approximation refinement: one bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    if ah == 0:
+        # AC first scan (al > 0) or the baseline tail (al == 0): EOBn
+        # with n=0 (the plain EOB) makes eobrun 0, so baseline rides
+        # the same loop
+        if state.eobrun > 0:
+            state.eobrun -= 1
+            return
+        while k <= se:
+            rs = reader.decode_symbol(acm)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run < 15:  # EOBn: this block + (eobrun) more done
+                    state.eobrun = (1 << run) - 1 + reader.receive(run)
+                    return
+                k += 16  # ZRL
+            else:
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                zz[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        return
+    # AC successive-approximation refinement (T.81 G.1.2.3): runs count
+    # zero-HISTORY positions; every nonzero-history position passed
+    # over contributes one correction bit
+    p1 = 1 << al
+    m1 = -p1
+    if state.eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(acm)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run < 15:
+                    # EOBn INCLUDING this block; the tail loop below
+                    # consumes this block's correction bits then -= 1
+                    state.eobrun = (1 << run) + reader.receive(run)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, nothing placed
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refine magnitude must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if run == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if state.eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if zz[k] != 0:
+                if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        state.eobrun -= 1
+
+
+def _find_next_marker(payload: bytes, pos: int) -> int:
+    """Advance past any entropy residue / 0xFF fill bytes to the next
+    real marker (0xFF followed by a non-zero, non-fill byte)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG decoder -> (h, w, 3) uint8 RGB (grayscale output is
+    """JPEG decoder -> (h, w, 3) uint8 RGB (grayscale output is
     replicated across the three channels, matching decode_png's policy).
-    Supports SOF0 8-bit, 1 or 3 components, sampling factors up to 4,
-    restart intervals, multi-segment DQT/DHT; chroma upsampling is pixel
-    replication (JFIF leaves the filter to the decoder — replication is
-    deterministic and arithmetic-reproducible). Non-baseline frames
-    raise NotImplementedError by name; corruption raises ValueError."""
+    Supports baseline sequential (SOF0) AND progressive (SOF2, r15 —
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, cross-block EOB runs), 8-bit, 1 or 3 components,
+    sampling factors up to 4, restart intervals, multi-segment DQT/DHT;
+    non-interleaved scans iterate the component's REAL block grid
+    (ceil(ceil(dim*fi/fmax)/8)), not the MCU-padded one. Chroma
+    upsampling is pixel replication (JFIF leaves the filter to the
+    decoder — replication is deterministic and arithmetic-
+    reproducible). Arithmetic/lossless/hierarchical frames raise
+    NotImplementedError by name; corruption raises ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -525,17 +795,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    stores: dict[int, np.ndarray] = {}
+    saw_scan = False
+    hmax = vmax = mcux = mcuy = 0
     while True:
-        if pos + 4 > len(payload):
-            raise ValueError("truncated JPEG: no SOS before EOF")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: no EOI")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in _GATED_SOFS:
             raise NotImplementedError(
                 f"JPEG {_GATED_SOFS[marker]} (SOF{marker - 0xC0}) decode "
-                "is not wired — baseline SOF0 only"
+                "is not wired — baseline SOF0 and progressive SOF2 only"
             )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -568,94 +845,122 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT table")
                 htables[(cls, tid)] = _build_decode_map(bits, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG is wired")
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG frame with zero dimension")
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, sampling >> 4, sampling & 0xF, tq))
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, marker == 0xC2)
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            stores = {
+                cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for cid, hi, vi, _tq in comps
+            }
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:  # SOS: decode this scan, keep parsing
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            ncomp = body[0]
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps, progressive = frame
+            by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+            nsc = body[0]
             scan = []
-            for c in range(ncomp):
+            for c in range(nsc):
                 cs, tids = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"JPEG scan names unknown component {cs}"
+                    )
                 scan.append((cs, tids >> 4, tids & 0xF))
-            pos = pos + 2 + seglen
-            break
+            ss, se, aa = body[1 + 2 * nsc : 4 + 2 * nsc]
+            ah, al = aa >> 4, aa & 0xF
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline scan must cover 0..63 at Ah=Al=0")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("progressive DC and AC need separate scans")
+            if ss > 0 and nsc != 1:
+                raise ValueError("AC scans are single-component")
+            state = _ScanState()
+            state.preds = {cs: 0 for cs, _td, _ta in scan}
+            tabs = {}
+            for cs, td, ta in scan:
+                dcm = htables.get((0, td))
+                acm = htables.get((1, ta))
+                # only the table classes the scan actually uses must
+                # exist (a DC-only scan may carry any Ta, and vice versa)
+                if ss == 0 and ah == 0 and dcm is None:
+                    raise ValueError("JPEG scan needs a missing DC table")
+                if ss == 0 and ah > 0:
+                    pass  # DC refinement reads raw bits, no table
+                if se > 0 and acm is None:
+                    raise ValueError("JPEG scan needs a missing AC table")
+                tabs[cs] = (dcm, acm)
+            reader = _BitReader(payload, pos + 2 + seglen)
+            if len(scan) > 1:  # interleaved: MCU order
+                unit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and unit and (
+                            unit % restart_interval == 0
+                        ):
+                            reader.restart()
+                            state.reset()
+                        unit += 1
+                        for cs, _td, _ta in scan:
+                            hi, vi, _tq = by_id[cs]
+                            dcm, acm = tabs[cs]
+                            store = stores[cs]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    _decode_block(
+                                        store[my * vi + by, mx * hi + bx],
+                                        reader, dcm, acm, cs,
+                                        ss, se, ah, al, state,
+                                    )
+            else:  # non-interleaved: the component's REAL block grid
+                cs, _td, _ta = scan[0]
+                hi, vi, _tq = by_id[cs]
+                dcm, acm = tabs[cs]
+                store = stores[cs]
+                cw = (-(-fw * hi // hmax) + 7) // 8
+                ch = (-(-fh * vi // vmax) + 7) // 8
+                for n in range(cw * ch):
+                    if restart_interval and n and (
+                        n % restart_interval == 0
+                    ):
+                        reader.restart()
+                        state.reset()
+                    _decode_block(
+                        store[n // cw, n % cw], reader, dcm, acm, cs,
+                        ss, se, ah, al, state,
+                    )
+            saw_scan = True
+            pos = _find_next_marker(payload, reader.pos)
+            continue
         pos = pos + 2 + seglen
 
-    fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        raise ValueError("JPEG frame with zero dimension")
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-
-    # (cid, hi, vi, qtable, dc map, ac map, coef store) in scan order
-    parts = []
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise ValueError(f"JPEG scan names unknown component {cs}")
-        hi, vi, tq = by_id[cs]
-        if tq not in qtables:
-            raise ValueError(f"JPEG scan needs missing DQT {tq}")
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise ValueError("JPEG scan needs a missing DHT table")
-        store = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
-        parts.append(
-            (hi, vi, qtables[tq], htables[(0, td)], htables[(1, ta)], store)
-        )
-
-    reader = _BitReader(payload, pos)
-    preds = [0] * len(parts)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                reader.restart()
-                preds = [0] * len(parts)
-            mcu_count += 1
-            for ci, (hi, vi, _q, dcm, acm, store) in enumerate(parts):
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = store[my * vi + by, mx * hi + bx]
-                        size = reader.decode_symbol(dcm)
-                        preds[ci] += _extend(reader.receive(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(acm)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC run past block end"
-                                )
-                            zz[k] = _extend(reader.receive(size), size)
-                            k += 1
+    if frame is None or not saw_scan:
+        raise ValueError("truncated JPEG: no SOS before EOF")
+    fh, fw, comps, _progressive = frame
 
     planes = []
-    for hi, vi, q, _dcm, _acm, store in parts:
+    for cid, hi, vi, tq in comps:
         if hmax % hi or vmax % vi:
             raise NotImplementedError(
                 "non-integer JPEG chroma upsampling ratio is not wired"
             )
+        if tq not in qtables:
+            raise ValueError(f"JPEG frame needs missing DQT {tq}")
+        q = qtables[tq]
+        store = stores[cid]
         bh, bw = store.shape[0], store.shape[1]
         # store rows are zigzag-ordered; unzigzag back to row-major
         # BEFORE multiplying by the row-major quantization table

@@ -13,18 +13,20 @@ BMP (24-bit BI_RGB) and PPM (P6) via struct + numpy, and PNG (every
 spec-legal color type / bit depth: gray 1-16, RGB 8/16, palette
 1/2/4/8, gray+alpha and RGBA 8/16, sequential and Adam7-interlaced)
 via stdlib ``zlib`` inflate + the five spec filter reconstructions —
+plus JPEG (baseline AND progressive, ``operators/jpeg.py``, r15) —
 and ``resize_image_real`` is a genuine decode → nearest-neighbor
 resample → re-encode. ``decode_real`` sniffs the payload magic and
 dispatches; only codecs that genuinely need native libraries
-(jpeg/h264/...) still raise
+(arithmetic-coded JPEG, h264/video) still raise
 NotImplementedError, because this container ships no PIL/ffmpeg —
 wiring them is a pure function swap inside the same pandas loop. The
 synthetic media table's payloads are stand-in text bytes, so the
 feature/frame ops on it keep the clearly-marked deterministic fake;
 the REAL decoders carry driver-checked evidence through
-``media_wav_real_decode`` (synthesized valid WAV payloads, decoded
-stats hash-matched against the DuckDB arithmetic twin) and the
-round-trip pins in tests/test_multimodal.py.
+``media_wav_real_decode`` and ``media_jpeg_real_decode`` (synthesized
+valid payloads, decoded stats hash-matched against DuckDB arithmetic
+twins) and the round-trip pins in tests/test_multimodal.py and
+tests/test_jpeg.py.
 """
 
 from __future__ import annotations
@@ -621,9 +623,10 @@ def decode_real(payload: bytes, kind: str | None = None):
     codec-free decoders above. Returns (modality, decoded):
     ("audio", (samples, rate)) for WAV, ("image", ndarray) for
     BMP/PPM/PNG (PNG decoded for real via stdlib zlib + the five filter
-    reconstructions — r9) and baseline JPEG (r15 — pure numpy Huffman +
-    IDCT in operators/jpeg.py; progressive/arithmetic frames raise
-    NotImplementedError by name inside that decoder). Codecs that
+    reconstructions — r9) and JPEG — baseline AND
+    progressive (r15 — pure numpy Huffman + IDCT in operators/jpeg.py;
+    arithmetic/lossless frames raise NotImplementedError by name
+    inside that decoder). Codecs that
     genuinely need native libraries (h264/...) require PyAV, which this
     container does not ship — they raise NotImplementedError until
     wired here (a pure function swap)."""

@@ -8,8 +8,9 @@ pixels — the decoder cannot pass by agreeing with its own encoder;
 (2) exactness where the math guarantees it (flat blocks whose DC
 quantizes without remainder); (3) PSNR floors and monotone
 rate-quality behavior everywhere else; (4) the honest-gate error set
-(progressive raises NotImplementedError BY NAME, corruption raises
-ValueError); (5) JPEG payloads ride the real Spark pipeline ops
+(arithmetic/lossless raise NotImplementedError BY NAME, corruption
+raises ValueError; progressive DECODES — see the test_progressive_*
+pins); (5) JPEG payloads ride the real Spark pipeline ops
 unchanged (resize/hash through decode_real's sniffing)."""
 
 from __future__ import annotations
@@ -221,14 +222,20 @@ def test_honest_gates_and_error_set():
     img = _smooth_image(16, 16, seed=1)
     good = encode_jpeg(img, quality=85)
 
-    # splice SOF0 -> SOF2 (progressive): honest gate by name
+    # progressive DECODES since r15 (test_progressive_* below); a
+    # doctored SOF2 over a baseline full-band scan header is illegal
+    # (progressive DC and AC must be separate scans) and must fail as
+    # ValueError, not scramble state
     at = good.index(b"\xff\xc0")
-    progressive = good[:at] + b"\xff\xc2" + good[at + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(progressive)
+    spliced = good[:at] + b"\xff\xc2" + good[at + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(spliced)
     arithmetic = good[:at] + b"\xff\xc9" + good[at + 2 :]
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arithmetic)
+    lossless = good[:at] + b"\xff\xc3" + good[at + 2 :]
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(lossless)
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")  # not a JPEG
@@ -324,3 +331,126 @@ def test_jpeg_fuzz_roundtrip():
             assert _psnr(out, ref) >= (24.0 if min(h, w) >= 16 else 12.0)
 
     roundtrip()
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """r15: progressive (SOF2) decode — spectral selection + successive
+    approximation. The encoder's fixed scan script (DC Al=1 -> DC
+    refine, per-component AC 1..63 Al=1 -> AC refine) transports the
+    SAME quantized coefficients as the baseline single scan, so the
+    decoded pixels must be IDENTICAL — the strongest possible pin, and
+    it exercises every scan kind including the refine window discipline
+    (correction bits must not span a ZRL's 16-zero advance window —
+    the q95 noise case below caught exactly that bug)."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    cases = [((24, 33, 3), False, 80), ((16, 16, 3), True, 80),
+             ((13, 17), False, 80), ((1, 1), False, 80),
+             ((40, 9, 3), True, 80), ((64, 64, 3), True, 10),
+             ((48, 48), False, 5), ((33, 31, 3), False, 95),
+             ((32, 32, 3), False, 100), ((20, 20), False, 100)]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = encode_jpeg(img, quality=q, subsample=sub)
+        prog = encode_jpeg(img, quality=q, subsample=sub,
+                           progressive=True)
+        assert prog.count(b"\xff\xda") > base.count(b"\xff\xda")
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert (decode_jpeg(base) == decode_jpeg(prog)).all(), (
+            shape, sub, q
+        )
+    with pytest.raises(ValueError):  # restart intervals baseline-only
+        encode_jpeg(_smooth_image(16, 16), progressive=True,
+                    restart_interval=2)
+
+
+def test_progressive_eob_run_matches_hand_built_stream():
+    """The Annex K tables carry no EOBn (n>=1) symbols, so the
+    encoder's fixture streams never exercise multi-block EOB runs —
+    this hand-assembled stream does: a 16x8 grayscale SOF2 with an
+    all-ones DQT, two scans (DC first at Al=0, then AC 1..63 with a
+    two-symbol custom DHT where '1'->0x01 and '0'->0x10), where the AC
+    scan places +1 at zigzag k=1 of block 1 and ends with EOB1
+    (appended bit 0 -> run covers block 1 AND block 2). Expected pixels
+    come from an independent double-loop IDCT in this test."""
+    import struct
+    import zlib  # noqa: F401
+
+    import numpy as np
+
+    from erathia_market_etl_spark.operators.jpeg import (
+        HUFF_DC_LUM,
+        ZIGZAG,
+    )
+
+    def chunkless(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = chunkless(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = chunkless(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes(
+        [1, 0x11, 0]
+    ))
+    dc_bits, dc_syms = HUFF_DC_LUM
+    dht_dc = chunkless(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms))
+    # custom AC table: two codes of length 1 — '0' -> 0x10 (EOB1),
+    # '1' -> 0x01 (run 0, size 1)
+    ac_bits = [2] + [0] * 15
+    dht_ac = chunkless(0xC4, bytes([0x10]) + bytes(ac_bits)
+                       + bytes([0x10, 0x01]))
+
+    class W:  # tiny independent bit writer (1-padding, no stuffing needed)
+        def __init__(self):
+            self.bits = ""
+
+        def put(self, code, n):
+            self.bits += format(code, f"0{n}b") if n else ""
+
+        def bytes(self):
+            b = self.bits + "1" * (-len(self.bits) % 8)
+            return bytes(int(b[i:i + 8], 2) for i in range(0, len(b), 8))
+
+    # scan 1: DC first (Ss=0 Se=0 Ah=0 Al=0), both blocks, diffs 8, 8
+    # (DC size-4 code is 101 per the canonical Annex K construction)
+    w = W()
+    for _ in range(2):
+        w.put(0b101, 3)
+        w.put(8, 4)
+    sos1 = chunkless(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + w.bytes()
+
+    # scan 2: AC first (Ss=1 Se=63 Ah=0 Al=0): block 1 gets +1 at k=1
+    # ('1' = symbol 0x01, magnitude bit 1), then EOB1 ('0' + appended
+    # bit 0 -> eobrun covers this block and the next)
+    w = W()
+    w.put(0b1, 1)  # symbol 0x01
+    w.put(1, 1)    # magnitude bit: +1
+    w.put(0b0, 1)  # symbol 0x10 = EOB1
+    w.put(0, 1)    # appended run bit
+    sos2 = chunkless(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w.bytes()
+
+    payload = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+               + sos1 + sos2 + b"\xff\xd9")
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 16, 3)
+
+    # independent IDCT: block 1 has DC=8 and coefficient (0,1)=+1
+    # (zigzag k=1), block 2 has DC=16 (cumulative diffs), all-ones quant
+    def idct_ref(F):
+        def c(u):
+            return 1 / np.sqrt(2) if u == 0 else 1.0
+        B = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (c(u) * c(v) / 4 * F[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                B[x, y] = s
+        return np.clip(np.round(B + 128), 0, 255).astype(np.uint8)
+
+    f1 = np.zeros((8, 8)); f1[0, 0] = 8; f1[ZIGZAG[1] // 8, ZIGZAG[1] % 8] = 1
+    f2 = np.zeros((8, 8)); f2[0, 0] = 16
+    assert (out[:, :8, 0] == idct_ref(f1)).all(), "block 1 (EOB1 source)"
+    assert (out[:, 8:, 0] == idct_ref(f2)).all(), "block 2 (EOB-run covered)"
