@@ -1,4 +1,5 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure numpy + stdlib.
+"""JPEG (ITU-T T.81 / JFIF) codec, baseline + progressive — pure
+numpy + stdlib.
 
 The container ships no PIL/ffmpeg, so ``decode_real`` gated the JPEG
 path behind NotImplementedError through r14. This module closes that
