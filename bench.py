@@ -387,6 +387,56 @@ def main() -> None:
                     sum(tier2[n] for n in shared)
                     / sum(base_q[n] for n in shared), 3
                 )
+            # r16 (VERDICT r15 item 5): self-classifying drift bands.
+            # The frozen bars were cut min-of-3 inside warmed bench
+            # sessions, so an isolated or loaded-context reading lands
+            # over-bar on unchanged code every few rounds and triggers
+            # a manual band-protocol adjudication (r9/r12/r13/r15).
+            # BASELINE_TIER2.json now records each query's isolated
+            # 8-run band (tools/band_protocol.py: fresh session, one
+            # warm-up, construction-inclusive; floor=min,
+            # ceiling=max-excluding-run-1 since run 1 carries the JIT
+            # premium). A reading classifies mechanically:
+            #   under_floor — faster than the isolated floor (warmed
+            #                 bench context; expected, fine)
+            #   in_band     — inside [floor, ceiling]: context noise,
+            #                 no escalation
+            #   over_band   — above the ceiling: genuine drift
+            #                 candidate, run the 8-run protocol
+            # Escalation precondition (first same-session observation:
+            # a host_factor-1.223 run classified two queries over_band
+            # that re-read under_floor/in_band minutes later at 1.009):
+            # over_band readings escalate only from a quiet probe
+            # (host_factor <= 1.1, the r9 rule) — a loaded-probe
+            # over_band is re-read quiet first. tier2_band_context
+            # records which case a consumer is looking at.
+            bands = t2_base.get("bands", {}).get("queries", {})
+            if bands:
+                vs_band: dict[str, dict] = {}
+                for name, t in tier2.items():
+                    band = bands.get(name)
+                    if not band:
+                        continue
+                    if t < band["floor"]:
+                        cls = "under_floor"
+                    elif t <= band["ceiling"]:
+                        cls = "in_band"
+                    else:
+                        cls = "over_band"
+                    vs_band[name] = {
+                        "vs_median": round(t / band["median"], 3),
+                        "class": cls,
+                    }
+                out["tier2_vs_band"] = vs_band
+                out["tier2_over_band"] = sorted(
+                    n for n, v in vs_band.items() if v["class"] == "over_band"
+                )
+                out["tier2_band_context"] = {
+                    "host_factor": round(host_factor, 3),
+                    "quiet_probe": host_factor <= 1.1,
+                    "escalate": bool(out["tier2_over_band"])
+                    and host_factor <= 1.1,
+                }
 
     # per-query ratio vs the frozen round-1 baseline (BASELINE_BENCH.json,
     # VERDICT r1 #7) — only meaningful at the baseline's scale factor

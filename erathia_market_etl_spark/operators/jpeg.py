@@ -265,14 +265,19 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        """Byte-align and consume an RSTn marker (T.81 E.2.4).
+
+        B.1.1.2 permits any number of 0xFF fill bytes before a marker,
+        so skip consecutive 0xFF until the code byte, mirroring
+        ``_find_next_marker``'s fill handling.
+        """
         self.acc = 0
         self.nbits = 0
-        if (
-            self.pos + 1 >= len(self.data)
-            or self.data[self.pos] != 0xFF
-            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        if self.pos >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected JPEG restart marker")
+        while self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(self.data) or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             raise ValueError("expected JPEG restart marker")
         self.pos += 2
 
@@ -804,9 +809,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG: no EOI")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # B.1.1.2: any number of 0xFF fill bytes may precede the code byte.
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: no EOI")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn: no length
+            pos += 2
+            continue
         if marker in _GATED_SOFS:
             raise NotImplementedError(
                 f"JPEG {_GATED_SOFS[marker]} (SOF{marker - 0xC0}) decode "

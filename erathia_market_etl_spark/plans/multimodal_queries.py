@@ -625,7 +625,8 @@ MEDIA_JPEG_REAL_DECODE_ORACLE = """
 
 def media_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode under driver-style check (r15): each
-    video-kind row synthesizes a VALID baseline JFIF payload — a flat
+    selected documents row (doc_id % 3 = 2) synthesizes a VALID
+    baseline JFIF payload — a flat
     gray tile of h = 8 + id % 23, w = 8 + 7·id % 29, value
     v = 2·(20 + id % 100), quality 50, restart interval 1 + id % 4 —
     and a second Arrow stage decodes it through the full marker-parse /

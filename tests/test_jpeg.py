@@ -191,6 +191,33 @@ def test_restart_intervals_roundtrip_and_are_emitted():
     assert (decode_jpeg(cut) == decode_jpeg(plain)).all()
 
 
+def test_fill_bytes_and_standalone_markers_are_spec_legal():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code, and TEM (0xFF01) is a standalone length-less marker. A
+    spec-legal foreign file using either must decode to the same pixels
+    as the unpadded stream (r16, ADVICE r15 items 1+2)."""
+    img = _smooth_image(37, 53, seed=7)
+    cut = encode_jpeg(img, quality=85, restart_interval=3)
+    want = decode_jpeg(cut)
+
+    # (a) fill padding before an RSTn inside the entropy stream: find a
+    # real restart marker (FF Dn can't occur as stuffed data) and pad it
+    rst_at = next(
+        i for i in range(len(cut) - 1)
+        if cut[i] == 0xFF and 0xD0 <= cut[i + 1] <= 0xD7
+    )
+    padded_rst = cut[:rst_at] + b"\xff\xff" + cut[rst_at:]
+    assert (decode_jpeg(padded_rst) == want).all()
+
+    # (b) fill bytes + a standalone TEM marker between header segments
+    padded_hdr = cut[:2] + b"\xff\xff\xff\x01" + cut[2:]
+    assert (decode_jpeg(padded_hdr) == want).all()
+
+    # (c) both at once, with a longer fill run
+    both = padded_hdr[:rst_at + 4] + b"\xff" * 3 + padded_hdr[rst_at + 4:]
+    assert (decode_jpeg(both) == want).all()
+
+
 def test_odd_dimensions_and_edge_padding():
     """Dims not multiples of the MCU (16x16 at 4:2:0) must crop back to
     the exact frame size; edge-replicated padding must not bleed badly
