@@ -602,9 +602,11 @@ def media_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # media_jpeg_real_decode: driver-grade evidence for the r15 baseline
-# JPEG codec (operators/jpeg.py). UNREGISTERED (r15 — local-only per
-# the COVERAGE.md standing policy; driver-style evidence via
-# LOCALCHECK + tests/test_oracle_parity.py).
+# JPEG codec (operators/jpeg.py). PROMOTED to a driver slot r16
+# (VERDICT r15 item 3; one-in-one-out, paid by the agg_having_filter
+# retirement — rationale at its definition site in plans/relational.py):
+# the round's flagship operator carries hash-exact arithmetic-oracle
+# evidence, the strongest promotion case of the ten precedents.
 # ---------------------------------------------------------------------------
 
 JPEG_Q = 50  # q50 keeps the Annex K DC step at exactly 16
@@ -623,6 +625,7 @@ MEDIA_JPEG_REAL_DECODE_ORACLE = """
     """
 
 
+@query("media_jpeg_real_decode", oracle=MEDIA_JPEG_REAL_DECODE_ORACLE)
 def media_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode under driver-style check (r15): each
     selected documents row (doc_id % 3 = 2) synthesizes a VALID

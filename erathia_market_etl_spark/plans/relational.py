@@ -1215,9 +1215,18 @@ def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "agg_having_filter",
-    oracle="""
+# Driver slot retired r16 (slot economics: one in, one out for the
+# media_jpeg_real_decode promotion — VERDICT r15 item 3). Strict
+# subset: the plain single-table hash agg (count/min/max per group +
+# sort on the group key) is the shape of registered siblings
+# agg_distinct_aggregates / agg_grouping_sets / agg_stats_profile, and
+# the distinguishing Filter-above-Aggregate (HAVING) sits in the
+# staying dedup_corpus_representatives oracle (GROUP BY a HAVING
+# MIN(b) < a) and pipeline_training_funnel's non-reps stage — Catalyst
+# plans all of these as the same Filter node above Aggregate. Keeps
+# driver-style evidence through the retired-query compare in
+# tests/test_oracle_parity.py and the per-round LOCALCHECK sweep.
+AGG_HAVING_FILTER_ORACLE = """
     SELECT p_brand,
            COUNT(*) AS n_parts,
            MIN(p_size) AS min_size,
@@ -1226,8 +1235,9 @@ def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY p_brand
     HAVING COUNT(*) >= 5 AND MAX(p_size) > 25
     ORDER BY p_brand
-    """,
-)
+    """
+
+
 def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING: post-aggregation predicate — in DataFrame terms just a
     filter above the agg (Catalyst keeps it there; it can't push below

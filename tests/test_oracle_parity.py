@@ -83,6 +83,10 @@ _RETIRED = [
     # promotion — VERDICT r14 item 6); strict-subset rationale at the
     # definition site in plans/relational.py
     "count_probe",
+    # r16 retired (one-in-one-out: paid for the media_jpeg_real_decode
+    # promotion — VERDICT r15 item 3); strict-subset rationale at the
+    # definition site in plans/relational.py
+    "agg_having_filter",
 ]
 
 
@@ -453,15 +457,9 @@ def _queued():
             _mq().media_wav_resample,
             _mq().MEDIA_WAV_RESAMPLE_ORACLE,
         ),
-        # r15-implemented lossy-codec twin of media_wav_real_decode:
-        # flat gray tiles at q50 decode bit-exactly (even v makes the
-        # DC quantize without remainder), so the full baseline-JPEG
-        # Huffman/IDCT/restart path runs under the driver compare with
-        # a pure-arithmetic oracle
-        "media_jpeg_real_decode": (
-            _mq().media_jpeg_real_decode,
-            _mq().MEDIA_JPEG_REAL_DECODE_ORACLE,
-        ),
+        # (media_jpeg_real_decode moved to a driver slot r16 — VERDICT
+        # r15 item 3; it now runs through test_query_matches_oracle
+        # like every registered query)
         # r11-implemented exact truncating-fold EWMA (alpha=1/2) — the
         # non-associative fold CUSUM's prefix-sum rewrite can't express
         "ts_ewma_smoothing": (
@@ -808,6 +806,7 @@ def _retired():
     )
     from erathia_market_etl_spark.plans.relational import (
         AGG_CUBE_ORACLE,
+        AGG_HAVING_FILTER_ORACLE,
         COUNT_PROBE_ORACLE,
         DISTINCT_ROWS_ORACLE,
         SCALAR_STRING_KIT_ORACLE,
@@ -818,6 +817,7 @@ def _retired():
         TOPK_PARTS_ORACLE,
         TOPK_PER_GROUP_ORACLE,
         agg_cube,
+        agg_having_filter,
         count_probe,
         dedup_distinct_rows,
         scalar_string_kit,
@@ -871,6 +871,7 @@ def _retired():
             text_quality_score, TEXT_QUALITY_SCORE_ORACLE,
         ),
         "count_probe": (count_probe, COUNT_PROBE_ORACLE),
+        "agg_having_filter": (agg_having_filter, AGG_HAVING_FILTER_ORACLE),
     }
 
 
