@@ -1652,6 +1652,161 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_html_extract: HTML boilerplate/markup extraction (r16, VERDICT
+# r15 item 4 — the last big absent LLM-pipeline stage: real pretraining
+# corpora start as crawled HTML, and tags→text + nav/footer/script
+# stripping is the stage upstream of every gate this file already has).
+# UNREGISTERED (local-only per the COVERAGE.md standing policy;
+# driver-style evidence via LOCALCHECK + tests/test_oracle_parity.py).
+# Follows the JPEG-codec evidence pattern (plans/multimodal_queries.py
+# media_jpeg_real_decode): stage 1 SYNTHESIZES a deterministic HTML
+# document from each documents row with pure column arithmetic, stage 2
+# runs the REAL generic extractor (operators/html.py — regex block
+# segmentation, tag stripping, link-density/length signals) on it, and
+# the DuckDB oracle predicts the full output — including the extracted
+# text itself — from the same slicing arithmetic, so any defect
+# anywhere in synthesis → noise-strip → block parse → tag strip →
+# signal math → keep rule breaks the hash.
+# ---------------------------------------------------------------------------
+
+TEXT_HTML_EXTRACT_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    blocks AS (
+        -- ord 0: nav — four linked words, spaces between anchors are
+        -- the only non-link chars, so link density always > 1/2
+        SELECT doc_id, 0 AS ord,
+               ws[(doc_id*7) % n + 1] || ' ' || ws[(doc_id*7+3) % n + 1]
+               || ' ' || ws[(doc_id*7+6) % n + 1] || ' '
+               || ws[(doc_id*7+9) % n + 1] AS ptext,
+               CAST(length(ws[(doc_id*7) % n + 1])
+                    + length(ws[(doc_id*7+3) % n + 1])
+                    + length(ws[(doc_id*7+6) % n + 1])
+                    + length(ws[(doc_id*7+9) % n + 1]) AS BIGINT) AS link_chars
+        FROM w
+        UNION ALL
+        -- ord 1: heading — always under the length floor
+        SELECT doc_id, 1, 'doc ' || CAST(doc_id AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM w
+        UNION ALL
+        -- ord 2..4: paragraphs — L-word slices with one inline anchor
+        SELECT doc_id, 2 + k,
+               array_to_string(ws[s+1 : s+L], ' '),
+               CAST(length(ws[s + r + 1]) AS BIGINT)
+        FROM (
+            SELECT doc_id, ws, n, k,
+                   3 + (doc_id + k) % 5 AS L,
+                   (doc_id + k*11) % (n - (3 + (doc_id + k) % 5) + 1) AS s,
+                   (doc_id + 3*k) % (3 + (doc_id + k) % 5) AS r
+            FROM w, (VALUES (0), (1), (2)) ks(k)
+        )
+        UNION ALL
+        -- ord 5: footer — always under the length floor
+        SELECT doc_id, 5, '(c) 2026 about', CAST(5 AS BIGINT) FROM w
+    ),
+    sig AS (
+        SELECT doc_id, ord, ptext,
+               CAST(length(ptext) AS BIGINT) AS chars,
+               CASE WHEN length(ptext) > 0
+                    THEN (link_chars * 1000000) // length(ptext)
+                    ELSE 1000000 END AS ppm
+        FROM blocks
+    ),
+    kept AS (
+        SELECT *, (chars >= 20 AND ppm <= 500000) AS keep FROM sig
+    )
+    SELECT doc_id,
+           CAST(6 AS INT) AS n_blocks,
+           CAST(COUNT(*) FILTER (WHERE keep) AS INT) AS n_kept,
+           CAST(COALESCE(SUM(chars) FILTER (WHERE keep), 0) AS BIGINT)
+               AS kept_chars,
+           CAST(COALESCE(MAX(ppm) FILTER (WHERE keep), 0) AS BIGINT)
+               AS max_kept_ppm,
+           COALESCE(string_agg(ptext, chr(10) ORDER BY ord)
+                        FILTER (WHERE keep), '') AS kept_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup→text boilerplate extraction under driver-style check:
+    each documents row synthesizes a deterministic HTML page — a <nav>
+    of 4 linked words (positions (7·id + 3j) mod n), an <h1>, three
+    <p> blocks (L = 3 + (id+k) mod 5 words starting at (id + 11k) mod
+    (n−L+1), one word anchor-wrapped at offset (id + 3k) mod L), a
+    mid-document <script> whose body contains both a bare '<' and a
+    literal '</p>' string, and a short linked <footer> — then runs the
+    REAL generic extractor from operators/html.py over it: noise
+    elements stripped wholesale BEFORE block segmentation, block-level
+    elements collected in document order, inline tags stripped, and
+    the jusText-style two-signal keep rule (>= 20 plain chars, link
+    density <= 500000 ppm) applied. By construction the nav always
+    fails density, the h1/footer always fail length, and the script
+    must vanish without corrupting the block walk, so the kept set is
+    exactly the qualifying paragraphs and the oracle predicts every
+    output column — kept_text included — from slicing arithmetic.
+
+    Scale shape: synthesis and extraction are ONE chain of array/regex
+    column expressions (operators/html.py — no UDF, no explode, no
+    shuffle); the scan is map-only linear like text_quality_gate, and
+    the only exchange is the output ORDER BY. At 100 TB this runs at
+    parquet-scan speed with whole-stage codegen end to end."""
+    from ..operators.html import extract_content
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+
+    def word(pos):
+        return F.element_at(ws, ((pos % n) + 1).cast("int"))
+
+    def anchor(txt):
+        return F.concat(F.lit('<a href="/x">'), txt, F.lit("</a>"))
+
+    nav = F.concat(
+        F.lit("<nav>"),
+        F.concat_ws(" ", *[anchor(word(d * 7 + j * 3)) for j in range(4)]),
+        F.lit("</nav>"),
+    )
+    h1 = F.concat(F.lit("<h1>doc "), d.cast("string"), F.lit("</h1>"))
+
+    def para(k: int):
+        L = (F.lit(3) + (d + F.lit(k)) % 5).cast("int")
+        s = ((d + F.lit(k * 11)) % (n - L + 1)).cast("int")
+        r = ((d + F.lit(3 * k)) % L).cast("int")
+        wrapped = F.transform(
+            F.slice(ws, s + 1, L),
+            lambda x, i: F.when(i == r, anchor(x)).otherwise(x),
+        )
+        return F.concat(F.lit("<p>"), F.concat_ws(" ", wrapped), F.lit("</p>"))
+
+    footer = F.lit('<footer>(c) 2026 <a href="/about">about</a></footer>')
+    script = F.lit(
+        '<script type="text/javascript">var x = 1;'
+        ' if (x < 2) { x = "</p>"; }</script>'
+    )
+    html = F.concat_ws("\n", nav, h1, para(0), para(1), script, para(2), footer)
+
+    sig = extract_content(html)
+    return (
+        docs.select(
+            "doc_id",
+            sig["n_blocks"].alias("n_blocks"),
+            sig["n_kept"].alias("n_kept"),
+            sig["kept_chars"].alias("kept_chars"),
+            sig["max_kept_ppm"].alias("max_kept_ppm"),
+            sig["kept_text"].alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_merges: distributed BPE merge learning (Sennrich et al. 2016,
 # arXiv:1508.07909 — the tokenizer-training loop, run on-cluster).
 # UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing

@@ -228,6 +228,15 @@ def _queued():
             _tq().text_cdc_chunks,
             _tq().TEXT_CDC_CHUNKS_ORACLE,
         ),
+        # r16-implemented HTML/markup extraction (VERDICT r15 item 4):
+        # deterministic page synthesis -> REAL regex block
+        # segmentation + tag stripping + link-density/length keep rule
+        # (operators/html.py); the DuckDB twin predicts every column
+        # including the extracted text from the synthesis arithmetic
+        "text_html_extract": (
+            _tq().text_html_extract,
+            _tq().TEXT_HTML_EXTRACT_ORACLE,
+        ),
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
         "sample_temperature_mixture": (
             sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,

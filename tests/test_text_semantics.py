@@ -1002,3 +1002,133 @@ def test_cdc_chunks_null_text_symmetric_across_engines(spark, tmp_path):
         TEXT_CDC_CHUNKS_ORACLE, d,
     )
     assert r.ok, r
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction laws (operators/html.py + text_html_extract, r16 —
+# VERDICT r15 item 4): each rule pinned on a hand-written document
+# constructed to exercise exactly that rule, through the REAL column
+# expressions (no fixture synthesis in the way).
+# ---------------------------------------------------------------------------
+
+
+def _extract(spark, html: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.html import extract_content
+
+    sig = extract_content(F.lit(html))
+    row = spark.range(1).select(
+        *[v.alias(k) for k, v in sig.items()]
+    ).collect()[0]
+    return row.asDict()
+
+
+def test_html_noise_stripped_before_block_walk(spark):
+    """script/style vanish wholesale BEFORE segmentation: a '<' and a
+    literal '</p>' INSIDE a script body must not open or close blocks,
+    and a style element between blocks must not appear in the text."""
+    out = _extract(spark, (
+        '<p>twenty characters of honest paragraph text</p>'
+        '<script>if (x < 2) { y = "</p>"; }</script>'
+        '<style>p { color: red; }</style>'
+        '<p>another honest paragraph with enough text</p>'
+    ))
+    assert out["n_blocks"] == 2 and out["n_kept"] == 2
+    assert out["kept_text"] == (
+        "twenty characters of honest paragraph text\n"
+        "another honest paragraph with enough text"
+    )
+
+
+def test_html_nav_dropped_by_density_footer_by_length(spark):
+    """The two signals fire independently: an all-links nav fails the
+    ppm rule even when long; a short footer fails the length rule even
+    with low density; a content paragraph passes both."""
+    nav = "<nav>" + " ".join(
+        f'<a href="/{i}">navigation</a>' for i in range(6)
+    ) + "</nav>"
+    out = _extract(spark, (
+        nav
+        + "<p>the actual article body text sits here with one "
+          '<a href="/ref">reference</a> link inside it</p>'
+        + '<footer>(c) 2026 <a href="/about">about</a></footer>'
+    ))
+    assert out["n_blocks"] == 3
+    assert out["n_kept"] == 1
+    assert out["kept_text"].startswith("the actual article body")
+    # the kept paragraph's density is the reported max
+    plain = ("the actual article body text sits here with one "
+             "reference link inside it")
+    assert out["max_kept_ppm"] == len("reference") * 1_000_000 // len(plain)
+    assert out["kept_chars"] == len(plain)
+
+
+def test_html_inline_tags_stripped_anchor_text_kept(spark):
+    """Tag stripping keeps display text: bold/em markup and anchor
+    display text survive; attributes and the tags themselves do not.
+    Nested markup INSIDE an anchor counts its text, not its tags."""
+    out = _extract(spark, (
+        '<div class="main" id="x">some <b>bold</b> and <em>emphasized'
+        '</em> words plus <a href="/y" rel="nofollow">a <b>styled</b> '
+        'link</a> here</div>'
+    ))
+    assert out["n_kept"] == 1
+    assert out["kept_text"] == (
+        "some bold and emphasized words plus a styled link here"
+    )
+    plain = out["kept_text"]
+    assert out["max_kept_ppm"] == len("a styled link") * 1_000_000 // len(plain)
+
+
+def test_html_case_insensitive_tags_and_attributes(spark):
+    """<P CLASS=..> ... </P> is the same block as <p>...</p>."""
+    out = _extract(spark, (
+        '<P CLASS="lead">uppercase tagged paragraph with plenty of '
+        "text</P><SCRIPT>var z = 1;</SCRIPT>"
+    ))
+    assert out["n_blocks"] == 1 and out["n_kept"] == 1
+    assert out["kept_text"].startswith("uppercase tagged paragraph")
+
+
+def test_html_empty_block_reads_all_link_and_drops(spark):
+    """A block whose plain text is empty gets ppm = 1e6 (all-link by
+    convention) and can never pass the keep rule."""
+    out = _extract(spark, "<p></p><p>   </p>")
+    assert out["n_blocks"] == 2 and out["n_kept"] == 0
+    assert out["kept_text"] == "" and out["max_kept_ppm"] == 0
+
+
+def test_html_extract_query_oracle_and_block_census(spark, tmp_path):
+    """The full synthesized-page query on planted docs: 6 blocks per
+    doc (script gone), nav/h1/footer never kept, and the DuckDB twin
+    hash-matches on the planted table — including the 10-word minimum
+    and a doc with single-char words (shortest legal paragraphs)."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_HTML_EXTRACT_ORACLE,
+        text_html_extract,
+    )
+    from erathia_market_etl_spark.testing import compare_query
+
+    rows = [
+        (0, " ".join(f"word{i}" for i in range(10)), "en", "s", 1),
+        (7, " ".join("abcdefghij"[i % 10] for i in range(25)), "en", "s", 1),
+        (123456, " ".join(f"t{i * 13 % 97}longish" for i in range(100)),
+         "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r.asDict() for r in text_html_extract(spark, d).collect()}
+    assert set(out) == {0, 7, 123456}
+    for r in out.values():
+        assert r["n_blocks"] == 6
+        assert r["n_kept"] <= 3  # only paragraphs can survive
+        for line in filter(None, r["kept_text"].split("\n")):
+            assert len(line) >= 20 and "<" not in line
+    # doc 7: all words are single chars, paragraphs are 3-7 words =
+    # 5-13 plain chars < 20 -> everything drops
+    assert out[7]["n_kept"] == 0 and out[7]["kept_text"] == ""
+    r = compare_query(
+        "text_html_extract", text_html_extract(spark, d),
+        TEXT_HTML_EXTRACT_ORACLE, d,
+    )
+    assert r.ok, r
