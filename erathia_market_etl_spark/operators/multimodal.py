@@ -834,6 +834,10 @@ def decode_real(payload: bytes, kind: str | None = None):
         from erathia_market_etl_spark.operators.jpeg import decode_jpeg
 
         return "image", decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from erathia_market_etl_spark.operators.gif import decode_gif
+
+        return "image", decode_gif(payload)
     if not HAVE_CODECS:
         raise NotImplementedError(
             "compressed-video decode requires libraries (PyAV/ffmpeg) "

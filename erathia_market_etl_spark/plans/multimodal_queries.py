@@ -697,3 +697,123 @@ def media_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# media_gif_real_decode: driver-grade evidence for the r16 GIF/LZW
+# codec (operators/gif.py). UNREGISTERED (local-only per the
+# COVERAGE.md standing policy; driver-style evidence via LOCALCHECK +
+# tests/test_oracle_parity.py). GIF is LOSSLESS for paletted content,
+# so unlike the JPEG twin no divisibility construction is needed —
+# every synthesized tile round-trips bit-exactly and the oracle
+# predicts the stats from modular arithmetic alone.
+# ---------------------------------------------------------------------------
+
+MEDIA_GIF_REAL_DECODE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               5 + doc_id % 13 AS h,
+               5 + (doc_id * 3) % 17 AS w,
+               2 + doc_id % 7 AS nc
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    pal AS (
+        SELECT doc_id, h, w, nc, unnest(range(nc)) AS i FROM d
+    ),
+    colors AS (
+        SELECT doc_id, h, w, nc, i,
+               (10 + 7 * i + doc_id) % 256 AS r,
+               ((10 + 7 * i + doc_id) % 256 + 40) % 256 AS g,
+               ((10 + 7 * i + doc_id) % 256 + 80) % 256 AS b,
+               -- index i paints (h*w)/nc pixels, +1 for the first
+               -- (h*w % nc) indices of the rotation starting at
+               -- doc_id mod nc: idx(t) = (doc_id + t) % nc
+               (h * w) // nc
+               + CASE WHEN ((i - doc_id) % nc + nc) % nc < (h * w) % nc
+                      THEN 1 ELSE 0 END AS cnt
+        FROM pal
+    )
+    SELECT doc_id AS media_id,
+           CAST(h AS INT) AS height,
+           CAST(w AS INT) AS width,
+           CAST(nc AS INT) AS n_colors,
+           CAST(MIN(LEAST(r, g, b)) AS INT) AS px_min,
+           CAST(MAX(GREATEST(r, g, b)) AS INT) AS px_max,
+           CAST(SUM(cnt * (r + g + b)) AS BIGINT) AS px_sum
+    FROM colors
+    GROUP BY doc_id, h, w, nc
+    ORDER BY media_id
+    """
+
+
+def media_gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-codec decode under driver-style check (r16): each
+    selected documents row (doc_id % 3 = 0) synthesizes a paletted
+    tile — h = 5 + id % 13, w = 5 + 3·id % 17, nc = 2 + id % 7 colors
+    with palette color i = ((10 + 7i + id) % 256, +40, +80) and pixel
+    index (id + y·w + x) % nc — encodes it as a VALID GIF89a
+    (interlaced when id is odd, so both row orders run under the
+    compare) and decodes it back through the full container walk +
+    variable-width LZW state machine of operators/gif.py. GIF is
+    lossless, so the decoded tile equals the constructed one exactly
+    and the oracle predicts n_colors / min / max / channel-sum from
+    pure modular arithmetic — any defect anywhere in LZW packing,
+    sub-block framing, palette handling, or (de)interlacing breaks
+    the hash. h·w >= 25 > nc always, so every palette index is used
+    and min/max over used colors equal min/max over pixels.
+
+    Scale shape: identical to media_jpeg_real_decode — one narrow
+    mapInPandas over (id); payloads are born and die inside the task,
+    bytes never shuffle; the only exchange is the output ORDER BY."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.gif import decode_gif, encode_gif
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "height", "width",
+                                     "n_colors", "px_min", "px_max", "px_sum")}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                h = 5 + mid % 13
+                w = 5 + (mid * 3) % 17
+                nc = 2 + mid % 7
+                base = (10 + 7 * np.arange(nc) + mid) % 256
+                pal = np.stack(
+                    [base, (base + 40) % 256, (base + 80) % 256], axis=1
+                ).astype(np.uint8)
+                idx = ((mid + np.arange(h * w)) % nc).reshape(h, w)
+                img = pal[idx]
+                out = decode_gif(encode_gif(img, interlace=bool(mid % 2)))
+                assert out.shape == (h, w, 3)
+                rows["media_id"].append(mid)
+                rows["height"].append(out.shape[0])
+                rows["width"].append(out.shape[1])
+                rows["n_colors"].append(
+                    len(np.unique(out.reshape(-1, 3), axis=0))
+                )
+                rows["px_min"].append(int(out.min()))
+                rows["px_max"].append(int(out.max()))
+                rows["px_sum"].append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "n_colors": pd.Series(rows["n_colors"], dtype="int32"),
+                "px_min": pd.Series(rows["px_min"], dtype="int32"),
+                "px_max": pd.Series(rows["px_max"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            })
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(
+            synth_and_decode,
+            "media_id long, height int, width int, n_colors int, "
+            "px_min int, px_max int, px_sum long",
+        )
+        .orderBy("media_id")
+    )

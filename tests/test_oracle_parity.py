@@ -469,6 +469,14 @@ def _queued():
         # (media_jpeg_real_decode moved to a driver slot r16 — VERDICT
         # r15 item 3; it now runs through test_query_matches_oracle
         # like every registered query)
+        # r16-implemented lossless-codec twin: paletted tiles encode ->
+        # full GIF container walk + variable-width LZW decode
+        # (operators/gif.py), interlaced on odd ids; bit-exact by
+        # losslessness, oracle from modular arithmetic
+        "media_gif_real_decode": (
+            _mq().media_gif_real_decode,
+            _mq().MEDIA_GIF_REAL_DECODE_ORACLE,
+        ),
         # r11-implemented exact truncating-fold EWMA (alpha=1/2) — the
         # non-associative fold CUSUM's prefix-sum rewrite can't express
         "ts_ewma_smoothing": (
