@@ -1807,6 +1807,119 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_html_links: the link-census half of the markup family (r16) —
+# href harvesting, internal/external classification, host extraction:
+# the crawl-graph stage (outbound host adjacency feeding host-level
+# PageRank / spam screens) that sits beside boilerplate extraction in
+# every web-corpus pipeline. UNREGISTERED (local-only per the standing
+# policy). Same evidence pattern as text_html_extract: deterministic
+# synthesis, REAL extraction, arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+TEXT_HTML_LINKS_ORACLE = """
+    WITH hs AS (
+        SELECT doc_id, (doc_id * (j + 1)) % 5 AS h
+        FROM documents, (VALUES (0), (1), (2), (3)) js(j)
+    ),
+    agg AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list('site' || CAST(h AS VARCHAR) || '.example.com')
+               )) AS hosts
+        FROM hs GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS n_links,
+           CAST(4 AS INT) AS n_internal,
+           CAST(4 AS INT) AS n_external,
+           CAST(len(hosts) AS INT) AS n_hosts,
+           array_to_string(hosts, ',') AS host_list
+    FROM agg ORDER BY doc_id
+    """
+
+
+def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link census under driver-style check: each documents row
+    synthesizes a page whose nav carries 4 EXTERNAL anchors with hosts
+    site((id·(j+1)) mod 5).example.com — when id ≡ 0 (mod 5) all four
+    collapse to site0 (n_hosts = 1), otherwise id is invertible mod 5
+    and all four are distinct (n_hosts = 4), so the distinct-host
+    logic is exercised on both branches — plus 4 INTERNAL anchors
+    (three paragraph links and /about in the footer), one hrefless
+    named anchor that must NOT count, and a <script> decoy containing
+    a fake '<a href="https://evil.example.com/x">' string literal that
+    noise-stripping must remove before harvesting. The oracle predicts
+    the census and the sorted host adjacency from the same modular
+    arithmetic.
+
+    Scale shape: like text_html_extract — one chain of regex/array
+    expressions (operators/html.py link_stats), map-only, the output
+    ORDER BY is the only exchange."""
+    from ..operators.html import link_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+
+    def word(pos):
+        return F.element_at(ws, ((pos % n) + 1).cast("int"))
+
+    nav = F.concat(
+        F.lit("<nav>"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit('<a href="https://site'),
+                    ((d * (j + 1)) % 5).cast("string"),
+                    F.lit(f'.example.com/{j}">'),
+                    word(d * 7 + j * 3),
+                    F.lit("</a>"),
+                )
+                for j in range(4)
+            ],
+        ),
+        F.lit("</nav>"),
+    )
+    h1 = F.concat(
+        F.lit('<h1><a name="top">doc '), d.cast("string"), F.lit("</a></h1>")
+    )
+
+    def para(k: int):
+        L = (F.lit(3) + (d + F.lit(k)) % 5).cast("int")
+        s = ((d + F.lit(k * 11)) % (n - L + 1)).cast("int")
+        r = ((d + F.lit(3 * k)) % L).cast("int")
+        wrapped = F.transform(
+            F.slice(ws, s + 1, L),
+            lambda x, i: F.when(
+                i == r,
+                F.concat(F.lit(f'<a href="/w/{k}">'), x, F.lit("</a>")),
+            ).otherwise(x),
+        )
+        return F.concat(F.lit("<p>"), F.concat_ws(" ", wrapped), F.lit("</p>"))
+
+    footer = F.lit('<footer>(c) 2026 <a href="/about">about</a></footer>')
+    script = F.lit(
+        "<script>var u = '<a href=\"https://evil.example.com/x\">';</script>"
+    )
+    html = F.concat_ws("\n", nav, h1, para(0), para(1), script, para(2), footer)
+
+    sig = link_stats(html)
+    return (
+        docs.select(
+            "doc_id",
+            sig["n_links"].alias("n_links"),
+            sig["n_internal"].alias("n_internal"),
+            sig["n_external"].alias("n_external"),
+            sig["n_hosts"].alias("n_hosts"),
+            sig["host_list"].alias("host_list"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_merges: distributed BPE merge learning (Sennrich et al. 2016,
 # arXiv:1508.07909 — the tokenizer-training loop, run on-cluster).
 # UNREGISTERED (r8 queue — local-only per the COVERAGE.md standing

@@ -237,6 +237,13 @@ def _queued():
             _tq().text_html_extract,
             _tq().TEXT_HTML_EXTRACT_ORACLE,
         ),
+        # r16 link-census half of the markup family: href harvesting,
+        # internal/external classification, host extraction with both
+        # collapse/distinct branches of the synthesized host arithmetic
+        "text_html_links": (
+            _tq().text_html_links,
+            _tq().TEXT_HTML_LINKS_ORACLE,
+        ),
         "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_oracle()),
         "sample_temperature_mixture": (
             sample_temperature_mixture, SAMPLE_TEMPERATURE_MIXTURE_ORACLE,

@@ -1132,3 +1132,74 @@ def test_html_extract_query_oracle_and_block_census(spark, tmp_path):
         TEXT_HTML_EXTRACT_ORACLE, d,
     )
     assert r.ok, r
+
+
+def test_html_link_census_laws(spark):
+    """link_stats rules, each on HTML built to exercise exactly it:
+    hrefless anchors don't count; scheme-relative '//host' is neither
+    internal nor external; mailto/#fragment count as links only; hosts
+    are lowercased; a script-embedded anchor string never counts."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.html import link_stats
+
+    def stats(html):
+        sig = link_stats(F.lit(html))
+        return spark.range(1).select(
+            *[v.alias(k) for k, v in sig.items()]
+        ).collect()[0].asDict()
+
+    out = stats(
+        '<p><a href="/local/a">one</a>'
+        ' <a href="HTTPS://SiTe.EXample.com/Path">two</a>'
+        ' <a href="//cdn.example.com/x">three</a>'
+        ' <a href="mailto:a@b.c">four</a>'
+        ' <a href="#top">five</a>'
+        ' <a name="anchor">not a link</a></p>'
+        '<script>var u = \'<a href="https://evil.example.com/x">\';</script>'
+    )
+    assert out["n_links"] == 5
+    assert out["n_internal"] == 1  # only /local/a
+    assert out["n_external"] == 1  # only the https one
+    assert out["n_hosts"] == 1
+    assert out["host_list"] == "site.example.com"  # lowercased
+
+    # host dedup + deterministic ordering
+    out = stats(
+        '<p><a href="https://b.com/1">x</a> <a href="https://a.com/2">y</a>'
+        ' <a href="http://b.com/3">z</a></p>'
+    )
+    assert out["n_hosts"] == 2 and out["host_list"] == "a.com,b.com"
+
+
+def test_html_links_query_host_branches(spark, tmp_path):
+    """The synthesized query's two host branches: id % 5 == 0 collapses
+    all four nav hosts to site0 (n_hosts 1), any other id gives four
+    distinct hosts — and the DuckDB twin hash-matches on planted
+    docs covering both."""
+    from erathia_market_etl_spark.plans.text_queries import (
+        TEXT_HTML_LINKS_ORACLE,
+        text_html_links,
+    )
+    from erathia_market_etl_spark.testing import compare_query
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(12)), "en", "s", 1),
+        (3, " ".join(f"w{i}" for i in range(30)), "en", "s", 1),
+        (10, " ".join(f"w{i}" for i in range(10)), "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows, str(tmp_path))
+    out = {r["doc_id"]: r.asDict() for r in text_html_links(spark, d).collect()}
+    assert out[0]["n_hosts"] == 1 and out[0]["host_list"] == "site0.example.com"
+    assert out[10]["n_hosts"] == 1
+    assert out[3]["n_hosts"] == 4
+    assert out[3]["host_list"] == ",".join(
+        sorted(f"site{3 * (j + 1) % 5}.example.com" for j in range(4))
+    )
+    for r in out.values():
+        assert (r["n_links"], r["n_internal"], r["n_external"]) == (8, 4, 4)
+    res = compare_query(
+        "text_html_links", text_html_links(spark, d),
+        TEXT_HTML_LINKS_ORACLE, d,
+    )
+    assert res.ok, res
