@@ -473,6 +473,7 @@ def pagerank_fixed_point(
     tol: int | None = None,
     max_iters: int = 50,
     stats: dict | None = None,
+    dedup: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a DIRECTED edge table, damping
     0.85. Returns (v, rank, deg) for every node that has at least one
@@ -523,65 +524,113 @@ def pagerank_fixed_point(
 
     Scale shape (the web-graph quality-weighting loop, e.g. Common
     Crawl harmonic/PageRank centrality for pretraining-data source
-    weighting): the edge table is degree-joined ONCE, repartitioned on
-    ``src`` and PERSISTED, so each round exchanges only the node-sized
-    rank table into the join, followed by one dst-keyed aggregation —
-    two node/edge-sized shuffles per round, no driver-side state.
-    Each round's rank table is eagerly localCheckpoint()ed: the loop
-    would otherwise stack ``iters`` joins into one exponential plan
-    (the same lineage discipline as the components kernels above)."""
+    weighting): the edge table pays ONE hash(src) exchange, is
+    PERSISTED, and both the degree aggregate and every round's join
+    ride that partitioning; ``deg`` travels inside the rank frame so
+    the per-edge contribution is a projection, not a join. Each round
+    is then one shuffled-hash join of the persisted edges against the
+    node-sized contrib table (build side = contrib — the edge table is
+    never sorted or re-exchanged), one dst-keyed aggregation (the
+    round's only full exchange), and one node-sized deg join — no
+    driver-side state. In the fixed-``iters`` accounting mode the
+    rounds UNROLL into one lazy plan (zero per-round driver actions;
+    depth is linear in ``iters``, checkpointed every 8 rounds for
+    callers that ask for many); the ``tol`` mode checkpoints each round
+    lazily so the residual probe's job doubles as the round's
+    materialization — one job per round either way."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if tol is not None and tol < 1:
         raise ValueError(f"tol must be >= 1 rank unit, got {tol}")
+    # ONE kernel-owned exchange: hash(src) both feeds the degree
+    # aggregate (clustering satisfied — no second exchange) and
+    # co-partitions the edge table with every round's contrib/rank
+    # frames (all keyed on the same 32/shuffle-partition hash of the
+    # vertex id), so no round re-exchanges or re-sorts the edges. The
+    # r16 profile of the old shape showed the edge pipeline executing
+    # TWICE (deg subtree + ewd subtree, separate exchanges) and every
+    # per-round join planned as SortMergeJoin against unknown-stat
+    # checkpointed rank RDDs — sorting the edge table each round.
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).repartition("src")
+    if dedup:
+        # edge-set callers fold their distinct into the kernel's
+        # exchange: hash(src) co-locates every (src, dst) duplicate, so
+        # the dedup aggregate rides the same shuffle (the _symmetrize
+        # fusion trick) instead of paying a separate (src, dst)-keyed
+        # exchange upstream. Multigraph callers leave this off — degree
+        # and contribution then count parallel edges, as before.
+        sym = sym.dropDuplicates()
+    sym = sym.persist()
     deg = (
-        edges.groupBy(F.col(src).alias("v"))
+        sym.groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
-    )
-    ewd = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .join(deg.select(F.col("v").alias("src"), "deg"), "src")
         .persist()
     )
     rounds = 0
     residual: int | None = None
-    try:
-        ranks = deg.select(
-            "v", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    teleport = (15 * PAGERANK_SCALE) // 100
+
+    def one_round(ranks: DataFrame) -> DataFrame:
+        # contrib is a PROJECTION (deg rides inside the rank frame), so
+        # a round is: one shuffled-hash join of the persisted edges
+        # against the node-sized contrib table (build side = contrib —
+        # no sort of the edge table, guide §3.1), one dst-keyed
+        # partial+final aggregate (the round's only full exchange), and
+        # one node-sized left join back onto deg for teleport-mass
+        # retention. LEFT join from the node set, not the bare
+        # aggregate: a node with out-edges but no in-contributions this
+        # round (directed graphs) must KEEP its teleport-mass rank row —
+        # dropping it would silently remove it from the output and stop
+        # its mass feeding later rounds (r8 self-review).
+        contrib = ranks.select(
+            F.col("v").alias("src"), F.expr("rank DIV deg").alias("contrib")
         )
-        teleport = (15 * PAGERANK_SCALE) // 100
-        n_rounds = max_iters if tol is not None else iters
-        for _ in range(n_rounds):
-            incoming = (
-                ewd.join(ranks, ewd["src"] == ranks["v"])
-                .select(
-                    F.col("dst").alias("v"),
-                    F.expr("rank DIV deg").alias("contrib"),
-                )
-                .groupBy("v")
-                .agg(F.sum("contrib").alias("c"))
-            )
-            # LEFT join from the node set, not the bare aggregate: a
-            # node with out-edges but no in-contributions this round
-            # (directed graphs) must KEEP its teleport-mass rank row —
-            # dropping it would silently remove it from the output and
-            # stop its mass feeding later rounds (r8 self-review).
-            new_ranks = (
-                deg.select("v")
-                .join(incoming, "v", "left")
-                .select(
-                    "v",
-                    (
-                        F.lit(teleport)
-                        + F.expr("85 * coalesce(c, 0L) DIV 100")
-                    ).cast("long").alias("rank"),
-                )
-                .localCheckpoint()
-            )
-            rounds += 1
-            if tol is not None:
+        incoming = (
+            sym.join(contrib.hint("shuffle_hash"), "src")
+            .select(F.col("dst").alias("v"), "contrib")
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        return deg.join(incoming.hint("shuffle_hash"), "v", "left").select(
+            "v",
+            (
+                F.lit(teleport) + F.expr("85 * coalesce(c, 0L) DIV 100")
+            ).cast("long").alias("rank"),
+            "deg",
+        )
+
+    ranks = deg.select(
+        "v", F.lit(PAGERANK_SCALE).cast("long").alias("rank"), "deg"
+    )
+    if tol is None:
+        # Fixed-round accounting mode: the rounds UNROLL into one lazy
+        # plan — zero per-round driver actions, the whole power
+        # iteration is a single job at action time (plan depth is
+        # O(iters), linear — each round references the previous rank
+        # frame once). A checkpoint every 8 rounds bounds analyzer cost
+        # for callers that ask for many rounds; the registered query's
+        # 3 rounds never checkpoint. One eager checkpoint of the FINAL
+        # node-sized rank table lets the kernel release the edge cache
+        # before returning (no persist leak across bench runs).
+        for i in range(iters):
+            ranks = one_round(ranks)
+            if (i + 1) % 8 == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint()
+        rounds = iters
+        ranks = ranks.localCheckpoint()
+        sym.unpersist()
+        deg.unpersist()
+    else:
+        # Residual-stop mode: the per-round probe is a driver action, so
+        # each round checkpoints LAZILY and the probe's job materializes
+        # it — one job per round instead of the old eager-checkpoint +
+        # probe pair.
+        try:
+            for _ in range(max_iters):
+                new_ranks = one_round(ranks).localCheckpoint(eager=False)
+                rounds += 1
                 # bounded probe: one scalar row per round (CC pattern)
                 residual = (
                     new_ranks.alias("n")
@@ -596,14 +645,13 @@ def pagerank_fixed_point(
                 ranks = new_ranks
                 if residual is not None and residual <= tol:
                     break
-            else:
-                ranks = new_ranks
-    finally:
-        ewd.unpersist()
+        finally:
+            sym.unpersist()
+            deg.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
         stats["residual"] = residual
-    return ranks.join(deg, "v").select("v", "rank", "deg")
+    return ranks.select("v", "rank", "deg")
 
 
 def triangle_counts(edges: DataFrame, x: str = "x", y: str = "y") -> DataFrame:

@@ -106,10 +106,12 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-mass term and the returned frame covers every node.
 
     At 100 TB (the Common Crawl host graph is ~100M nodes / ~1B
-    edges): the distinct-pair base is one exchange, the degree join is
-    prepaid into the persisted edge frame, and each round moves only
-    the node-sized rank table plus one dst-keyed aggregate. Rounds are
-    checkpoint-bounded, so plan depth stays O(1) per round."""
+    edges): the edge stream pays exactly ONE exchange (the kernel's
+    hash(src) repartition, with the pair-dedup riding it), the degree
+    aggregate reuses that partitioning, and each round moves only the
+    node-sized contrib table plus one dst-keyed aggregate; the three
+    contract rounds unroll into a single lazy plan with no per-round
+    driver actions (see ``pagerank_fixed_point``)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     base = (
@@ -118,14 +120,18 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     both = F.array(
         F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
         F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
     )
     edges = base.select(F.explode(both).alias("e")).select("e.src", "e.dst")
-    ranks = pagerank_fixed_point(edges, iters=PAGERANK_ITERS)
+    # dedup=True: the old per-pair .distinct() exchange folds into the
+    # kernel's hash(src) exchange (explode of distinct pairs == distinct
+    # of exploded pairs — customer/supplier ids live in disjoint
+    # even/odd key spaces, so no cross-pair collision is possible), one
+    # full-stream exchange instead of two (r16 optimization).
+    ranks = pagerank_fixed_point(edges, iters=PAGERANK_ITERS, dedup=True)
     return (
         ranks.select(
             F.when(F.col("v") % 2 == 0, F.lit("customer"))
