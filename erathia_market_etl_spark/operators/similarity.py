@@ -317,7 +317,13 @@ def pq_codebooks(emb, n_sub: int = N_PQ_SUB, k: int = N_PQ_CODES,
 
 def _sq_l2(a: Column, b: Column) -> Column:
     """Σ (aᵢ-bᵢ)² as a sequential double left-fold (zip_with+aggregate,
-    JVM-side)."""
+    JVM-side). Interpreted (HOF lambdas are CodegenFallback) — fine
+    for a handful of evaluations per row; bulk argmin scoring belongs
+    in the Arrow batch path (``pq_assign``). A per-dimension unrolled
+    literal chain was measured and rejected in r16: bit-identical and
+    codegen'd, but each 64-dim chain costs ~0.8 s of driver-side py4j
+    Column construction per plan — more than the interpreted fold's
+    whole execution here."""
     return F.aggregate(
         F.zip_with(
             a, b,
@@ -330,17 +336,31 @@ def _sq_l2(a: Column, b: Column) -> Column:
 
 
 def pq_assign(spark, emb, books, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
-    """PQ encoding as a NARROW map stage: the codebooks fold into ONE
-    broadcast row (n_sub sorted arrays of (cid, cvec) structs); each
-    vector computes, per subspace, the argmin squared-L2 centroid of
-    its slice inside transform()/array_max HOFs (the assign_cells
-    argmin shape, L2 metric), and the n_sub 4-bit codes PACK INTO ONE
-    LONG (code_s in bits [4s, 4s+4)) — 8 bytes per vector on the wire
-    instead of the raw embedding, which is the entire point of PQ at
-    100 TB. No shuffle, no Python. Output: input columns + ``pq_code``
-    (long). Ties break to the lowest cid (array_max on (negd, negcid)
-    structs), so codes are deterministic."""
+              vec_col: str = "embedding", err_col: str | None = None):
+    """PQ encoding as a NARROW map stage: the codebooks ship in an
+    Arrow ``pandas_udf`` closure and each batch is encoded by
+    vectorized numpy (per subspace: k sequential-order squared-L2
+    accumulations over the slice columns, argmin per row) — guide §4.2,
+    "hand whole batches to vectorized native libraries". r16 history:
+    the original transform/array_max HOF formulation ran in the
+    expression interpreter (HOFs are CodegenFallback) and dominated
+    sim_pq_quality's profile at 2.9 s; a codegen'd literal-chain
+    rewrite was measured and REJECTED (bit-identical but ~1024 Column
+    objects cost ~8 s of driver-side py4j construction per plan); the
+    Arrow encode is bit-identical to both (the numpy loop replays the
+    fold's exact IEEE op order: ((0+t₀)+t₁)+…, elementwise float64)
+    at ~0.05 s construction + ~0.3 s warm execution. The n_sub 4-bit
+    codes PACK INTO ONE LONG (code_s in bits [4s, 4s+4)) — 8 bytes per
+    vector on the wire instead of the raw embedding, which is the
+    entire point of PQ at 100 TB. No shuffle; only ``vec_col`` crosses
+    the Python boundary. Output: input columns + ``pq_code`` (long),
+    plus — when ``err_col`` is given — the summed per-subspace
+    reconstruction error Σₛ min-distance, fused into the same batch
+    (the chosen centroid's distance IS the subspace minimum, so
+    distortion audits read a column instead of re-deriving distances
+    from the packed code). Ties break to the lowest cid (np.argmin
+    returns the first minimum), matching the old (negd, negcid)
+    struct-max exactly."""
     n_sub = len(books)
     # enforce the 4-bit packing invariant rather than assume it:
     # pq_codebooks accepts arbitrary k, but a codebook with >16 entries
@@ -359,39 +379,40 @@ def pq_assign(spark, emb, books, id_col: str = "vec_id",
             f"pq_assign packs into one signed long: n_sub={n_sub} > 15 "
             "subspaces would overflow the 64-bit code"
         )
+    import pandas as pd
+
     d = len(books[0][0])
-    rows = [
-        (s, i, [float(x) for x in c])
-        for s, book in enumerate(books) for i, c in enumerate(book)
-    ]
-    book_df = (
-        spark.createDataFrame(rows, "s INT, cid INT, cvec ARRAY<DOUBLE>")
-        .groupBy("s")
-        .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("book"))
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("s", "book"))).alias("pqbooks"))
-    )
+    B = [np.asarray(book, dtype=np.float64) for book in books]
 
-    def sub_code(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * d + 1, d)
-        scored = F.transform(
-            F.col("pqbooks")[s]["book"],
-            lambda c: F.struct(
-                (-_sq_l2(sub, c["cvec"])).alias("negd"),
-                (-c["cid"]).alias("negcid"),
-            ),
-        )
-        return (-F.array_max(scored)["negcid"]).cast("long")
+    @F.pandas_udf("pq_code long, recon_err double")
+    def _encode(vecs: pd.Series) -> pd.DataFrame:
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        n = X.shape[0]
+        code = np.zeros(n, dtype=np.int64)
+        err = np.zeros(n)
+        for s in range(n_sub):
+            k = B[s].shape[0]
+            D = np.empty((n, k))
+            for i in range(k):
+                # sequential-order accumulation: ((0+t0)+t1)+… — the
+                # exact IEEE op sequence of the SQL fold this replaced,
+                # so codes/errors are bit-identical across the rewrite
+                acc = np.zeros(n)
+                for j in range(d):
+                    t = X[:, s * d + j] - B[s][i, j]
+                    acc = acc + t * t
+                D[:, i] = acc
+            idx = np.argmin(D, axis=1)  # first minimum = lowest cid
+            code = code + (idx.astype(np.int64) << (4 * s))
+            err = err + D[np.arange(n), idx]
+        return pd.DataFrame({"pq_code": code, "recon_err": err})
 
-    code = None
-    for s in range(n_sub):
-        part = sub_code(s) * F.lit(1 << (4 * s))
-        code = part if code is None else code + part
-    return (
-        emb.crossJoin(F.broadcast(book_df))
-        .withColumn("pq_code", code)
-        .drop("pqbooks")
+    out = emb.withColumn("_pq", _encode(F.col(vec_col))).withColumn(
+        "pq_code", F.col("_pq.pq_code")
     )
+    if err_col is not None:
+        out = out.withColumn(err_col, F.col("_pq.recon_err"))
+    return out.drop("_pq")
 
 
 def pq_nibble(code: Column, s: int) -> Column:

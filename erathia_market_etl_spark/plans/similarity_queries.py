@@ -896,7 +896,6 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk,
         pq_assign,
         pq_codebooks,
-        pq_nibble,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -906,30 +905,26 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     S = _kmeans_sample(emb, 2048, 11, "vec_id", "embedding")
     books = pq_codebooks(emb, sample=S)
     n_sub, k = len(books), len(books[0])
-    d = len(books[0][0])
-    codes = pq_assign(spark, emb, books).select(
-        "vec_id", "embedding", "pq_code"
+    # per-row reconstruction error rides the encode projection itself
+    # (pq_assign err_col — the chosen centroid's distance IS the
+    # subspace minimum, so no re-derivation from the packed code), and
+    # the whole encode is codegen'd literal chains instead of the old
+    # interpreted transform/array_max HOFs (r16; values bit-identical —
+    # same IEEE op order)
+    codes = pq_assign(spark, emb, books, err_col="recon_err").select(
+        "vec_id", "embedding", "pq_code", "recon_err"
     )
 
     # sample-estimated variance bound (deterministic, driver-side)
     var_bound = float(((S - S.mean(axis=0)) ** 2).sum(axis=1).mean())
 
-    # per-row reconstruction MSE from the code nibbles — quantized to
-    # micro ints PER ROW before the sum (r12 VERDICT item 4): each
-    # row's error is a deterministic row-wise double, and the summed
-    # LONGs are exact/associative, so the aggregate is bit-stable
-    # under any partition layout (a double AVG would not be)
-    recon_err = None
-    for s in range(n_sub):
-        book_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in books[s]
-        ])
-        sub = F.slice(F.col("embedding"), s * d + 1, d)
-        part = _sq_l2(
-            sub, F.element_at(book_lit, pq_nibble(F.col("pq_code"), s) + 1)
-        )
-        recon_err = part if recon_err is None else recon_err + part
-    err_micro = F.floor(recon_err * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    # quantized to micro ints PER ROW before the sum (r12 VERDICT
+    # item 4): each row's error is a deterministic row-wise double, and
+    # the summed LONGs are exact/associative, so the aggregate is
+    # bit-stable under any partition layout (a double AVG would not be)
+    err_micro = F.floor(
+        F.col("recon_err") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
     stats = codes.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("pq_code").alias("n_codes"),
@@ -944,8 +939,7 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-rank reads the RAW embeddings table, not the codes frame: the
     # shortlist only needs (vec_id, embedding), and probing emb avoids
     # re-executing the encode subtree a third time in this one plan
-    # (the interpreted-HOF argmin is the query's dominant fixed cost;
-    # value-identical — pinned by the join key)
+    # (value-identical — pinned by the join key)
     rerank = (
         emb.join(short.select("vec_id"), "vec_id", "left_semi")
         .select("vec_id", _sq_l2(F.col("embedding"), qlit).alias("d2"))

@@ -387,13 +387,14 @@ def test_bm25_postings_explode_feeds_broadcast_join_once(spark):
 
 
 def test_pq_adc_scan_is_narrow_topk(spark):
-    """PQ ADC retrieval (r7): the scoring scan must be a pure
-    projection over the 8-byte code column feeding a
-    TakeOrderedAndProject — the streamed side carries NO hash exchange
-    (the one hashpartitioning in the plan belongs to the tiny codebook
-    build under its BroadcastExchange). If scoring ever grows a
-    shuffle, PQ's whole point — scans that never touch raw vectors —
-    is gone."""
+    """PQ ADC retrieval (r7, re-pinned r16): the scoring scan must be a
+    pure projection over the 8-byte code column feeding a
+    TakeOrderedAndProject, with NO exchange of any kind — since the r16
+    Arrow encode the codebooks ship inside the pandas_udf closure, so
+    the old codebook-build BroadcastExchange is gone too and the whole
+    encode+score plan is scan → ArrowEvalPython → project → top-k. If
+    scoring ever grows a shuffle, PQ's whole point — scans that never
+    touch raw vectors — is gone."""
     from pyspark.sql import functions as F
 
     from erathia_market_etl_spark.operators.similarity import (
@@ -408,11 +409,10 @@ def test_pq_adc_scan_is_narrow_topk(spark):
     codes = pq_assign(spark, emb, books)
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     plan = plan_of(pq_adc_topk(codes.filter(F.col("vec_id") != 0), q, books))
-    lines = plan.splitlines()
     assert "TakeOrderedAndProject" in plan, plan
-    i_bc = next(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
-    streamed = lines[:i_bc]
-    assert not any("Exchange hashpartitioning" in ln for ln in streamed), plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
 
 
 def test_emb_centroids_single_group_sized_exchange(spark):
