@@ -80,6 +80,35 @@ def vectorized_cosine_udf(query_vec: list[float]):
     return cos
 
 
+def pairwise_cosine_udf():
+    """Arrow scorer for (vec, vec) column pairs — the exact-verify step
+    of the banded-LSH / SemDeDup pair pipelines, and the per-candidate
+    scoring of the batch ANN path. Replays ``cosine()``'s HOF tree
+    bit-for-bit (sequential-order dot and squared-norm accumulations,
+    then dot / (√na²·√nb²)), vectorized over the batch — r16: the
+    interpreted folds were the dominant cost of sim_similar_pairs'
+    verify stage at ~31k candidate pairs."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def cos2(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        A = np.stack(ea.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(eb.to_numpy()).astype(np.float64, copy=False)
+        n, d = A.shape
+        dot = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+        for j in range(d):
+            dot = dot + A[:, j] * B[:, j]
+            na2 = na2 + A[:, j] * A[:, j]
+            nb2 = nb2 + B[:, j] * B[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = dot / (np.sqrt(na2) * np.sqrt(nb2))
+        return pd.Series(s)
+
+    return cos2
+
+
 N_SIGN_BANDS = 4        # banded sign-LSH: bands of hyperplanes ...
 SIGN_BITS_PER_BAND = 8  # ... each band over its own 8 dims (32 total)
 
@@ -149,12 +178,11 @@ def sign_band_near_pairs(emb, threshold: float = 0.9,
     )
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
-    # project the raw cosine ONCE, then filter/round on the column — a
-    # filter(cs)+select(round6(cs)) pair would re-evaluate the three
-    # interpreted HOF folds per surviving pair (6 aggregate() nodes in
-    # the plan vs 3; filter and project are separate operators, outside
-    # common-subexpression reach)
-    cs = cosine(F.col("ea"), F.col("eb"))
+    # exact verify through the Arrow pairwise scorer (r16): one
+    # vectorized numpy batch instead of three interpreted HOF folds per
+    # pair, bit-identical values (see pairwise_cosine_udf); projected
+    # ONCE then filtered/rounded on the column
+    cs = pairwise_cosine_udf()(F.col("ea"), F.col("eb"))
     return (
         cands.join(a, "vec_a")
         .join(b, "vec_b")
@@ -232,51 +260,106 @@ def _lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
     return C
 
 
+def _np_seq_sq_norms(X: np.ndarray) -> np.ndarray:
+    """Row-wise Σ xᵢ² accumulated dimension-by-dimension — the exact
+    IEEE op order of the SQL ``dot(a, a)`` left-fold, vectorized over
+    rows."""
+    acc = np.zeros(X.shape[0])
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    return acc
+
+
+def _np_cosine_scores(X: np.ndarray, C: np.ndarray,
+                      guard_zero: bool) -> np.ndarray:
+    """(n, k) cosine score matrix replaying the HOF expression tree's
+    exact IEEE op sequence per element: sequential-order dots and
+    norms, one division by (row_norm · centroid_norm). With
+    ``guard_zero`` a zero denominator scores -inf (the assign_cells
+    contract); without, it divides through like the raw _ivf_scored
+    expression did (fixture norms are all positive, so the branch is
+    never observable there)."""
+    n, d = X.shape
+    enorm = np.sqrt(_np_seq_sq_norms(X))
+    cnorm = np.sqrt(_np_seq_sq_norms(C))
+    S = np.empty((n, C.shape[0]))
+    for i in range(C.shape[0]):
+        acc = np.zeros(n)
+        for j in range(d):
+            acc = acc + X[:, j] * C[i, j]
+        denom = enorm * cnorm[i]
+        if guard_zero:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S[:, i] = np.where(denom > 0, acc / denom, -np.inf)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S[:, i] = acc / denom
+    return S
+
+
+def _np_stack(vecs) -> np.ndarray:
+    return np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+
+
+def cell_argmax_udf(cids: np.ndarray, C: np.ndarray,
+                    guard_zero: bool = False):
+    """Arrow scorer: nearest-centroid id per row (max cosine, ties to
+    the LOWEST cid — np.argmax returns the first maximum, matching the
+    old (score, negcid) struct-max exactly; NaN scores rank greatest,
+    Spark's double ordering). ``cids``/``C`` must be sorted by cid."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def cell(vecs: pd.Series) -> pd.Series:
+        S = _np_cosine_scores(_np_stack(vecs), C, guard_zero)
+        idx = np.where(np.isnan(S), np.inf, S).argmax(axis=1)
+        return pd.Series(cids[idx])
+
+    return cell
+
+
+def probe_order_udf(cids: np.ndarray, C: np.ndarray,
+                    guard_zero: bool = False):
+    """Arrow scorer: ALL centroid ids ordered by cosine desc, ties cid
+    asc (NaN first — Spark's descending double order) — the old
+    sort_array(scores, asc=False) semantics. Apply AFTER filtering to
+    the query rows; the full per-row sort is k·log k on a handful of
+    rows."""
+    import pandas as pd
+
+    @F.pandas_udf("array<long>")
+    def order(vecs: pd.Series) -> pd.Series:
+        S = _np_cosine_scores(_np_stack(vecs), C, guard_zero)
+        key = np.where(np.isnan(S), np.inf, S)
+        out = [
+            cids[np.lexsort((cids, -key[r]))].tolist()
+            for r in range(S.shape[0])
+        ]
+        return pd.Series(out)
+
+    return order
+
+
 def assign_cells(spark, emb, centroids: list[list[float]],
                  id_col: str = "vec_id", vec_col: str = "embedding"):
     """Shuffle-free IVF cell assignment against arbitrary centroids
-    (e.g. from kmeans_centroids): centroids fold into ONE broadcast row,
-    each vector scores them inside a transform() HOF, argmin via
-    array_max over (score, -cid) structs — the same narrow map-stage
-    shape as the registered sim_topk_ivf query
-    (plans/similarity_queries.py), generalized to centroid vectors that
-    are not rows of the table. Output: input columns + ``cid``.
+    (e.g. from kmeans_centroids): the centroid list ships in an Arrow
+    pandas_udf closure and each batch scores via vectorized numpy that
+    replays the old broadcast-row transform()/array_max HOF tree's
+    exact IEEE op order (r16 — the HOF formulation ran in the
+    expression interpreter; same narrow map-stage shape, same values).
+    Output: input columns + ``cid``.
 
     Zero norms are guarded: a zero-norm centroid (or embedding) scores
     -inf instead of NaN — unguarded, Spark sorts NaN GREATEST in struct
     ordering, so one zero-norm centroid would silently capture every
     row (r4 ADVICE). With all scores -inf (zero-norm embedding) the
     argmin tie-breaks deterministically to the lowest cid."""
-    import pandas as pd  # noqa: F401  (pyspark->pandas conversion dep)
-
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cid INT, cvec ARRAY<DOUBLE>",
-    ).select(
-        F.sort_array(
-            F.collect_list(
-                F.struct("cid", "cvec", norm(F.col("cvec")).alias("cnorm"))
-            )
-        ).alias("cents")
-    )
-    scores = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.when(
-                F.col("_enorm") * c["cnorm"] > 0,
-                dot(F.col(vec_col), c["cvec"]) / (F.col("_enorm") * c["cnorm"]),
-            )
-            .otherwise(F.lit(float("-inf")))
-            .alias("s"),
-            (-c["cid"]).alias("negcid"),
-        ),
-    )
-    return (
-        emb.crossJoin(F.broadcast(cent_df))
-        .withColumn("_enorm", norm(F.col(vec_col)))
-        .withColumn("cid", (-F.array_max(scores)["negcid"]).cast("int"))
-        .drop("cents", "_enorm")
-    )
+    cids = np.arange(len(centroids), dtype=np.int64)
+    C = np.asarray([[float(x) for x in c] for c in centroids],
+                   dtype=np.float64)
+    cell = cell_argmax_udf(cids, C, guard_zero=True)
+    return emb.withColumn("cid", cell(F.col(vec_col)).cast("int"))
 
 
 # ---------------------------------------------------------------------------

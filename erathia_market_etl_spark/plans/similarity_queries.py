@@ -181,43 +181,37 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _ivf_scored(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """(vec_id, label, embedding, scores) with scores[i] =
-    struct(s = cosine to centroid i, negcid = -cid) — the shared
-    shuffle-free IVF assignment stage of sim_topk_ivf/sim_topk_batch.
+def _ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Bounded, length-checked collect of the fixture-centroid rows
+    (``vec_id < n_centroids`` — the deterministic oracle-reproducible
+    centroid convention), sorted by cid: (cids int64[], C float64[][]).
+    The ``limit(n+1)`` bounds the transfer structurally and a result
+    larger than ``n_centroids`` rows fails loudly (duplicate ids) — the
+    collect_query_embedding contract pattern. r16: the centroids used
+    to fold into a broadcast row scored by interpreted transform/
+    array_max HOFs per vector; they are a driver-sized constant, so
+    they now ship in the Arrow scorers' closures
+    (operators/similarity.py: cell_argmax_udf / probe_order_udf, which
+    replay the HOF tree's exact IEEE op order in vectorized numpy)."""
+    import numpy as np
 
-    Centroid norms fold once into the broadcast row; each vector's own
-    norm folds once per row — so assignment costs n_centroids dots + 1
-    norm per row, not n_centroids full cosines (which would re-fold
-    both norms each time). s = dot/(ne*nc) is the same expression tree
-    as cosine(), so the floats (and the oracle hash) are unchanged.
-    ``n_centroids`` defaults to the fixed 16 the retrieval queries pin;
-    dedup_semantic_cells passes its ~sqrt(n) cell count (r9 knob)."""
-    from ..operators.similarity import dot, norm
-
-    cent = emb.filter(F.col("vec_id") < n_centroids).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cvec"),
-                    norm(F.col("embedding")).alias("cnorm"),
-                )
-            )
-        ).alias("cents")
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .limit(n_centroids + 1)
+        .collect()
     )
-    scores = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (dot(F.col("embedding"), c["cvec"]) / (F.col("enorm") * c["cnorm"])).alias("s"),
-            (-c["cid"]).alias("negcid"),
-        ),
-    )
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("enorm", norm(F.col("embedding")))
-        .select("vec_id", "label", "embedding", scores.alias("scores"))
-    )
+    if len(rows) > n_centroids:
+        raise ValueError(
+            f"centroid rows: expected at most {n_centroids} "
+            f"(ids < {n_centroids}), got {len(rows)} — duplicate ids?"
+        )
+    rows.sort(key=lambda r: r[0])
+    cids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.asarray([[float(x) for x in r[1]] for r in rows],
+                   dtype=np.float64)
+    return cids, C
 
 
 _IVF_CTE = f"""
@@ -267,21 +261,25 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid exactly like the oracle's ROW_NUMBER (score DESC, cid ASC).
     The old formulation exploded N x 16 rows through a shuffle +
     window sort just to pick that max; this one is a narrow map stage."""
+    from ..operators.similarity import cell_argmax_udf, probe_order_udf
+
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = _ivf_scored(emb)
-    best = F.array_max(F.col("scores"))
-    cells = scored.select(
-        "vec_id", "label", "embedding", (-best["negcid"]).alias("cid")
+    cids, C = _ivf_centroids(emb)
+    cell = cell_argmax_udf(cids, C)
+    cells = emb.select(
+        "vec_id", "label", "embedding",
+        cell(F.col("embedding")).alias("cid"),
     )
-    # sort_array desc on (s, negcid) = (score DESC, cid ASC); top n_probe
+    # probe order = score DESC, cid ASC (the old sort_array(desc)
+    # semantics); the full-sort scorer runs on the ONE query row only
+    order = probe_order_udf(cids, C)
     probes = (
-        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(
             F.explode(
-                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
-            ).alias("p")
+                F.slice(order(F.col("embedding")), 1, N_PROBE)
+            ).alias("cid")
         )
-        .select((-F.col("p")["negcid"]).alias("cid"))
     )
     q = _query_vector(spark, sf_dir)
     return (
@@ -336,7 +334,9 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by query id.
 
     Plan: one shared shuffle-free IVF assignment over the corpus
-    (_ivf_scored), the per-query probe lists join their query vectors
+    (the Arrow cell_argmax_udf scorer over the _ivf_centroids collect —
+    r16, ex the _ivf_scored HOF stage), the per-query probe lists join
+    their query vectors
     into ONE small (qid, cid, qvec) table that BROADCASTS onto the
     cell table (each vector lives in exactly one cell, so a corpus
     vector is scored once per probing query, never duplicated within
@@ -348,21 +348,24 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-limited partial rows. Scoring a much larger query set batches
     the same way — the broadcast table grows as #queries x nprobe and
     the window key cardinality grows with it."""
+    from ..operators.similarity import cell_argmax_udf, probe_order_udf
+
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = _ivf_scored(emb)
-    best = F.array_max(F.col("scores"))
-    cells = scored.select(
-        "vec_id", "label", "embedding", (-best["negcid"]).alias("cid")
+    cids, C = _ivf_centroids(emb)
+    cell = cell_argmax_udf(cids, C)
+    cells = emb.select(
+        "vec_id", "label", "embedding",
+        cell(F.col("embedding")).alias("cid"),
     )
+    order = probe_order_udf(cids, C)
     probes = (
-        scored.filter(F.col("vec_id") < N_BATCH_QUERIES)
+        emb.filter(F.col("vec_id") < N_BATCH_QUERIES)
         .select(
             F.col("vec_id").alias("qid"),
             F.explode(
-                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
-            ).alias("p"),
+                F.slice(order(F.col("embedding")), 1, N_PROBE)
+            ).alias("cid"),
         )
-        .select("qid", (-F.col("p")["negcid"]).alias("cid"))
     )
     qs = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -373,12 +376,16 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
+    from ..operators.similarity import pairwise_cosine_udf
+
     return (
         cells.join(F.broadcast(probe_q), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id", "label",
-            round6(cosine(F.col("embedding"), F.col("qvec"))).alias("cosine_sim"),
+            round6(
+                pairwise_cosine_udf()(F.col("embedding"), F.col("qvec"))
+            ).alias("cosine_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
@@ -1045,20 +1052,22 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
     )
 
+    from ..operators.similarity import cell_argmax_udf, probe_order_udf
+
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = _ivf_scored(emb)
-    best = F.array_max(F.col("scores"))
-    cells = scored.select(
-        "vec_id", "embedding", (-best["negcid"]).alias("cid")
+    cids, C = _ivf_centroids(emb)
+    cells = emb.select(
+        "vec_id", "embedding",
+        cell_argmax_udf(cids, C)(F.col("embedding")).alias("cid"),
     )
     probes = (
-        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(
             F.explode(
-                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
-            ).alias("p")
+                F.slice(probe_order_udf(cids, C)(F.col("embedding")),
+                        1, N_PROBE)
+            ).alias("cid")
         )
-        .select((-F.col("p")["negcid"]).alias("cid"))
     )
     cand = (
         cells.join(F.broadcast(probes), "cid")
@@ -1210,10 +1219,12 @@ def semantic_cell_pairs(
     recall effect on a crafted corpus."""
     from pyspark.sql import Window
 
-    scored = _ivf_scored(emb, n_centroids=n_cells)
-    best = F.array_max(F.col("scores"))
-    cells = scored.select(
-        "vec_id", "embedding", (-best["negcid"]).alias("cid")
+    from ..operators.similarity import cell_argmax_udf
+
+    cids, C = _ivf_centroids(emb, n_centroids=n_cells)
+    cells = emb.select(
+        "vec_id", "embedding",
+        cell_argmax_udf(cids, C)(F.col("embedding")).alias("cid"),
     )
     # pre-cap population as a K-CELLS-sized aggregate broadcast back
     # (an unordered count window above the row_number would block the
@@ -1236,13 +1247,21 @@ def semantic_cell_pairs(
         "cid", F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
     )
-    cs = cosine(F.col("emb_a"), F.col("emb_b"))
+    from ..operators.similarity import pairwise_cosine_udf
+
+    # Arrow pairwise verify (r16): one vectorized batch, bit-identical
+    # to the old interpreted cosine folds; projected once, then
+    # filtered/rounded on the column (a filter(cs)+select(round6(cs))
+    # pair would run the scorer twice)
+    cs = pairwise_cosine_udf()(F.col("emb_a"), F.col("emb_b"))
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cs >= SEM_DUP_THRESHOLD)
+        .withColumn("_cs", cs)
+        .filter(F.col("_cs") >= SEM_DUP_THRESHOLD)
         .select(
-            "cid", "vec_a", "vec_b", round6(cs).alias("cosine_sim"),
+            "cid", "vec_a", "vec_b",
+            round6(F.col("_cs")).alias("cosine_sim"),
             "cell_n", (F.col("cell_n") > cap).alias("truncated"),
         )
         .orderBy("vec_a", "vec_b")
@@ -1252,8 +1271,8 @@ def semantic_cell_pairs(
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-dup pairs via k-means cell bucketing —
     assign every embedding to its nearest coarse centroid (the
-    shuffle-free `_ivf_scored` broadcast-row stage shared with the IVF
-    retrieval path), cap each cell at SEM_CELL_CAP (128) members
+    shuffle-free Arrow argmax scorer shared with the IVF retrieval
+    path — r16, ex the `_ivf_scored` broadcast-row HOF stage), cap each cell at SEM_CELL_CAP (128) members
     deterministically, then emit within-cell pairs with exact cosine
     >= SEM_DUP_THRESHOLD (0.4) plus per-cell cap-slack accounting
     (cell_n, truncated). Complements the banded sign-LSH pass

@@ -153,16 +153,17 @@ def test_sim_topk_ivf_all_broadcast_no_data_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    # r9: _ivf_scored gained an n_centroids parameter (SemDeDup's
-    # sqrt(n) knob); the registered retrieval queries must keep the
-    # attested 16-centroid filter byte-identical (the _CHANGED-skip
-    # rationale: parameterization with the old constant as default)
-    assert re.search(r"vec_id#\d+L? < 16\)", plan), plan
-    # every Exchange is the tiny SinglePartition centroid fold, never a
-    # corpus-sized hash exchange
+    # r16: the centroid fold (a SinglePartition collect_list feeding an
+    # interpreted transform/array_max HOF per corpus row) became a
+    # bounded driver collect whose Arrow argmax scorer ships the
+    # centroids in its closure — cell assignment shows up as
+    # ArrowEvalPython and the plan carries NO exchange at all besides
+    # the broadcast of the tiny probe list; the corpus still never
+    # rides a hash exchange
+    assert "ArrowEvalPython" in plan, plan
     for line in plan.splitlines():
         if "Exchange" in line and "BroadcastExchange" not in line:
-            assert "SinglePartition" in line, plan
+            raise AssertionError(plan)
 
 
 def test_whole_stage_codegen_covers_relational_path(spark):

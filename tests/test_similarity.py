@@ -160,8 +160,12 @@ def test_kmeans_recovers_separated_clusters(spark, clustered_emb):
 
 
 def test_assign_cells_plan_is_narrow(spark, clustered_emb):
-    """Assignment must stay a broadcast + map stage — no Exchange from
-    the assignment itself (the whole point vs an N x K explode+window)."""
+    """Assignment must stay a pure map stage — no Exchange from the
+    assignment itself (the whole point vs an N x K explode+window).
+    Re-pinned r16: the centroids now ship in the Arrow scorer's closure
+    (cell_argmax_udf), so even the old broadcast-row
+    BroadcastNestedLoopJoin is gone — the plan is scan →
+    ArrowEvalPython → project, with no join or exchange of any kind."""
     from erathia_market_etl_spark.operators.similarity import (
         assign_cells,
         kmeans_centroids,
@@ -170,9 +174,9 @@ def test_assign_cells_plan_is_narrow(spark, clustered_emb):
     cents = kmeans_centroids(clustered_emb, k=3, iters=2)
     plan = assign_cells(spark, clustered_emb, cents)._jdf.queryExecution() \
         .executedPlan().toString()
-    # collect_list of 3 centroids is one tiny agg; the vector side must
-    # join it via BroadcastNestedLoopJoin, never a shuffle Exchange
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_kmeans_empty_input_raises(spark):
@@ -399,7 +403,7 @@ def test_ivfpq_contract_and_composition(spark):
     from erathia_market_etl_spark.plans.similarity_queries import (
         N_PROBE,
         QUERY_VEC_ID,
-        _ivf_scored,
+        _ivf_centroids,
         sim_ivfpq_topk,
     )
     from erathia_market_etl_spark.sources.parquet_io import load_table
@@ -414,18 +418,24 @@ def test_ivfpq_contract_and_composition(spark):
     assert r["n_probe"] == N_PROBE and r["n_sub"] == 8 and r["k"] == 16, r
 
     # independent recount of the probed-cell candidate population
+    from erathia_market_etl_spark.operators.similarity import (
+        cell_argmax_udf,
+        probe_order_udf,
+    )
+
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    scored = _ivf_scored(emb)
-    best = F.array_max(F.col("scores"))
-    cells = scored.select("vec_id", (-best["negcid"]).alias("cid"))
+    cids, C = _ivf_centroids(emb)
+    cells = emb.select(
+        "vec_id", cell_argmax_udf(cids, C)(F.col("embedding")).alias("cid")
+    )
     probes = (
-        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(
             F.explode(
-                F.slice(F.sort_array(F.col("scores"), asc=False), 1, N_PROBE)
-            ).alias("p")
+                F.slice(probe_order_udf(cids, C)(F.col("embedding")),
+                        1, N_PROBE)
+            ).alias("cid")
         )
-        .select((-F.col("p")["negcid"]).alias("cid"))
     )
     n = (
         cells.join(F.broadcast(probes), "cid")
@@ -465,7 +475,7 @@ def test_semantic_cells_planted_dup_found_cross_cell_missed(spark, tmp_path):
     rows += [(20, near), (21, near2)]                   # same-cell dup pair
     rows += [(30, mix(5, 6, 0.51, 0.49)), (31, mix(5, 6, 0.49, 0.51))]
     df = spark.createDataFrame(rows, _EMB_SCHEMA).withColumn(
-        "label", F.lit(0)  # _ivf_scored's fixture schema carries label
+        "label", F.lit(0)  # the fixture embeddings schema carries label
     )
     d = str(tmp_path)
     df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
