@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 AUTO_ESCALATE_AFTER = 6
 
 
-def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _symmetrize(edges: DataFrame, src: str, dst: str,
+                num_partitions: int | None = None) -> DataFrame:
     """Both-direction edge table (a, b), deduped, PERSISTED
     pre-partitioned on the join key b.
 
@@ -79,13 +80,15 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
         F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
         F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
     )
-    return (
-        edges.select(F.explode(both).alias("e"))
-        .select("e.a", "e.b")
-        .repartition("b")
-        .dropDuplicates()
-        .persist()
-    )
+    e = edges.select(F.explode(both).alias("e")).select("e.a", "e.b")
+    # num_partitions: callers size the ONE edge exchange from their
+    # source scan (sources/parquet_io.adaptive_partitions) instead of
+    # the cluster-constant spark.sql.shuffle.partitions — every
+    # propagation round re-reads this cached layout, so a tiny graph
+    # frozen at 32 cached partitions pays a full task wave per round
+    # for nothing (r16, guide §2.2 scale-adaptive partitioning)
+    e = e.repartition(num_partitions, "b") if num_partitions else e.repartition("b")
+    return e.dropDuplicates().persist()
 
 
 def _minlabel_rounds(
@@ -105,21 +108,29 @@ def _minlabel_rounds(
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
         .select(F.col("a").alias("v"), "lbl")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds, converged = 1, False
     for _ in range(max_iter - 1):
         rounds += 1
+        # shuffle-hash, build side = the node-sized labels table: sym is
+        # persisted pre-partitioned on b, so the join must neither
+        # re-exchange nor (as the default sort-merge plan would, labels
+        # being an unknown-stat checkpointed RDD) re-SORT the edge table
+        # every round (r16, guide §3.1).
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["v"])
+            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["v"])
             .select(F.col("a").alias("v"), "lbl")
         )
         # The convergence flag rides the SAME aggregation that computes
         # the new labels (own=true tags each vertex's previous label, so
         # min(lbl) < min(lbl where own) == "this vertex improved") —
-        # one shuffle and one checkpointed action per round, instead of
-        # a separate join-against-old-labels action that re-shuffled
-        # both sides just to count changes.
+        # one shuffle per round, instead of a separate
+        # join-against-old-labels action that re-shuffled both sides
+        # just to count changes. Checkpoints are LAZY (r16): the
+        # convergence probe below is the round's one driver action and
+        # its job doubles as the checkpoint materialization — the old
+        # eager checkpoint + probe pair cost two jobs per round.
         merged = (
             labels.select("v", "lbl", F.lit(True).alias("own"))
             .unionByName(nbr_min.select("v", "lbl", F.lit(False).alias("own")))
@@ -129,19 +140,24 @@ def _minlabel_rounds(
                 (F.min("lbl") < F.min(F.when(F.col("own"), F.col("lbl"))))
                 .alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = merged.agg(F.max("chg")).first()[0]
         labels = merged.select("v", "lbl")
         if not changed:
             converged = True
             break
+    if rounds == 1:
+        # a max_iter=1 caller never ran a probe job, so the lazy
+        # round-1 checkpoint is still unmaterialized — force it while
+        # the edge cache is alive (callers unpersist sym on return)
+        labels.count()
     return labels, rounds, converged
 
 
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 50,
-    stats: dict | None = None,
+    stats: dict | None = None, num_partitions: int | None = None,
 ) -> DataFrame:
     """Component id (= minimum vertex id) for every vertex that appears
     in ``edges``. Returns (v, component_id). Deterministic: min-labels
@@ -149,7 +165,7 @@ def connected_components(
     consistent, but unconverged) partial labels — callers that must not
     tolerate that should use ``connected_components_auto`` or the star
     kernel, which fail loudly instead."""
-    sym = _symmetrize(edges, src, dst)
+    sym = _symmetrize(edges, src, dst, num_partitions)
     try:
         sym.count()  # eager: compute the (possibly expensive) edge pipeline once
         labels, rounds, _ = _minlabel_rounds(sym, max_iter)
@@ -366,6 +382,7 @@ def connected_components_star(
 def connected_components_auto(
     edges: DataFrame, src: str, dst: str, max_iter: int = 30,
     stats: dict | None = None, escalate_after: int = AUTO_ESCALATE_AFTER,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components with kernel escalation (r6 VERDICT item 1):
     same (v, component_id = component minimum) contract and determinism
@@ -398,9 +415,11 @@ def connected_components_auto(
     ``_star_rounds``) — the registered pipelines never see silent
     partial labels. stats (optional): rounds (total across phases),
     kernel ("minlabel" | "minlabel+star"), star_rounds."""
-    sym = _symmetrize(edges, src, dst)
+    sym = _symmetrize(edges, src, dst, num_partitions)
     try:
-        sym.count()  # eager: compute the (possibly expensive) edge pipeline once
+        # eager: compute the edge pipeline once and materialize the
+        # cache before the rounds are planned (see connected_components)
+        sym.count()
         labels, rounds, converged = _minlabel_rounds(sym, escalate_after)
         if converged:
             kernel, star_rounds = "minlabel", 0
@@ -474,6 +493,7 @@ def pagerank_fixed_point(
     max_iters: int = 50,
     stats: dict | None = None,
     dedup: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a DIRECTED edge table, damping
     0.85. Returns (v, rank, deg) for every node that has at least one
@@ -551,9 +571,14 @@ def pagerank_fixed_point(
     # TWICE (deg subtree + ewd subtree, separate exchanges) and every
     # per-round join planned as SortMergeJoin against unknown-stat
     # checkpointed rank RDDs — sorting the edge table each round.
-    sym = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).repartition("src")
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # num_partitions: sized from the caller's source scan
+    # (adaptive_partitions) — see _symmetrize's rationale
+    sym = (
+        sym.repartition(num_partitions, "src")
+        if num_partitions
+        else sym.repartition("src")
+    )
     if dedup:
         # edge-set callers fold their distinct into the kernel's
         # exchange: hash(src) co-locates every (src, dst) duplicate, so
@@ -571,6 +596,11 @@ def pagerank_fixed_point(
     rounds = 0
     residual: int | None = None
     teleport = (15 * PAGERANK_SCALE) // 100
+    # materialize both caches eagerly so the unrolled plan's concurrent
+    # stages never race to compute them twice; deg's count rides the
+    # already-cached sym
+    sym.count()
+    deg.count()
 
     def one_round(ranks: DataFrame) -> DataFrame:
         # contrib is a PROJECTION (deg rides inside the rank frame), so

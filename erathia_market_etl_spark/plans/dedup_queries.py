@@ -29,7 +29,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import round6
 from ..operators.text import tokens
-from ..sources.parquet_io import fan_out, load_table
+from ..sources.parquet_io import adaptive_partitions, fan_out, load_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -116,8 +116,10 @@ def shared_pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     comp = _SHARED_COMPONENTS.get(key)
     if comp is None:
+        docs = load_table(spark, sf_dir, "documents")
         comp = connected_components_auto(
-            shared_minhash_pairs(spark, sf_dir), "doc_a", "doc_b"
+            shared_minhash_pairs(spark, sf_dir), "doc_a", "doc_b",
+            num_partitions=adaptive_partitions(docs),
         )
         _SHARED_COMPONENTS[key] = comp
     return comp

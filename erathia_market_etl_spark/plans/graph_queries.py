@@ -130,8 +130,21 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel's hash(src) exchange (explode of distinct pairs == distinct
     # of exploded pairs — customer/supplier ids live in disjoint
     # even/odd key spaces, so no cross-pair collision is possible), one
-    # full-stream exchange instead of two (r16 optimization).
-    ranks = pagerank_fixed_point(edges, iters=PAGERANK_ITERS, dedup=True)
+    # full-stream exchange instead of two; the exchange width derives
+    # from the lineitem scan size instead of the cluster constant
+    # (r16 optimization, guide §2.2). ~1 MB of source parquet per
+    # partition: the symmetrized edge stream is roughly 10x the
+    # compressed scan bytes (decode + join + both-directions explode),
+    # and an 8-16-partition layout measured fastest on the 1.2M-edge
+    # sf0.1 graph (1 partition: 3.9 s, 8: 2.2 s, 32: 2.7 s); at decade+
+    # scales the estimate exceeds the clamp and the configured shuffle
+    # width wins.
+    from ..sources.parquet_io import adaptive_partitions
+
+    ranks = pagerank_fixed_point(
+        edges, iters=PAGERANK_ITERS, dedup=True,
+        num_partitions=adaptive_partitions(li, bytes_per_partition=1 << 20),
+    )
     return (
         ranks.select(
             F.when(F.col("v") % 2 == 0, F.lit("customer"))

@@ -37,6 +37,16 @@ def get_spark(cfg: EngineConfig | None = None, **extra_conf: str) -> SparkSessio
         # scans fan out across local[32] while large files still split at
         # maxPartitionBytes — at cluster scale this conf is a no-op.
         .config("spark.sql.files.openCostInBytes", "262144")
+        # NOTE (r16): spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # was evaluated for AQE partition sizing inside cached plans and
+        # REJECTED: with it on, a persisted repartition(key) frame
+        # reports a partitioning consumers don't recognize (measured:
+        # the star kernel's prepass grew 3 ENSURE_REQUIREMENTS
+        # exchanges over the cached canon table, even after
+        # materialization) — it trades one fixed task-wave constant for
+        # re-exchanging every persisted pre-partitioned table. The
+        # iterative kernels size their one exchange from the source
+        # scan stats instead (sources/parquet_io.adaptive_partitions).
         # ANSI stays ON (the Spark 4 default, pinned so a future default
         # flip or a legacy-configured host session can't silently change
         # arithmetic semantics): integer overflow/invalid-cast RAISE

@@ -63,6 +63,26 @@ def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> No
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def adaptive_partitions(
+    df: DataFrame, bytes_per_partition: int = 16 * 1024 * 1024
+) -> int:
+    """Shuffle-partition count derived from ``df``'s optimized-plan size
+    estimate (exact for a parquet scan — file bytes), clamped to
+    [1, spark.sql.shuffle.partitions]. The scale-adaptive sizing the
+    optimization guide §2.2 asks for: iterative kernels that persist a
+    keyed intermediate (symmetrized edge tables, edge+degree frames)
+    size their ONE exchange from the source data instead of inheriting
+    the cluster-constant spark.sql.shuffle.partitions — a 600 KB
+    fixture graph caches as one partition instead of 32 task-waves per
+    propagation round, while at cluster scale the estimate exceeds the
+    clamp and the configured shuffle width wins. Pass the BASE scan
+    frame (its stats are exact); joins/aggregates only OVER-estimate,
+    which degrades safely to the clamp."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, (size + bytes_per_partition - 1) // bytes_per_partition))
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a DataFrame whose scan produced fewer
     splits than the cluster has cores — the canonical fix for a
