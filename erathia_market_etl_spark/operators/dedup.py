@@ -213,21 +213,87 @@ def pair_array(docs: Column) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """doc_id -> 48-bit SimHash fingerprint. One explode (doc, token),
-    one codegen'd hash aggregate of 48 conditional sums, one projection.
-    The shuffle carries one partial-agg row per (doc, partition); at
-    100 TB this is a single map-heavy stage with a tiny exchange."""
+    """doc_id -> 48-bit SimHash fingerprint, as ONE Arrow mapInPandas
+    pass (r16): tokenize, md5-prefix hash, and the per-bit ±1 sums all
+    happen in vectorized numpy inside the batch — no token explode, no
+    48-column aggregate, no shuffle at all (each document's fingerprint
+    is a pure per-row function). Integer-exact twin of the old
+    explode + codegen-aggregate formulation (and of the DuckDB oracle):
+    hash = first 6 md5 bytes of 'sh|'||token big-endian, bit j of the
+    fingerprint set iff 2·ones_j − n_tokens > 0 ⟺ Σ(2·bit_j − 1) > 0.
+    NULL text yields no row (the old explode dropped those docs);
+    empty text hashes its one empty token, as split(' ') always yields
+    a non-empty array. The pre-r16 JVM helpers (token_hash48,
+    simhash_bit_sums, simhash_fingerprint) remain the attested SQL
+    formulation and are pinned equal in tests/test_multimodal.py-style
+    parity via the oracle twins."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from ..sources.parquet_io import fan_out
 
-    toks = (
-        fan_out(df)
-        .select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
-        .select("doc", token_hash48(F.col("t")).alias("h"))
-    )
+    shifts = np.arange(N_SIMHASH_BITS, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_ids: list = []
+            fps: list[int] = []
+            # chunk by documents so the transient (tokens x 48) bit
+            # matrix stays ~tens of MB regardless of Arrow batch size
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text_col].to_numpy()
+            start = 0
+            while start < len(ids):
+                tok_lists, chunk_ids, tok_total = [], [], 0
+                i = start
+                while i < len(ids) and tok_total < 200_000:
+                    t = texts[i]
+                    if t is not None:
+                        toks = t.split(" ")
+                        tok_lists.append(toks)
+                        chunk_ids.append(ids[i])
+                        tok_total += len(toks)
+                    i += 1
+                start = i
+                if not tok_lists:
+                    continue
+                counts = np.fromiter(
+                    (len(t) for t in tok_lists), dtype=np.int64,
+                    count=len(tok_lists),
+                )
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(b"sh|" + tok.encode("utf-8")).digest()[:6],
+                            "big",
+                        )
+                        for toks in tok_lists
+                        for tok in toks
+                    ),
+                    dtype=np.int64,
+                    count=int(counts.sum()),
+                )
+                bits = ((hs[:, None] >> shifts) & 1).astype(np.int32)
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                ones = np.add.reduceat(bits, offsets, axis=0)
+                pos = (2 * ones - counts[:, None]) > 0
+                chunk_fps = (pos.astype(np.int64) << shifts).sum(axis=1)
+                out_ids.extend(chunk_ids)
+                fps.extend(int(x) for x in chunk_fps)
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(out_ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
     return (
-        toks.groupBy("doc")
-        .agg(*simhash_bit_sums(F.col("h")))
-        .select("doc", simhash_fingerprint().alias("fingerprint"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .mapInPandas(fn, "doc bigint, fingerprint bigint")
     )
 
 
