@@ -862,20 +862,44 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction: mapInPandas over (media_id,
     kind, content) — metadata and any other columns are pruned before
     the Python boundary, so the Arrow transfer carries exactly the bytes
-    being decoded. Output is a fixed-width feature vector per row."""
+    being decoded. Output is a fixed-width feature vector per row.
+
+    The whole batch histograms in ONE vectorized pass (r16, guide
+    §4.2): all payloads concatenate into one uint8 array, the bin of
+    every byte is ``byte >> 5`` (identical to np.histogram with 8
+    equal bins over [0, 256) — bin edges are exact multiples of 32),
+    and one bincount over ``row_index * 8 + bin`` yields every row's
+    histogram — the old per-row np.histogram call paid ~50 µs of numpy
+    dispatch per payload. Counts are identical integers and the
+    normalization is the same single IEEE division, so features are
+    bit-identical."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # NULL payloads decode like empty ones (zeros histogram,
             # n_bytes 0) instead of raising len(None) deep in the worker
             bufs = [b if b is not None else b"" for b in pdf["content"]]
-            feats = [_fake_decode_features(b).tolist() for b in bufs]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                               count=len(bufs))
+            if lens.sum():
+                data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                row = np.repeat(np.arange(len(bufs)), lens)
+                counts = np.bincount(
+                    row * N_FEATURES + (data >> 5),
+                    minlength=len(bufs) * N_FEATURES,
+                ).reshape(len(bufs), N_FEATURES)
+            else:
+                counts = np.zeros((len(bufs), N_FEATURES), dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                feats = np.where(
+                    lens[:, None] > 0, counts / lens[:, None], 0.0
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pd.Series([len(b) for b in bufs], dtype="int64"),
-                    "features": feats,
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "features": list(feats),
                 }
             )
 
