@@ -104,11 +104,15 @@ def _minlabel_rounds(
     # + checkpoint at any scale). Symmetric edges guarantee round 1
     # changes some label (every edge's larger endpoint improves), so the
     # convergence probe starts at round 2.
+    # Round 1 checkpoints EAGERLY and its job doubles as the edge
+    # cache's materialization (callers no longer run a separate count
+    # job — r16): one job computes the possibly-expensive edge
+    # pipeline, fills sym's cache, and aggregates the first labels.
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
         .select(F.col("a").alias("v"), "lbl")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     rounds, converged = 1, False
     for _ in range(max_iter - 1):
@@ -147,11 +151,6 @@ def _minlabel_rounds(
         if not changed:
             converged = True
             break
-    if rounds == 1:
-        # a max_iter=1 caller never ran a probe job, so the lazy
-        # round-1 checkpoint is still unmaterialized — force it while
-        # the edge cache is alive (callers unpersist sym on return)
-        labels.count()
     return labels, rounds, converged
 
 
@@ -167,7 +166,8 @@ def connected_components(
     kernel, which fail loudly instead."""
     sym = _symmetrize(edges, src, dst, num_partitions)
     try:
-        sym.count()  # eager: compute the (possibly expensive) edge pipeline once
+        # _minlabel_rounds' eager round-1 job computes the (possibly
+        # expensive) edge pipeline once and fills the cache
         labels, rounds, _ = _minlabel_rounds(sym, max_iter)
     finally:
         # labels is checkpointed — safe to drop the edge cache, on the
@@ -417,9 +417,8 @@ def connected_components_auto(
     kernel ("minlabel" | "minlabel+star"), star_rounds."""
     sym = _symmetrize(edges, src, dst, num_partitions)
     try:
-        # eager: compute the edge pipeline once and materialize the
-        # cache before the rounds are planned (see connected_components)
-        sym.count()
+        # _minlabel_rounds' eager round-1 job computes the edge
+        # pipeline once and fills the cache (see connected_components)
         labels, rounds, converged = _minlabel_rounds(sym, escalate_after)
         if converged:
             kernel, star_rounds = "minlabel", 0
