@@ -88,6 +88,15 @@ CONSTRUCTION_TIMED = {
     "sim_similar_pairs",
     "pipeline_training_funnel",
     "sim_pq_quality",
+    # r17 (VERDICT r16 item 7): the r16 IVF rewrite moved the centroid
+    # collect from execution (a SinglePartition collect_list exchange in
+    # every run) into query construction (one bounded 16-row collect).
+    # Timing these exec-only would leave that real cost outside the
+    # window; construction-inclusive keeps the vs-baseline ratios honest
+    # (expect a small one-time uptick on these two rows — the frozen
+    # baseline timed them exec-only, see BASELINE.md).
+    "sim_topk_ivf",
+    "sim_topk_batch",
 }
 
 # Tier 2 (r11, VERDICT r10 item 4): the 25-query headline list above
@@ -203,7 +212,22 @@ PROBE_REF_SEC = 0.130
 # before ever touching the raw per-query TIMINGS — every timed query
 # incl. q1 stays in the parsed driver artifact.
 STDOUT_BUDGET = 1900  # leave margin for stray progress-bar bytes
-_DROPPABLE = ("vs_baseline", "tier2_vs_baseline")
+# Dropped cumulatively, least-valuable first, until the line fits. r16's
+# round failed on exactly this: the band keys added in the interrupted
+# build round (tier2_vs_band/tier2_over_band/tier2_band_context) grew
+# the compact line to 1903-1904B and only the two ratio maps were
+# droppable, so emit_result raised and both driver runs exited rc=1
+# (VERDICT r16 item 1). Every key here is re-derivable from
+# BENCH_FULL.json; the headline `queries` map is NEVER droppable — the
+# driver's per-query comparison reads it from the stdout line.
+_DROPPABLE = (
+    "vs_baseline",          # re-derivable: queries x BASELINE_BENCH.json
+    "tier2_vs_baseline",    # re-derivable: queries_tier2 x BASELINE_TIER2
+    "tier2_vs_band",        # re-derivable: queries_tier2 x bands
+    "tier2_band_context",   # re-derivable: calibration + tier2_over_band
+    "tier2_over_band",      # re-derivable: tier2_vs_band classes
+    "queries_tier2",        # raw tier-2 timings: drop only as last resort
+)
 
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

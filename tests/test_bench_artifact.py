@@ -18,8 +18,14 @@ import bench
 
 
 def _worst_case_payload() -> dict:
-    # 4-char-integer-part timings (9999.999) are far beyond any real
-    # run; ratios likewise maximal width
+    # EVERY key bench.main() can emit, over the LIVE headline/tier-2
+    # sets, with worst-case number widths (4-char integer parts are far
+    # beyond any real run). r16's version of this test omitted the band
+    # keys (tier2_vs_band/tier2_over_band/tier2_band_context) that the
+    # real run emits, so it passed at 1897B while the real line was
+    # 1903B and the driver runs crashed (VERDICT r16 item 1). Any new
+    # key added to main()'s payload MUST be added here too — that is
+    # what makes this test the contract.
     q = {name: 9999.999 for name in bench.HEADLINE}
     t2 = {name: 9999.999 for name in bench.TIER2}
     return {
@@ -38,9 +44,57 @@ def _worst_case_payload() -> dict:
         "tier2_total": 9999.999,
         "tier2_vs_baseline": {name: 99.999 for name in bench.TIER2},
         "tier2_vs_baseline_total": 99.999,
+        "tier2_vs_band": {
+            name: {"vs_median": 99.999, "class": "under_floor"}
+            for name in bench.TIER2
+        },
+        "tier2_over_band": sorted(bench.TIER2),
+        "tier2_band_context": {
+            "host_factor": 99.999,
+            "quiet_probe": False,
+            "escalate": False,
+        },
         "vs_baseline": {name: 99.999 for name in bench.HEADLINE},
         "vs_baseline_total": 99.999,
     }
+
+
+def test_worst_case_payload_covers_every_emitted_key():
+    """Parse bench.main's source for the literal payload keys it writes
+    (out = {...} plus out[...] = assignments) and require each to be in
+    the worst-case payload — a new emit key that is not also added to
+    _worst_case_payload() would make the budget test under-cover again
+    exactly as in r16."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(bench.main))
+    emitted: set[str] = set()
+    for node in ast.walk(tree):
+        # out = { "k": ... }  (the initial payload literal)
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Dict):
+            targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            if "out" in targets:
+                emitted.update(
+                    k.value for k in node.value.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str)
+                )
+        # out["k"] = ...  (conditional additions)
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if (isinstance(t, ast.Subscript)
+                        and isinstance(t.value, ast.Name)
+                        and t.value.id == "out"
+                        and isinstance(t.slice, ast.Constant)
+                        and isinstance(t.slice.value, str)):
+                    emitted.add(t.slice.value)
+    assert emitted, "failed to find bench.main's payload keys"
+    missing = emitted - set(_worst_case_payload())
+    assert not missing, (
+        f"bench.main emits keys not covered by the worst-case budget "
+        f"test: {sorted(missing)} — add them to _worst_case_payload() "
+        f"(and to _DROPPABLE if the line no longer fits)"
+    )
 
 
 def test_stdout_line_fits_driver_tail_window(tmp_path):
