@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for the bench query set into plans/r16/.
+"""Dump .explain('formatted') for the bench query set into plans/<round>/.
 
-Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix  e.g. "before" / "after" — files land at plans/r16/<name>_<suffix>.txt
+Usage: python tools/dump_plans.py [--dir rNN] <suffix> [query ...]
+  --dir   output round directory under plans/ (default r16)
+  suffix  e.g. "before" / "after" — files land at plans/<dir>/<name>_<suffix>.txt
   query   optional subset; default = HEADLINE + TIER2 from bench.py
 
 Construction-eager queries (funnel, components, pagerank) execute jobs
@@ -21,15 +22,22 @@ from erathia_market_etl_spark.config import EngineConfig
 from erathia_market_etl_spark.plans import all_queries
 from erathia_market_etl_spark.session import get_spark
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r16")
+_PLANS_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans"
+)
 
 
 def main() -> None:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    names = sys.argv[2:] or (HEADLINE + TIER2)
+    argv = list(sys.argv[1:])
+    round_dir = "r16"
+    if argv and argv[0] == "--dir":
+        round_dir = argv[1]
+        argv = argv[2:]
+    out_dir = os.path.join(_PLANS_ROOT, round_dir)
+    suffix = argv[0] if argv else "before"
+    names = argv[1:] or (HEADLINE + TIER2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    os.makedirs(OUT_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(EngineConfig(app_name="erathia-plan-dump"))
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -45,7 +53,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
         print(f"WROTE {path} ({len(plan)} bytes)")
