@@ -200,7 +200,12 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def pair_array(docs: Column) -> Column:
     """All (a, b) pairs with a < b from a SORTED id array — nested
-    index-aware transform + slice, evaluated entirely in codegen."""
+    index-aware transform + slice. NOTE (r17): HOF lambdas are
+    CodegenFallback, so this runs interpreted and allocates a struct
+    per pair; the hot bucket tails now use expand_id_pairs /
+    expand_fp_pairs (one vectorized numpy triu per bucket) instead.
+    Kept as the attested SQL formulation and the parity baseline
+    (tests/test_pair_expansion.py pins kernel == pair_array)."""
     return F.flatten(
         F.transform(
             docs,
@@ -209,6 +214,89 @@ def pair_array(docs: Column) -> Column:
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
+    )
+
+
+def expand_id_pairs(buckets: DataFrame, docs_col: str = "docs",
+                    a_name: str = "doc_a", b_name: str = "doc_b") -> DataFrame:
+    """In-bucket pair expansion as ONE Arrow pass (r17, guide §4.2 /
+    VERDICT r16 item 4): input rows carry a bounded id array per bucket
+    (already capped by cap_bucket_members); output is the exploded
+    (a, b), a < b pair stream. The replaced shape —
+    explode(pair_array(docs)) — built every pair as an interpreted
+    nested-transform struct (HOF lambdas are CodegenFallback); here
+    each bucket is one np.sort + np.triu_indices gather and each Arrow
+    batch concatenates into two int64 columns. Set-identical to
+    pair_array over sort_array'd input: ids are unique within a bucket,
+    so sorted i < j  ⟺  a < b. Pass ONLY the array column (opaque
+    functions defeat column pruning — guide §4.1)."""
+    import numpy as np
+
+    id_type = buckets.schema[docs_col].dataType.elementType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for arr in pdf[docs_col].to_numpy():
+                ids = np.sort(np.asarray(arr, dtype=np.int64))
+                ia, ib = np.triu_indices(len(ids), 1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            yield pd.DataFrame({a_name: a, b_name: b})
+
+    return buckets.select(docs_col).mapInPandas(
+        gen, f"{a_name} {id_type}, {b_name} {id_type}"
+    )
+
+
+def expand_fp_pairs(buckets: DataFrame, max_hamming: int,
+                    docs_col: str = "docs") -> DataFrame:
+    """SimHash variant of expand_id_pairs: buckets carry
+    array<struct<doc, fingerprint>>; output is the exploded
+    (doc_a, doc_b, hamming) stream pre-filtered to
+    hamming <= max_hamming. The xor runs on the whole pair batch;
+    popcount is np.unpackbits over the xor bytes (endianness-neutral —
+    same integer as Spark's bit_count(a ^ b) for the non-negative
+    48-bit fingerprints). Same result set as the replaced
+    explode(pair_array(struct)) + bit_count filter; per-pair struct
+    allocation and the interpreted transform walk are gone."""
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_h = [], [], []
+            for members in pdf[docs_col].to_numpy():
+                n = len(members)
+                docs = np.fromiter(
+                    (m["doc"] for m in members), dtype=np.int64, count=n
+                )
+                fps = np.fromiter(
+                    (m["fingerprint"] for m in members), dtype=np.int64,
+                    count=n,
+                )
+                order = np.argsort(docs)  # ids unique within a bucket
+                docs, fps = docs[order], fps[order]
+                ia, ib = np.triu_indices(n, 1)
+                x = fps[ia] ^ fps[ib]
+                h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+                    .sum(axis=1).astype(np.int32)
+                keep = h <= max_hamming
+                out_a.append(docs[ia][keep])
+                out_b.append(docs[ib][keep])
+                out_h.append(h[keep])
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            h = np.concatenate(out_h) if out_h else np.empty(0, np.int32)
+            yield pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+
+    return buckets.select(docs_col).mapInPandas(
+        gen, "doc_a bigint, doc_b bigint, hamming int"
     )
 
 
@@ -237,6 +325,32 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     shifts = np.arange(N_SIMHASH_BITS, dtype=np.int64)
 
+    max_chunk_tokens = 200_000
+
+    def doc_fingerprint_sliced(toks: list, md5) -> int:
+        # r16 ADVICE guard: ONE pathological document with millions of
+        # tokens used to be processed as a single chunk, so the
+        # transient (tokens x 48) bit matrix could exhaust worker
+        # memory. Accumulate the per-bit ones counts over fixed-size
+        # token slices instead (bit sums are associative — identical
+        # integers), keeping memory O(max_chunk_tokens) per document.
+        ones = np.zeros(N_SIMHASH_BITS, dtype=np.int64)
+        for s in range(0, len(toks), max_chunk_tokens):
+            sl = toks[s:s + max_chunk_tokens]
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(b"sh|" + tok.encode("utf-8")).digest()[:6], "big"
+                    )
+                    for tok in sl
+                ),
+                dtype=np.int64,
+                count=len(sl),
+            )
+            ones += ((hs[:, None] >> shifts) & 1).sum(axis=0)
+        pos = (2 * ones - len(toks)) > 0
+        return int((pos.astype(np.int64) << shifts).sum())
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
         for pdf in batches:
@@ -250,13 +364,19 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             while start < len(ids):
                 tok_lists, chunk_ids, tok_total = [], [], 0
                 i = start
-                while i < len(ids) and tok_total < 200_000:
+                while i < len(ids) and tok_total < max_chunk_tokens:
                     t = texts[i]
                     if t is not None:
                         toks = t.split(" ")
-                        tok_lists.append(toks)
-                        chunk_ids.append(ids[i])
-                        tok_total += len(toks)
+                        if len(toks) >= max_chunk_tokens:
+                            # oversized document: bounded slice-wise
+                            # accumulation, never a tokens x 48 matrix
+                            out_ids.append(ids[i])
+                            fps.append(doc_fingerprint_sliced(toks, md5))
+                        else:
+                            tok_lists.append(toks)
+                            chunk_ids.append(ids[i])
+                            tok_total += len(toks)
                     i += 1
                 start = i
                 if not tok_lists:
@@ -313,20 +433,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         F.posexplode(simhash_blocks(F.col("fingerprint"))).alias("block_idx", "block_key"),
     )
     blocks = cap_bucket_members(blocks, ["block_idx", "block_key"], "doc", max_bucket)
-    pairs = (
+    # r17 (guide §4.2): pair expansion + hamming verify in one Arrow
+    # pass — the explode(pair_array(struct)) + bit_count tail ran
+    # interpreted and was the single biggest slice of this query
+    # (+0.30 s of 0.84 s at sf0.1). The bucket collect and its shared
+    # exchange with the cap window are unchanged; results are
+    # set-identical (tests/test_pair_expansion.py pins kernel ==
+    # pair_array + hamming48 on the same buckets).
+    grouped = (
         blocks.groupBy("block_idx", "block_key")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "fingerprint"))).alias("docs"))
+        .agg(F.collect_list(F.struct("doc", "fingerprint")).alias("docs"))
         .filter(F.size("docs") > 1)
-        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
-        .select(
-            F.col("p.doc_a.doc").alias("doc_a"),
-            F.col("p.doc_b.doc").alias("doc_b"),
-            hamming48(F.col("p.doc_a.fingerprint"), F.col("p.doc_b.fingerprint")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return pairs
+    return expand_fp_pairs(grouped, max_hamming).distinct()
 
 
 def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
@@ -386,14 +505,17 @@ def candidate_pairs_from_bands(
     LIVE in every consumer's plan (the WindowGroupLimit and
     exchange-inventory pins keep watching them)."""
     bands = cap_bucket_members(bands, ["band_idx", "band_key"], "doc", max_bucket)
-    return (
+    # r17 (guide §4.2): the in-bucket expansion is one Arrow pass
+    # (expand_id_pairs) instead of an interpreted
+    # explode(pair_array(...)); the sort moved into the kernel
+    # (np.sort), so the JVM side is just the bucket collect riding the
+    # cap window's exchange. Set-identical (tests/test_pair_expansion).
+    grouped = (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(F.collect_list("doc").alias("docs"))
         .filter(F.size("docs") > 1)
-        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    return expand_id_pairs(grouped).distinct()
 
 
 def lsh_bucket_stats(bands: DataFrame, key_cols: list[str],

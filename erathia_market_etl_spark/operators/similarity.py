@@ -92,19 +92,43 @@ def pairwise_cosine_udf():
 
     @F.pandas_udf("double")
     def cos2(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        A = np.stack(ea.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(eb.to_numpy()).astype(np.float64, copy=False)
-        n, d = A.shape
-        dot = np.zeros(n)
-        na2 = np.zeros(n)
-        nb2 = np.zeros(n)
-        for j in range(d):
-            dot = dot + A[:, j] * B[:, j]
-            na2 = na2 + A[:, j] * A[:, j]
-            nb2 = nb2 + B[:, j] * B[:, j]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = dot / (np.sqrt(na2) * np.sqrt(nb2))
-        return pd.Series(s)
+        # r16 ADVICE guard: a NULL or length-mismatched embedding pair
+        # must degrade like the replaced SQL folds (NULL score -> the
+        # caller's threshold filter drops the row), not crash the whole
+        # task inside np.stack. Hot path (no bad rows) pays one
+        # vectorized isna() check.
+        bad = ea.isna().to_numpy() | eb.isna().to_numpy()
+        if not bad.any():
+            av, bv = ea.to_numpy(), eb.to_numpy()
+        else:
+            av, bv = ea.to_numpy()[~bad], eb.to_numpy()[~bad]
+        if len(av):
+            la = np.fromiter((len(v) for v in av), dtype=np.int64,
+                             count=len(av))
+            lb = np.fromiter((len(v) for v in bv), dtype=np.int64,
+                             count=len(bv))
+            ragged = la != lb
+            if ragged.any():
+                keep = ~ragged
+                idx = np.flatnonzero(~bad) if bad.any() else np.arange(len(bad))
+                bad[idx[ragged]] = True
+                av, bv = av[keep], bv[keep]
+        scores = np.full(len(ea), np.nan)
+        if len(av):
+            A = np.stack(av).astype(np.float64, copy=False)
+            B = np.stack(bv).astype(np.float64, copy=False)
+            n, d = A.shape
+            dot = np.zeros(n)
+            na2 = np.zeros(n)
+            nb2 = np.zeros(n)
+            for j in range(d):
+                dot = dot + A[:, j] * B[:, j]
+                na2 = na2 + A[:, j] * A[:, j]
+                nb2 = nb2 + B[:, j] * B[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = dot / (np.sqrt(na2) * np.sqrt(nb2))
+            scores[~bad] = s
+        return pd.Series(scores, index=ea.index)
 
     return cos2
 
@@ -162,20 +186,20 @@ def sign_band_near_pairs(emb, threshold: float = 0.9,
          equi-joins on the id — AQE picks broadcast vs sort-merge) and
          the exact cosine threshold verifies each pair once.
     """
-    from .dedup import cap_bucket_members, pair_array
+    from .dedup import cap_bucket_members, expand_id_pairs
 
     bands = cap_bucket_members(
         sign_band_table(emb, id_col, vec_col),
         ["band_idx", "band_key"], id_col, max_bucket,
     )
-    cands = (
+    # r17 (guide §4.2): in-bucket pair expansion as one Arrow pass —
+    # see candidate_pairs_from_bands; same kernel, vec-named output.
+    grouped = (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
+        .agg(F.collect_list(id_col).alias("docs"))
         .filter(F.size("docs") > 1)
-        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
-        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
-        .distinct()
     )
+    cands = expand_id_pairs(grouped, a_name="vec_a", b_name="vec_b").distinct()
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
     # exact verify through the Arrow pairwise scorer (r16): one
@@ -298,7 +322,28 @@ def _np_cosine_scores(X: np.ndarray, C: np.ndarray,
 
 
 def _np_stack(vecs) -> np.ndarray:
-    return np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+    """Stack a batch of embeddings, failing LOUDLY on corrupt input
+    (r16 ADVICE): a NULL or ragged-length vector used to surface as an
+    opaque np.stack shape error failing the whole stage; the IVF
+    scorers assign cells, so silently mis-scoring is not an option —
+    name the offending batch row instead. Hot path (clean batch) pays
+    one vectorized isna() check and a free try."""
+    if vecs.isna().any():
+        i = int(vecs.isna().to_numpy().argmax())
+        raise ValueError(
+            f"NULL embedding at batch row {i}: the IVF scorers need a "
+            "dense array<float> column — filter NULL embeddings out "
+            "before cell assignment"
+        )
+    arr = vecs.to_numpy()
+    try:
+        return np.stack(arr).astype(np.float64, copy=False)
+    except ValueError:
+        lens = sorted({len(v) for v in arr})
+        raise ValueError(
+            f"ragged embedding batch: rows mix dimensions {lens} — the "
+            "IVF scorers need a fixed-dimension embedding column"
+        ) from None
 
 
 def cell_argmax_udf(cids: np.ndarray, C: np.ndarray,

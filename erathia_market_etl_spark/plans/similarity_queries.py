@@ -915,9 +915,11 @@ def sim_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row reconstruction error rides the encode projection itself
     # (pq_assign err_col — the chosen centroid's distance IS the
     # subspace minimum, so no re-derivation from the packed code), and
-    # the whole encode is codegen'd literal chains instead of the old
-    # interpreted transform/array_max HOFs (r16; values bit-identical —
-    # same IEEE op order)
+    # the whole encode is the Arrow pandas_udf batch kernel (r16 —
+    # pq_assign's docstring records that the codegen'd literal-chain
+    # rewrite was measured and REJECTED for py4j construction cost;
+    # values bit-identical to the old interpreted transform/array_max
+    # HOFs — same IEEE op order)
     codes = pq_assign(spark, emb, books, err_col="recon_err").select(
         "vec_id", "embedding", "pq_code", "recon_err"
     )

@@ -87,15 +87,32 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language marker-token hit counts with a
-    fixed-precedence argmax (deterministic ties on both engines)."""
+    fixed-precedence argmax (deterministic ties on both engines).
+
+    r17 (guide §1.2/§2.3): the token array is projected ONCE and all
+    five marker filters read it — the previous shape re-split the text
+    inside every score expression (five tokenize passes per row, ten
+    counting the ORDER BY range-sampling re-execution). An Arrow
+    one-pass kernel was ALSO measured and rejected: 0.67-0.70 s vs
+    0.37-0.40 s for the HOF formulations at sf0.1 — the marker sets are
+    tiny, so the JVM↔Python round-trip costs more than the five
+    interpreted filter walks it saves (OPTIMIZATION_r17.md)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    scores = TX.language_scores(t)
-    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
-    cols += [scores[lang].alias(f"score_{lang}") for lang in TX.LANG_ORDER]
-    df = docs.select(*cols)
+    tokd = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.tokens(F.col("text")).alias("_toks"),
+    )
+    scores = TX.language_scores_from_tokens(F.col("_toks"))
+    df = tokd.select(
+        "doc_id",
+        "labeled_lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in TX.LANG_ORDER],
+    )
     score_cols = {lang: F.col(f"score_{lang}") for lang in TX.LANG_ORDER}
-    return df.withColumn("predicted_lang", TX.predicted_language(score_cols)).orderBy("doc_id")
+    return df.withColumn(
+        "predicted_lang", TX.predicted_language(score_cols)
+    ).orderBy("doc_id")
 
 
 # Driver slot RETIRED r14 (one-in-one-out: paid for the
@@ -564,16 +581,22 @@ def _gate_frame(docs: DataFrame) -> DataFrame:
     projected token array; consumers project what they need and
     Catalyst prunes the rest (the registered gate's plan carries no
     source/text columns)."""
-    toks = TX.tokens(F.col("text"))
+    # r17 (guide §1.2/§2.3, the shingles_from_tokens lesson): project
+    # the token array ONCE and derive every token signal from it — the
+    # previous shape re-split the text inside n_tokens, the bigram
+    # builder (three references), n_bg and the stopword filter, and the
+    # registered gate's ORDER BY range-sampling pass ran the whole
+    # stack a second time. Measured 0.53 s vs 0.63 s at sf0.1. An Arrow
+    # one-pass kernel for the three token signals was also measured and
+    # REJECTED (0.68-0.76 s — boundary cost exceeds the interpreted HOF
+    # walks it saves at this signal mix; OPTIMIZATION_r17.md).
+    toks = F.col("_toks")
     t = docs.select(
         "doc_id",
         "source",
         "text",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(_bigrams(toks))).alias("n_distinct_bg"),
-        (F.size(toks) - 1).alias("n_bg"),
-        TX.marker_hits(F.col("text"), STOPWORDS).alias("n_sw"),
+        TX.tokens(F.col("text")).alias("_toks"),
         # count of [a-zA-Z] chars via translate-then-length: identical
         # integer to regexp_count(text, '[a-zA-Z]') (single-char class,
         # non-overlapping) without running the regex engine per char
@@ -583,6 +606,16 @@ def _gate_frame(docs: DataFrame) -> DataFrame:
             F.length("text")
             - F.length(F.translate(F.col("text"), _ASCII_ALPHA, ""))
         ).cast("int").alias("n_alpha"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(_bigrams(toks))).alias("n_distinct_bg"),
+        (F.size(toks) - 1).alias("n_bg"),
+        TX.marker_hits_from_tokens(toks, STOPWORDS).alias("n_sw"),
+        "n_alpha",
     )
     nt = F.col("n_tokens")
     len_ok = (nt >= GATE_MIN_TOKENS) & (nt <= GATE_MAX_TOKENS)
@@ -1041,6 +1074,36 @@ PIPELINE_TRAINING_FUNNEL_ORACLE = f"""
     """
 
 
+# Session-scoped cache of the funnel's persisted 4-column gate frame
+# (r17, VERDICT r16 item 6): the r16 funnel persisted a fresh gate
+# frame per invocation and never unpersisted it — a cache-entry leak in
+# any long-lived session (the CacheManager would silently serve the
+# first invocation's frame to later plan-identical invocations, so the
+# leak was also an undisclosed cross-invocation reuse). Keyed and
+# evicted exactly like dedup_queries._SHARED_BANDS (the pattern the
+# r16 ADVICE prescribes): at most _GATE_CACHE_MAX persisted gate
+# frames per session, oldest unpersisted on eviction, all dropped with
+# the JVM. Values are deterministic, so reuse is value-invisible.
+_SHARED_GATES: dict[tuple[str, str], DataFrame] = {}
+_GATE_CACHE_MAX = 4
+
+
+def _shared_gate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    g = _SHARED_GATES.get(key)
+    if g is None:
+        while len(_SHARED_GATES) >= _GATE_CACHE_MAX:
+            _SHARED_GATES.pop(next(iter(_SHARED_GATES))).unpersist()
+        docs = load_table(spark, sf_dir, "documents")
+        g = _gate_frame(docs).select(
+            "doc_id", "source", "n_tokens", "keep"
+        ).persist()
+        _SHARED_GATES[key] = g
+    return g
+
+
 @query("pipeline_training_funnel", oracle=PIPELINE_TRAINING_FUNNEL_ORACLE)
 def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end TRAINING-CORPUS FUNNEL, per source: raw documents
@@ -1080,9 +1143,10 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once per funnel, not once per consumer (r16, guide §2.4 —
     # profile showed the gate re-executing in every branch). Node-sized:
     # (doc_id, source, n_tokens, keep) — text never enters the cache.
-    g = _gate_frame(docs).select(
-        "doc_id", "source", "n_tokens", "keep"
-    ).persist()
+    # r17 (VERDICT r16 item 6 / ADVICE): the persist is now registered
+    # in the session-scoped keyed cache below — the r16 version leaked
+    # one cached frame per invocation for the session's lifetime.
+    g = _shared_gate_frame(spark, sf_dir)
     ge = g.filter(F.col("keep")).select("doc_id", "source", "n_tokens")
     pairs = shared_minhash_pairs(spark, sf_dir)
     ga = ge.select(F.col("doc_id").alias("doc_a"))

@@ -78,8 +78,19 @@ def adaptive_partitions(
     clamp and the configured shuffle width wins. Pass the BASE scan
     frame (its stats are exact); joins/aggregates only OVER-estimate,
     which degrades safely to the clamp."""
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # r16 ADVICE guard: the stats probe reaches through classic-JVM
+    # internals (_jdf) and int()-casts the conf — a Spark Connect
+    # session (no _jdf) or an exotic conf value must degrade to the
+    # pre-r16 behavior (the configured shuffle width) instead of
+    # raising at plan-construction time in every iterative kernel.
+    try:
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        cap = int(df.sparkSession.sparkContext.defaultParallelism)
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
     return max(1, min(cap, (size + bytes_per_partition - 1) // bytes_per_partition))
 
 

@@ -138,6 +138,119 @@ def test_simhash_cap_bounds_degenerate_corpus(degenerate_docs):
     assert pairs.count() == 16 * 15 // 2  # identical docs: hamming 0
 
 
+def test_simhash_oversized_doc_slices_match_batch_path(spark):
+    """r16 ADVICE: a single document with >= 200k tokens must be
+    fingerprinted in bounded token slices (never one (tokens x 48)
+    matrix), and the sliced accumulation must produce the SAME
+    fingerprint integer as the attested JVM formulation
+    (token_hash48 -> 48 conditional sums -> sign collapse)."""
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.dedup import (
+        simhash_bit_sums,
+        simhash_fingerprint,
+        simhash_table,
+        token_hash48,
+    )
+
+    # 200_001 tokens from a 7-word vocab -> forces the sliced path
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    big = " ".join(vocab[i % 7] for i in range(200_001))
+    docs = spark.createDataFrame(
+        [(1, big), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: r["fingerprint"]
+        for r in simhash_table(docs, "text", "doc_id").collect()
+    }
+    ref = {
+        r["doc"]: r["fingerprint"]
+        for r in (
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(F.split("text", " ")).alias("t"),
+            )
+            .select("doc", token_hash48(F.col("t")).alias("h"))
+            .groupBy("doc")
+            .agg(*simhash_bit_sums(F.col("h")))
+            .select("doc", simhash_fingerprint().alias("fingerprint"))
+            .collect()
+        )
+    }
+    assert got == ref
+
+
+def test_pairwise_cosine_degrades_on_null_and_ragged(spark):
+    """r16 ADVICE: a NULL or length-mismatched embedding pair must
+    score NaN (dropped by any threshold filter, like the old SQL
+    folds' NULL) instead of crashing the task in np.stack."""
+
+
+    from pyspark.sql import functions as F
+
+    from erathia_market_etl_spark.operators.similarity import (
+        pairwise_cosine_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [1.0, 0.0], [1.0, 0.0, 5.0]),
+            (4, [0.0, 1.0], [0.0, 2.0]),
+        ],
+        "pid long, ea array<float>, eb array<float>",
+    )
+    rows = {
+        r["pid"]: r["cs"]
+        for r in df.select(
+            "pid", pairwise_cosine_udf()(F.col("ea"), F.col("eb")).alias("cs")
+        ).collect()
+    }
+    assert rows[1] == 1.0 and rows[4] == 1.0
+    # pandas NaN crosses Arrow as SQL NULL — exactly the old folds'
+    # NULL score for a NULL/ragged pair
+    assert rows[2] is None and rows[3] is None
+    kept = df.withColumn(
+        "cs", pairwise_cosine_udf()(F.col("ea"), F.col("eb"))
+    ).filter(F.col("cs") >= 0.4)
+    assert sorted(r["pid"] for r in kept.collect()) == [1, 4]
+
+
+def test_ivf_stack_fails_loudly_on_corrupt_embeddings():
+    """r16 ADVICE: the IVF scorers must name the corrupt input instead
+    of an opaque np.stack shape error."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from erathia_market_etl_spark.operators.similarity import _np_stack
+
+    with pytest.raises(ValueError, match="NULL embedding at batch row 1"):
+        _np_stack(pd.Series([np.array([1.0]), None]))
+    with pytest.raises(ValueError, match="ragged embedding batch"):
+        _np_stack(pd.Series([np.array([1.0]), np.array([1.0, 2.0])]))
+
+
+def test_adaptive_partitions_falls_back_without_jdf(spark):
+    """r16 ADVICE: a session without classic-JVM internals (Spark
+    Connect) must degrade to the configured shuffle width instead of
+    raising at plan-construction time."""
+    from erathia_market_etl_spark.sources.parquet_io import (
+        adaptive_partitions,
+    )
+
+    class NoJdf:
+        sparkSession = spark
+
+        @property
+        def _jdf(self):
+            raise AttributeError("_jdf")  # Connect sessions have no _jdf
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert adaptive_partitions(NoJdf()) == cap
+
+
 def test_bucket_stats_report_overflow(degenerate_docs):
     from erathia_market_etl_spark.operators.dedup import (
         lsh_bucket_stats,
