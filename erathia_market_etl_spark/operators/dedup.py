@@ -202,10 +202,10 @@ def pair_array(docs: Column) -> Column:
     """All (a, b) pairs with a < b from a SORTED id array — nested
     index-aware transform + slice. NOTE (r17): HOF lambdas are
     CodegenFallback, so this runs interpreted and allocates a struct
-    per pair; the hot bucket tails now use expand_id_pairs /
-    expand_fp_pairs (one vectorized numpy triu per bucket) instead.
-    Kept as the attested SQL formulation and the parity baseline
-    (tests/test_pair_expansion.py pins kernel == pair_array)."""
+    per pair. For plain-long buckets that is still CHEAPER than an
+    Arrow kernel (measured — see candidate_pairs_from_bands); the
+    struct+hamming SimHash tail is the one that moved to numpy
+    (expand_fp_pairs, pinned equal in tests/test_pair_expansion.py)."""
     return F.flatten(
         F.transform(
             docs,
@@ -214,42 +214,6 @@ def pair_array(docs: Column) -> Column:
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
-    )
-
-
-def expand_id_pairs(buckets: DataFrame, docs_col: str = "docs",
-                    a_name: str = "doc_a", b_name: str = "doc_b") -> DataFrame:
-    """In-bucket pair expansion as ONE Arrow pass (r17, guide §4.2 /
-    VERDICT r16 item 4): input rows carry a bounded id array per bucket
-    (already capped by cap_bucket_members); output is the exploded
-    (a, b), a < b pair stream. The replaced shape —
-    explode(pair_array(docs)) — built every pair as an interpreted
-    nested-transform struct (HOF lambdas are CodegenFallback); here
-    each bucket is one np.sort + np.triu_indices gather and each Arrow
-    batch concatenates into two int64 columns. Set-identical to
-    pair_array over sort_array'd input: ids are unique within a bucket,
-    so sorted i < j  ⟺  a < b. Pass ONLY the array column (opaque
-    functions defeat column pruning — guide §4.1)."""
-    import numpy as np
-
-    id_type = buckets.schema[docs_col].dataType.elementType.simpleString()
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out_a, out_b = [], []
-            for arr in pdf[docs_col].to_numpy():
-                ids = np.sort(np.asarray(arr, dtype=np.int64))
-                ia, ib = np.triu_indices(len(ids), 1)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
-            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-            yield pd.DataFrame({a_name: a, b_name: b})
-
-    return buckets.select(docs_col).mapInPandas(
-        gen, f"{a_name} {id_type}, {b_name} {id_type}"
     )
 
 
@@ -505,17 +469,20 @@ def candidate_pairs_from_bands(
     LIVE in every consumer's plan (the WindowGroupLimit and
     exchange-inventory pins keep watching them)."""
     bands = cap_bucket_members(bands, ["band_idx", "band_key"], "doc", max_bucket)
-    # r17 (guide §4.2): the in-bucket expansion is one Arrow pass
-    # (expand_id_pairs) instead of an interpreted
-    # explode(pair_array(...)); the sort moved into the kernel
-    # (np.sort), so the JVM side is just the bucket collect riding the
-    # cap window's exchange. Set-identical (tests/test_pair_expansion).
-    grouped = (
+    # r17 note: an Arrow (mapInPandas numpy-triu) pair expansion was
+    # measured here and REJECTED — alternating same-session A/B at
+    # sf0.1: JVM tail min 0.444 s vs Arrow 0.508 s. Plain-long pair
+    # emission is cheap enough that the Python boundary costs more
+    # than the interpreted transform it replaces; the struct+popcount
+    # SimHash tail is the one that pays (see simhash_near_pairs).
+    return (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
+        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    return expand_id_pairs(grouped).distinct()
 
 
 def lsh_bucket_stats(bands: DataFrame, key_cols: list[str],

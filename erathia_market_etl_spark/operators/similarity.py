@@ -186,20 +186,25 @@ def sign_band_near_pairs(emb, threshold: float = 0.9,
          equi-joins on the id — AQE picks broadcast vs sort-merge) and
          the exact cosine threshold verifies each pair once.
     """
-    from .dedup import cap_bucket_members, expand_id_pairs
+    from .dedup import cap_bucket_members, pair_array
 
     bands = cap_bucket_members(
         sign_band_table(emb, id_col, vec_col),
         ["band_idx", "band_key"], id_col, max_bucket,
     )
-    # r17 (guide §4.2): in-bucket pair expansion as one Arrow pass —
-    # see candidate_pairs_from_bands; same kernel, vec-named output.
-    grouped = (
+    # r17 note: an Arrow pair expansion was measured here and REJECTED
+    # (alternating A/B at sf0.1: JVM tail ~0.87 s vs Arrow ~0.97 s for
+    # the full verify pipeline) — same verdict as
+    # candidate_pairs_from_bands: plain-long pair emission does not pay
+    # the Python boundary.
+    cands = (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.collect_list(id_col).alias("docs"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
         .filter(F.size("docs") > 1)
+        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+        .distinct()
     )
-    cands = expand_id_pairs(grouped, a_name="vec_a", b_name="vec_b").distinct()
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
     # exact verify through the Arrow pairwise scorer (r16): one

@@ -1,14 +1,21 @@
-"""Parity pins for the r17 Arrow in-bucket pair expansion.
+"""Parity pins for the r17 Arrow SimHash pair expansion.
 
-The LSH bucket tails (MinHash bands, sign bands, SimHash blocks) used
-to expand pairs with explode(pair_array(docs)) — an interpreted
-nested-transform HOF allocating a struct per pair. r17 replaces that
-stage with one vectorized numpy pass (expand_id_pairs /
-expand_fp_pairs). These tests pin the kernels SET-equal to the attested
-SQL formulation (pair_array + hamming48) on the fixture corpus and on
-degenerate bucket shapes, and pin the registered consumers' plans:
-the cap window's two-phase WindowGroupLimit and the single shared
-(band) exchange must survive the rewrite.
+The SimHash block tail used to expand pairs with
+explode(pair_array(struct)) + bit_count — an interpreted nested-
+transform HOF allocating a struct per pair, plus a per-pair hamming
+expression. r17 replaces that stage with one vectorized numpy pass
+(expand_fp_pairs: argsort, triu gather, xor, unpackbits popcount,
+fused hamming filter). The plain-long bucket tails (MinHash bands,
+sign bands) were measured with the same kernel shape and kept on the
+JVM formulation — the Python boundary costs more than the interpreted
+transform there (see candidate_pairs_from_bands).
+
+These tests pin expand_fp_pairs SET-equal to the attested SQL
+formulation (pair_array + hamming48) on the fixture corpus, pin the
+popcount arithmetic, and pin the registered consumers' plans: the cap
+window's two-phase WindowGroupLimit must survive, and the simhash
+plan must show the MapInPandas tail with the interpreted pair explode
+gone.
 """
 
 from __future__ import annotations
@@ -20,9 +27,7 @@ from erathia_market_etl_spark.operators.dedup import (
     SIMHASH_HAMMING_MAX,
     cap_bucket_members,
     expand_fp_pairs,
-    expand_id_pairs,
     hamming48,
-    minhash_band_table,
     pair_array,
     simhash_blocks,
     simhash_table,
@@ -32,53 +37,7 @@ from erathia_market_etl_spark.sources.parquet_io import load_table
 from .conftest import SF_T2
 
 
-def _old_id_pairs(bands, max_bucket=256):
-    b = cap_bucket_members(bands, ["band_idx", "band_key"], "doc", max_bucket)
-    return (
-        b.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") > 1)
-        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-
-
-def _new_id_pairs(bands, max_bucket=256):
-    b = cap_bucket_members(bands, ["band_idx", "band_key"], "doc", max_bucket)
-    grouped = (
-        b.groupBy("band_idx", "band_key")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    return expand_id_pairs(grouped).distinct()
-
-
-def test_id_pair_kernel_matches_pair_array_on_fixture(spark):
-    docs = load_table(spark, SF_T2, "documents")
-    bands = minhash_band_table(docs, "text", "doc_id")
-    old = sorted(map(tuple, _old_id_pairs(bands).collect()))
-    new = sorted(map(tuple, _new_id_pairs(bands).collect()))
-    assert old == new
-    assert old, "vacuous: fixture produced no candidate pairs"
-
-
-def test_id_pair_kernel_handles_degenerate_buckets(spark):
-    # one giant bucket (cap bites), one pair bucket, one singleton
-    # (filtered), ids deliberately unsorted within the bucket
-    rows = [("b0", d) for d in (5, 3, 9, 1, 7, 2)] + \
-           [("b1", d) for d in (11, 10)] + [("b2", 42)]
-    bands = spark.createDataFrame(
-        [(0, k, d) for k, d in rows], "band_idx int, band_key string, doc long"
-    )
-    old = sorted(map(tuple, _old_id_pairs(bands, max_bucket=4).collect()))
-    new = sorted(map(tuple, _new_id_pairs(bands, max_bucket=4).collect()))
-    assert old == new
-    # the cap keeps the 4 smallest ids of b0 -> C(4,2)=6 pairs + b1's 1
-    assert len(old) == 7
-
-
-def test_fp_pair_kernel_matches_struct_pair_array(spark):
+def _capped_blocks(spark):
     docs = load_table(spark, SF_T2, "documents")
     fp = simhash_table(docs, "text", "doc_id")
     blocks = fp.select(
@@ -87,7 +46,11 @@ def test_fp_pair_kernel_matches_struct_pair_array(spark):
             "block_idx", "block_key"
         ),
     )
-    blocks = cap_bucket_members(blocks, ["block_idx", "block_key"], "doc", 256)
+    return cap_bucket_members(blocks, ["block_idx", "block_key"], "doc", 256)
+
+
+def test_fp_pair_kernel_matches_struct_pair_array(spark):
+    blocks = _capped_blocks(spark)
     old = (
         blocks.groupBy("block_idx", "block_key")
         .agg(F.sort_array(F.collect_list(F.struct("doc", "fingerprint"))).alias("docs"))
@@ -112,7 +75,50 @@ def test_fp_pair_kernel_matches_struct_pair_array(spark):
     o = sorted(map(tuple, old.collect()))
     n = sorted(map(tuple, new.collect()))
     assert o == n
+    assert o, "vacuous: fixture produced no simhash near pairs"
     assert old.schema.simpleString() == new.schema.simpleString()
+
+
+def test_fp_pair_kernel_handles_degenerate_buckets(spark):
+    """Unsorted member order, a capped-size bucket, a pair bucket, and
+    hamming values straddling the max must all match the SQL tail."""
+    rows = [
+        # bucket b0: three members, unsorted, mixed hamming
+        (0, "b0", 9, 0b0111), (0, "b0", 3, 0b0001), (0, "b0", 5, 0b1111_0001),
+        # bucket b1: exactly two, hamming over the max -> dropped
+        (1, "b1", 10, 0), (1, "b1", 11, 0b11111),
+        # bucket b2: identical fingerprints -> hamming 0
+        (2, "b2", 20, 42), (2, "b2", 21, 42),
+    ]
+    blocks = spark.createDataFrame(
+        rows, "block_idx int, block_key string, doc long, fingerprint long"
+    )
+    old = (
+        blocks.groupBy("block_idx", "block_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "fingerprint"))).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(pair_array(F.col("docs"))).alias("p"))
+        .select(
+            F.col("p.doc_a.doc").alias("doc_a"),
+            F.col("p.doc_b.doc").alias("doc_b"),
+            hamming48(
+                F.col("p.doc_a.fingerprint"), F.col("p.doc_b.fingerprint")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+    grouped = (
+        blocks.groupBy("block_idx", "block_key")
+        .agg(F.collect_list(F.struct("doc", "fingerprint")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    new = expand_fp_pairs(grouped, SIMHASH_HAMMING_MAX).distinct()
+    o = sorted(map(tuple, old.collect()))
+    n = sorted(map(tuple, new.collect()))
+    assert o == n
+    assert (20, 21, 0) in set(o)  # the hamming-0 pair survived
+    assert all(h <= SIMHASH_HAMMING_MAX for _, _, h in o)
 
 
 def test_fp_pair_popcount_matches_bit_count_exhaustive():
@@ -133,10 +139,12 @@ def test_fp_pair_popcount_matches_bit_count_exhaustive():
     "name", ["dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
              "sim_similar_pairs"]
 )
-def test_pair_consumers_keep_cap_pushdown_and_exchange_inventory(spark, name):
-    """The rewrite must not lose the two-phase WindowGroupLimit (the
-    degenerate-corpus bound) or grow the exchange inventory; the
-    interpreted pair explode must be GONE from the registered plans."""
+def test_pair_consumers_keep_cap_pushdown(spark, name):
+    """The cap's two-phase WindowGroupLimit (the degenerate-corpus
+    bound) must survive in every pair consumer; the simhash plan must
+    run its pair tail through MapInPandas with the interpreted pair
+    explode gone, while the plain-long tails keep the (measured-
+    cheaper) JVM explode."""
     import re
 
     from erathia_market_etl_spark.plans import all_queries
@@ -145,5 +153,9 @@ def test_pair_consumers_keep_cap_pushdown_and_exchange_inventory(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"WindowGroupLimit .*, Partial", plan), name
     assert re.search(r"WindowGroupLimit .*, Final", plan), name
-    assert "MapInPandas" in plan, name
-    assert "flatten(transform(" not in plan.replace("\n", ""), name
+    flat = plan.replace("\n", "")
+    if name == "dedup_simhash_near_pairs":
+        assert "MapInPandas" in plan, name
+        assert "flatten(transform(" not in flat, name
+    else:
+        assert "flatten(transform(" in flat, name
