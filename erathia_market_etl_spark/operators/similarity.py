@@ -137,7 +137,7 @@ N_SIGN_BANDS = 4        # banded sign-LSH: bands of hyperplanes ...
 SIGN_BITS_PER_BAND = 8  # ... each band over its own 8 dims (32 total)
 
 
-def sign_band_array(a: Column, n_bands: int = N_SIGN_BANDS,
+def sign_band_array(a: Column | str, n_bands: int = N_SIGN_BANDS,
                     bits_per_band: int = SIGN_BITS_PER_BAND) -> Column:
     """Banded sign-bit LSH keys: band b is the sign pattern of dims
     [b·bits, (b+1)·bits). Unlike the single fixed 8-bit bucket (whose
@@ -147,7 +147,26 @@ def sign_band_array(a: Column, n_bands: int = N_SIGN_BANDS,
     pair only needs ONE band to collide (32 hyperplanes total, so
     collisions are far more selective per band than "first 8 dims").
     DuckDB twin per band: concat of CASE WHEN a[d] > 0 THEN '1' ELSE '0' END
-    over that band's dims (see _SIGN_BANDS_CTE in plans/similarity_queries)."""
+    over that band's dims (see _SIGN_BANDS_CTE in plans/similarity_queries).
+
+    r17: built as ONE F.expr parse instead of 32 nested when/concat
+    Column calls — the py4j round trips to assemble the tree cost
+    ~100 ms of DRIVER time per query construction (measured; the
+    construction-timed banded queries paid it in every bench run).
+    The parsed tree is the identical CASE/concat expression.
+    ``a`` may be a column NAME (preferred — enables the single-parse
+    path) or a Column (falls back to per-call assembly for computed
+    inputs)."""
+    if isinstance(a, str):
+        bands_sql = ", ".join(
+            "concat(" + ", ".join(
+                f"CASE WHEN element_at({a}, {b * bits_per_band + i + 1}) > 0"
+                " THEN '1' ELSE '0' END"
+                for i in range(bits_per_band)
+            ) + ")"
+            for b in range(n_bands)
+        )
+        return F.expr(f"array({bands_sql})")
     return F.array(*[
         F.concat(*[
             F.when(
@@ -165,7 +184,7 @@ def sign_band_table(emb, id_col: str = "vec_id", vec_col: str = "embedding"):
     explode: only the id and the 8-char key shuffle."""
     return emb.select(
         F.col(id_col),
-        F.posexplode(sign_band_array(F.col(vec_col))).alias("band_idx", "band_key"),
+        F.posexplode(sign_band_array(vec_col)).alias("band_idx", "band_key"),
     )
 
 
